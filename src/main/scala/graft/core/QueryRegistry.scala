@@ -1,0 +1,11 @@
+package graft.core
+
+/** Central registry of every engine query exposed to the driver contract
+  * (SparkEntry.queries / oracleSql) and to Bench.
+  */
+object QueryRegistry {
+  def all: Seq[Q] =
+    graft.operators.Relational.queries
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

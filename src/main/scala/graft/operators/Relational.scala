@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Relational operator coverage for SURVEY.md §2.2–§2.7 expressed over the
+  * driver testdata (TESTDATA.md), one registered query per operator row.
+  *
+  * Determinism conventions (oracle = DuckDB hash compare):
+  *  - double aggregation goes through DecimalType so results are exact and
+  *    identical regardless of partition/accumulation order (a double SUM is
+  *    order-dependent in the last ulp; Decimal is not);
+  *  - every query output carries a total order via unique tie-breaker keys;
+  *  - final aggregate columns are re-cast DECIMAL → DOUBLE. The decimal value
+  *    is exact and identical on both engines; converting to double is then a
+  *    single deterministic rounding, PROVIDED the scaled unscaled-integer
+  *    stays < 2^53 (we keep final scale at 4, money values have ≤4 real
+  *    decimal digits, magnitudes ≤ 1e9 even at sf0.1 → ≤ 1e13 ≪ 2^53).
+  *    This sidesteps both double-sum order-dependence and engine-specific
+  *    decimal string/dtype rendering.
+  */
+object Relational {
+
+  /** exact operand: double → DECIMAL(18,4) (no ties at scale 4 from binary
+    * doubles, so HALF_UP-vs-HALF_EVEN rounding differences are unobservable) */
+  private def d6(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** pinned output: exact decimal → ≤2^53-unscaled decimal → double */
+  private def o6(c: Column): Column = c.cast(DecimalType(38, 4)).cast(DoubleType)
+  /** product of two scale-4 operands carries ≤4 real digits too (2dp × 2dp);
+    * scale 4 keeps the unscaled integer ≪ 2^53 at bench scale */
+  private def o12(c: Column): Column = o6(c)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── A: aggregations ────────────────────────────────────────────────────
+
+    // Flagship (§7.2 analog on testdata): pricing-summary aggregation.
+    // Reference: report/historical.py:144-165 group-count pattern widened to
+    // the full agg surface (sum/avg/count) for bench purposes.
+    Q(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          o6(sum(d6(col("l_quantity")))).as("sum_qty"),
+          o6(sum(d6(col("l_extendedprice")))).as("sum_base_price"),
+          o12(sum(d6(col("l_extendedprice")) * (lit(1) - d6(col("l_discount"))))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }.copy(bench = true),
+
+    // A1 group-count by key (historical.py:144-165): count per address →
+    // count per user, plus the "distinct actives" via a1b below.
+    Q(
+      "a1_group_count",
+      """SELECT user_id, COUNT(*) AS n
+        |FROM events
+        |WHERE event_type IN ('purchase','signup','error')
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup", "error"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
+    // A1b distinct active users (countDistinct; historical.py:165).
+    Q(
+      "a1_distinct_users",
+      """SELECT COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type IN ('purchase','signup','error')""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup", "error"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // A2 filtered row count (bp_user_operations.py:88-92).
+    Q(
+      "a2_filtered_count",
+      "SELECT COUNT(*) AS total FROM orders WHERE o_orderstatus = 'O'") { (s, d) =>
+      T.orders(s, d).filter(col("o_orderstatus") === "O")
+        .agg(count(lit(1)).as("total"))
+    },
+
+    // A3 max-by / argmax lookup (scan_raw_txs.py:83 latest checkpoint).
+    Q(
+      "a3_maxby",
+      """SELECT event_id, user_id, event_type, ts
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+    },
+
+    // ── P: projections / filters ───────────────────────────────────────────
+
+    // P1 address-set filter (chain.py:18-37): membership on either of two
+    // columns (to/from ∈ S) → here (event_type ∈ S1 OR user_id ∈ S2).
+    Q(
+      "p1_set_filter",
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE event_type IN ('signup','error') OR user_id IN (1,2,3)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(col("event_type").isin("signup", "error") || col("user_id").isin(1, 2, 3))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // P6 case-insensitive equality (bp_user_operations.py:34 regex-i →
+    // preserved as lower() equality).
+    Q(
+      "p6_ci_equality",
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE lower(c_mktsegment) = 'building'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T.customer(s, d)
+        .filter(lower(col("c_mktsegment")) === "building")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // P7 excluded-events anti-filter (bp_user_operations.py:35).
+    Q(
+      "p7_excluded_events",
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE event_type NOT IN ('view','click')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(!col("event_type").isin("view", "click"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // P9 range predicates on block/time (historical.py:133 etc.).
+    Q(
+      "p9_range_pred",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
+          && col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType)
+          && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // P10 wide projection (bp_user_operations.py:40-69).
+    Q(
+      "p10_projection",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // P11 positive-balance predicate (mocsettlement.py:333) — Decimal, not
+    // float, compare.
+    Q(
+      "p11_positive_balance",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T.customer(s, d)
+        .filter(d6(col("c_acctbal")) > 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ── J: joins ───────────────────────────────────────────────────────────
+
+    // J1 semi-join against a registry dim (token_riskpro.py:48-89).
+    Q(
+      "j1_semi_join",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val bld = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      T.orders(s, d)
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J1b anti-join (P13 staleness guard pattern, moc_balances.py:123-136).
+    Q(
+      "j1b_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J2 equi lookup join by key (scan_events_txs.py:219-227).
+    Q(
+      "j2_equi_join",
+      """SELECT o.o_orderkey, o.o_orderdate, c.c_name, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 100000
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d).filter(col("o_totalprice") > 100000)
+      val c = T.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J2b multi-way dim join (dispatch-registry style J8 over a snowflake).
+    Q(
+      "j2b_multiway_join",
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_cust,
+        |  CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+      val c = T.customer(s, d)
+      val n = broadcast(T.nation(s, d))
+      val r = broadcast(T.region(s, d))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), o6(sum(d6(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ── W: windows / ranking ───────────────────────────────────────────────
+
+    // W1 top-1 per key (argmax; bp_prices.py:34 latest price per query →
+    // latest event per user).
+    Q(
+      "w1_top1_per_key",
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("user_id"))
+    },
+
+    // W2/O1 pagination: sort desc + offset/limit with clamp
+    // (bp_user_operations.py:69, lib_tools.py:55-61).
+    Q(
+      "o1_pagination",
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC
+        |LIMIT 20 OFFSET 20""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .offset(20).limit(20)
+    },
+
+    // W4 lag over time ordering (bp_prices.py:44-61 ≈ 24h-ago comparison).
+    Q(
+      "w4_lag",
+      """SELECT user_id, event_id, ts,
+        |  value AS v,
+        |  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+        |FROM events
+        |WHERE user_id <= 50
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .filter(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value").as("v"))
+        .withColumn("prev_v", lag(col("v"), 1).over(w))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
+    // A6 running count (historical.py:248-260 cursor counter).
+    Q(
+      "a6_running_count",
+      """SELECT event_id, ts,
+        |  ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY rn""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .orderBy(col("rn"))
+    },
+
+    // ── U: set operations ──────────────────────────────────────────────────
+
+    // U3 schema union of heterogeneous event shapes (unionByName with
+    // missing columns; events/* writers).
+    Q(
+      "u3_union_by_name",
+      """SELECT event_id, user_id, value, NULL AS props FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, NULL AS value, props FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val b = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("props"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("event_id"), col("user_id"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    },
+
+    // U4 two legs of one event unioned (token_riskpro.py:54-122: from-side
+    // isPositive=false, to-side isPositive=true).
+    Q(
+      "u4_two_legs",
+      """SELECT event_id, user_id AS account, FALSE AS is_positive, value FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id + 1000000 AS account, TRUE AS is_positive, value FROM events WHERE event_type = 'click'
+        |ORDER BY event_id, account""".stripMargin) { (s, d) =>
+      val t = T.events(s, d).filter(col("event_type") === "click")
+      val fromLeg = t.select(col("event_id"), col("user_id").as("account"),
+        lit(false).as("is_positive"), col("value"))
+      val toLeg = t.select(col("event_id"),
+        (col("user_id") + 1000000).as("account"), lit(true).as("is_positive"), col("value"))
+      fromLeg.union(toLeg).orderBy(col("event_id"), col("account"))
+    }
+  )
+}
