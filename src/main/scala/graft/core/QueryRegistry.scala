@@ -5,7 +5,9 @@ package graft.core
   */
 object QueryRegistry {
   def all: Seq[Q] =
-    graft.operators.Relational.queries
+    graft.operators.Relational.queries ++
+      graft.operators.AsOf.queries ++
+      graft.operators.Scalars.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Q, Tables => T}
+
+/** As-of (backward) joins and their derivatives — SURVEY.md §2.3 J3-J7.
+  *
+  * Spark 4 SQL has no native as-of join; the reference does them as
+  * `find_one(sort=[(blockHeight,-1)])` point lookups (scan_moc_state.py:75-81,
+  * bp_prices.py:22-61). At scale the idiomatic Spark shape is NOT a range
+  * join (quadratic blow-up) but a single-shuffle merge sweep: union both
+  * sides, one window partitioned by key ordered by (ts, tiebreak), and a
+  * `last(value, ignoreNulls)` carrying the most recent right-side value
+  * forward. One shuffle on the key, linear work, AQE-friendly.
+  */
+object AsOf {
+
+  /** Backward as-of: for every `left` row, latest `right` row value with
+    * the same `key` strictly before it in (ts, tiebreak) order.
+    * `rightVal` must exist in `right`; result adds column `asofName`. */
+  def asOfBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, tiebreak: String,
+      rightVal: String, asofName: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1)).withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right.withColumn("__side", lit(0)).withColumn("__rv", col(rightVal))
+    val unioned = l.select(l.columns.filterNot(Set("__side", "__rv")).map(col) :+ col("__side") :+ col("__rv"): _*)
+      .unionByName(r.select(l.columns.filterNot(Set("__side", "__rv")).map(col) :+ col("__side") :+ col("__rv"): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    unioned
+      .withColumn(asofName, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // J3 per-key backward as-of (scan_moc_state.py:75-81 latest price before
+    // cut, generalized per key): for each purchase, the latest strictly
+    // preceding view's value for the same user. Merge-sweep implementation —
+    // one shuffle on user_id, no range join.
+    Q(
+      "j3_asof_backward",
+      """SELECT event_id, user_id, ts, value, last_view_value FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+        |  FROM events WHERE event_type IN ('purchase','view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_view_value",
+          last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("last_view_value"))
+        .orderBy(col("event_id"))
+    }.copy(bench = true),
+
+    // J4 price variation (bp_prices.py:22-61): per user, current value
+    // (top-1 by time) vs value as of a lookback cut (here: global max ts
+    // minus 7 days), delta in doubles (same IEEE expression both engines).
+    Q(
+      "j4_price_variation",
+      """WITH cut AS (SELECT MAX(ts) - INTERVAL 7 DAY AS c FROM events WHERE event_type = 'purchase'),
+        |cur AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |prev AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT e.user_id, e.value, ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) rn
+        |    FROM events e, cut WHERE e.event_type = 'purchase' AND e.ts <= cut.c) WHERE rn = 1)
+        |SELECT cur.user_id, cur.value AS cur_value, prev.value AS prev_value,
+        |       cur.value - prev.value AS delta
+        |FROM cur LEFT JOIN prev ON cur.user_id = prev.user_id
+        |ORDER BY cur.user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      val cut = ev.agg(max(col("ts")).as("maxTs"))
+        .select((col("maxTs") - expr("INTERVAL 7 DAY")).as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val cur = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("cur_value"))
+      val prev = ev.crossJoin(broadcast(cut)).filter(col("ts") <= col("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("prev_value"))
+      cur.join(prev, Seq("user_id"), "left")
+        .withColumn("delta", col("cur_value") - col("prev_value"))
+        .orderBy(col("user_id"))
+    },
+
+    // J5 historical as-of at a cut (report/historical.py:169-171: state at
+    // latest height < now - 15 days): latest event per user older than the
+    // cut, one ranked window after a partition-prunable filter.
+    Q(
+      "j5_asof_historical",
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT e.user_id, e.event_id, e.ts, e.value,
+        |    ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) rn
+        |  FROM events e, (SELECT MAX(ts) - INTERVAL 3 DAY AS c FROM events) cut
+        |  WHERE e.ts < cut.c) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 3 DAY")).as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      ev.crossJoin(broadcast(cut)).filter(col("ts") < col("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // J6 conditional override from a second source (scan_moc_state.py:84-99:
+    // settlement price overrides daily price inside the window): per user,
+    // take latest purchase value, but if the user's latest signup is newer
+    // than their latest purchase, use the signup value and flag it.
+    Q(
+      "j6_conditional_override",
+      """WITH p AS (
+        |  SELECT user_id, value, ts FROM (
+        |    SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |g AS (
+        |  SELECT user_id, value, ts FROM (
+        |    SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1)
+        |SELECT p.user_id,
+        |  CASE WHEN g.ts > p.ts THEN g.value ELSE p.value END AS effective_value,
+        |  CASE WHEN g.ts > p.ts THEN FALSE ELSE TRUE END AS is_daily
+        |FROM p LEFT JOIN g ON p.user_id = g.user_id
+        |ORDER BY p.user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      def top1(t: String) = ev.filter(col("event_type") === t)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value"), col("ts"))
+      val p = top1("purchase")
+      val g = top1("signup").withColumnRenamed("value", "g_value").withColumnRenamed("ts", "g_ts")
+      p.join(g, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("g_ts") > col("ts"), col("g_value")).otherwise(col("value")).as("effective_value"),
+          when(col("g_ts") > col("ts"), lit(false)).otherwise(lit(true)).as("is_daily"))
+        .orderBy(col("user_id"))
+    },
+
+    // J7 liquidation fan-out (mocsettlement.py:292-368; moc.py:38-91): a
+    // rare trigger event fans out across all qualifying account holders —
+    // broadcast cross join of the (tiny) trigger set against the filtered
+    // dimension, then per-pair projection.
+    Q(
+      "j7_fanout_cross",
+      """WITH trig AS (
+        |  SELECT event_id, ts, value FROM events WHERE event_type = 'error'
+        |  ORDER BY ts DESC, event_id DESC LIMIT 3)
+        |SELECT t.event_id AS trigger_id, c.c_custkey, c.c_acctbal, t.value
+        |FROM trig t CROSS JOIN customer c
+        |WHERE c.c_acctbal > 9900
+        |ORDER BY trigger_id, c_custkey""".stripMargin) { (s, d) =>
+      val trig = T.events(s, d).filter(col("event_type") === "error")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(3)
+        .select(col("event_id").as("trigger_id"), col("value"))
+      val cust = T.customer(s, d).filter(col("c_acctbal") > 9900)
+        .select(col("c_custkey"), col("c_acctbal"))
+      cust.crossJoin(broadcast(trig))
+        .select(col("trigger_id"), col("c_custkey"), col("c_acctbal"), col("value"))
+        .orderBy(col("trigger_id"), col("c_custkey"))
+    },
+
+    // P13 staleness guard (moc_balances.py:123-136 skip-if-newer): keep a
+    // row only if no strictly newer row exists for the same key — an
+    // anti-join with an inequality condition (small keyspace slice).
+    Q(
+      "p13_staleness_guard",
+      """SELECT e.user_id, e.event_id, e.ts FROM events e
+        |WHERE e.user_id <= 20 AND NOT EXISTS (
+        |  SELECT 1 FROM events n WHERE n.user_id = e.user_id
+        |    AND (n.ts > e.ts OR (n.ts = e.ts AND n.event_id > e.event_id)))
+        |ORDER BY e.user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).filter(col("user_id") <= 20)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val newer = ev.select(col("user_id").as("n_user"), col("event_id").as("n_id"), col("ts").as("n_ts"))
+      ev.join(newer,
+          col("user_id") === col("n_user") &&
+            (col("n_ts") > col("ts") || (col("n_ts") === col("ts") && col("n_id") > col("event_id"))),
+          "left_anti")
+        .orderBy(col("user_id"))
+    }
+  )
+}
