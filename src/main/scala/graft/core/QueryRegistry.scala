@@ -7,7 +7,9 @@ object QueryRegistry {
   def all: Seq[Q] =
     graft.operators.Relational.queries ++
       graft.operators.AsOf.queries ++
-      graft.operators.Scalars.queries
+      graft.operators.Scalars.queries ++
+      graft.operators.TextOps.queries ++
+      graft.operators.VectorOps.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

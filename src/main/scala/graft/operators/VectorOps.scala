@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Embedding-vector operators — SURVEY.md §7.4 extension surface: cosine
+  * similarity search (brute-force baseline + LSH-bucketed scale path) and
+  * embedding near-duplicate detection over the `embeddings` table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT> dim=64, label INT).
+  *
+  * Exactness: cosine over IEEE floats is summation-order-dependent, so a
+  * naive double dot product would hash-mismatch any oracle. We quantize each
+  * component to an exact integer — floor(double(f) × 10^7), both engines
+  * produce identical results since float→double widening is exact, ×10^7 is
+  * one IEEE op, floor is exact — and compute dot products and norms in
+  * 64-bit integer arithmetic (|f|≲1 → components ≤1e7, squares ≤1e14, 64-dim
+  * sums ≤6.4e15 < 2^53 < 2^63: exact AND associative, any aggregation order
+  * gives the same value). Only the final cosine = dot/(√na·√nb) is floating
+  * point — a fixed 3-op IEEE tree on identical integers, deterministic.
+  *
+  * Scale design (100 TB): no all-pairs on the full corpus. The brute-force
+  * top-k broadcasts the (small) query set and folds each pair's dot product
+  * inside one narrow projection — no shuffle until the per-query top-k
+  * (TakeOrdered-style agg, k·|Q| rows). The LSH variants shuffle once on an
+  * 8-bit sign-bucket key (2^8 buckets here; at scale r·b hyperplane codes
+  * with multiple tables), bounding candidate fan-out per bucket.
+  */
+object VectorOps {
+
+  /** exact integer quantization: floor(double(f) * 1e7) as a fold-ready
+    * SQL lambda body (Spark higher-order functions are codegen'd). */
+  private val QuantSpark = "(acc, x) -> acc + floor(cast(x as double) * 10000000.0D)"
+
+  /** per-row integer squared norm of the embedding array. */
+  private def normInt(emb: String): Column =
+    expr(s"aggregate($emb, cast(0 as bigint), (acc, x) -> acc + " +
+      s"floor(cast(x as double) * 10000000.0D) * floor(cast(x as double) * 10000000.0D))")
+
+  /** integer dot product of two embedding array columns. */
+  private def dotInt(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (p, q) -> " +
+      s"floor(cast(p as double) * 10000000.0D) * floor(cast(q as double) * 10000000.0D)), " +
+      s"cast(0 as bigint), (acc, v) -> acc + v)")
+
+  /** 8-bit sign-bucket: bit i set iff embedding[i] >= 0 (i = 1..8,
+    * 1-indexed) — an axis-aligned random-hyperplane LSH code. */
+  private def signBucket(emb: String): Column =
+    expr(s"aggregate(sequence(1, 8), 0, (acc, i) -> " +
+      s"acc + if(element_at($emb, i) >= cast(0 as float), cast(pow(2, i-1) as int), 0))")
+
+  private val signBucketSql =
+    "list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END))"
+
+  /** DuckDB-side flattened quantized view + norms, shared by the oracles. */
+  private val FlatCte =
+    """WITH flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE)*10000000.0) AS BIGINT) AS v
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: query set = vec_id < 16, k = 5. Broadcast
+    // the queries, fold dot products pairwise (narrow, codegen'd), rank per
+    // query. The baseline every ANN variant is measured against.
+    Q(
+      "ss_topk_brute",
+      s"""$FlatCte,
+         |q AS (SELECT * FROM flat WHERE vec_id < 16),
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
+         |  FROM q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pairs = emb.select(col("vec_id").as("n_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          dotInt("q_emb", "embedding").as("dot"),
+          normInt("q_emb").as("nq"), normInt("embedding").as("nc"))
+        .withColumn("cos", col("dot").cast(DoubleType)
+          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }.copy(bench = true),
+
+    // LSH-bucketed top-k: same queries/k, but candidates restricted to the
+    // query's 8-bit sign bucket — the scale path: one shuffle on the bucket
+    // key instead of |Q|×N pairs. Recall vs ss_topk_brute is measurable by
+    // joining the two outputs.
+    Q(
+      "ss_topk_lsh",
+      s"""$FlatCte,
+         |bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
+         |q AS (SELECT f.*, b.bucket FROM flat f JOIN bkt b USING (vec_id) WHERE f.vec_id < 16),
+         |c AS (SELECT f.*, b.bucket FROM flat f JOIN bkt b USING (vec_id)),
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
+         |  FROM q JOIN c ON q.i = c.i AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+        .withColumn("bucket", signBucket("embedding").cast(LongType))
+      val q = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding"), col("bucket"))
+      val pairs = cand.join(q, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          dotInt("q_emb", "embedding").as("dot"),
+          normInt("q_emb").as("nq"), normInt("embedding").as("nc"))
+        .withColumn("cos", col("dot").cast(DoubleType)
+          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Embedding near-duplicate pairs: sign-bucket LSH candidates, exact
+    // integer cosine verify, threshold 0.95. Shuffles once on the bucket
+    // key; candidate volume bounded per bucket (skewed buckets at scale are
+    // handled by AQE skew-join or multi-probe codes).
+    Q(
+      "dd_embed_cosine",
+      s"""$FlatCte,
+         |bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
+         |f AS (SELECT fl.*, b.bucket FROM flat fl JOIN bkt b USING (vec_id)),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v*b.v) AS dot
+         |  FROM f a JOIN f b ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b,
+         |  CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) AS cos
+         |FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+         |WHERE CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) >= 0.95
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+        .withColumn("bucket", signBucket("embedding").cast(LongType))
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          dotInt("emb_a", "emb_b").as("dot"),
+          normInt("emb_a").as("na"), normInt("emb_b").as("nb"))
+        .withColumn("cos", col("dot").cast(DoubleType)
+          / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+        .filter(col("cos") >= 0.95)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // Centroid aggregation per label (the building block of IVF coarse
+    // quantization): exact integer component sums, then double means — the
+    // kind of vector agg a 100 TB IVF index build runs per partition list.
+    Q(
+      "ss_centroids",
+      """SELECT label, n,
+        |  CAST(sv AS DOUBLE)/n AS mean_q_dim0
+        |FROM (
+        |  SELECT label, count(*) AS n,
+        |    sum(CAST(floor(CAST(embedding[1] AS DOUBLE)*10000000.0) AS BIGINT)) AS sv
+        |  FROM embeddings GROUP BY label)
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      T.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("floor(cast(element_at(embedding, 1) as double) * 10000000.0D)")).as("sv"))
+        .select(col("label").cast(LongType).as("label"), col("n"),
+          (col("sv").cast(DoubleType) / col("n")).as("mean_q_dim0"))
+        .orderBy(col("label"))
+    }
+  )
+}
