@@ -21,7 +21,13 @@ object Tables {
     * oracle compare sees identical values.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag is set at session-build time by Verify/Bench/tests (the
+    // loader stays pure there); this set is a defensive no-op for sessions
+    // built outside the engine's entry points, where the alternative is a
+    // hard PARQUET_TYPE_ILLEGAL failure. It is idempotent (same value every
+    // time), so reads cannot become order-dependent on it.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
 

@@ -40,8 +40,9 @@ object Wei {
   /** trunc-toward-zero of (c × 10^18) as a wei integer decimal */
   def truncToWei(c: Column): Column = toCol(TruncWeiExpr(toExpr(c)))
 
-  /** exact product of two decimals (scale-25 toward-zero truncation — see
-    * ExactMulExpr scaladoc for why that composes with truncToWei) */
+  /** exact product of two decimals (scale-20 toward-zero truncation — see
+    * ExactMulExpr scaladoc for why that composes with truncToWei and for
+    * the 10^18 magnitude bound / null-on-overflow behavior) */
   def mulExact(a: Column, b: Column): Column = toCol(ExactMulExpr(toExpr(a), toExpr(b)))
 
   /** F3 usd amount: fromWei(amount) × fromWei(price) (mocexchange.py:47-50). */

@@ -18,18 +18,39 @@ import graft.core.{Q, Tables => T}
   */
 object AsOf {
 
-  /** Backward as-of: for every `left` row, latest `right` row value with
-    * the same `key` strictly before it in (ts, tiebreak) order.
-    * `rightVal` must exist in `right`; result adds column `asofName`. */
+  /** Backward as-of: for every `left` row, the value of the latest `right`
+    * row with the same `key` and `right.ts <= left.ts` (`inclusive=true`,
+    * the common as-of-join contract) or `right.ts < left.ts`
+    * (`inclusive=false`: ALL right rows tying on ts are out of frame;
+    * `tiebreak` only orders rows sharing the same (ts, side)). Result =
+    * all of `left`'s columns plus `asofName`.
+    *
+    * Shape (scale rationale in the object scaladoc): union only
+    * (key, ts, tiebreak, __side, __rv) from the right side and null-pad the
+    * left payload via unionByName(allowMissingColumns), then one window
+    * partitioned by key. `__side` participates in the window ordering so a
+    * right row sharing (ts, tiebreak) with a left row is deterministically
+    * inside (inclusive) or outside (exclusive) the frame. One shuffle on
+    * `key`, linear work per partition.
+    */
   def asOfBackward(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, tiebreak: String,
-      rightVal: String, asofName: String): DataFrame = {
-    val l = left.withColumn("__side", lit(1)).withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
-    val r = right.withColumn("__side", lit(0)).withColumn("__rv", col(rightVal))
-    val unioned = l.select(l.columns.filterNot(Set("__side", "__rv")).map(col) :+ col("__side") :+ col("__rv"): _*)
-      .unionByName(r.select(l.columns.filterNot(Set("__side", "__rv")).map(col) :+ col("__side") :+ col("__rv"): _*))
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+      rightVal: String, asofName: String,
+      inclusive: Boolean = true): DataFrame = {
+    require(!left.columns.contains(asofName), s"left already has column $asofName")
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right.select(
+      col(key), col(ts), col(tiebreak),
+      lit(0).as("__side"), col(rightVal).as("__rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // inclusive: right rows sort before left rows on (ts, tiebreak) ties and
+    // the frame ends at the previous row, so a tying right row is included;
+    // exclusive: right rows sort after, so it is not.
+    val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), sideOrder, col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, -1)
     unioned
       .withColumn(asofName, last(col("__rv"), ignoreNulls = true).over(w))
@@ -63,6 +84,28 @@ object AsOf {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("last_view_value"))
         .orderBy(col("event_id"))
     }.copy(bench = true),
+
+    // J3b generic as-of join via the reusable asOfBackward helper: each
+    // purchase picks up the latest view value at-or-before its timestamp
+    // for the same user (inclusive as-of — the standard as-of-join
+    // contract; j3 above is the reference's strictly-before variant).
+    Q(
+      "j3b_asof_generic",
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  (SELECT v.value FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      asOfBackward(purchases, views, "user_id", "ts", "event_id",
+          rightVal = "value", asofName = "asof_view_value")
+        .orderBy(col("event_id"))
+    },
 
     // J4 price variation (bp_prices.py:22-61): per user, current value
     // (top-1 by time) vs value as of a lookback cut (here: global max ts

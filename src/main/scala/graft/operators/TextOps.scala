@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Q, Tables => T}
@@ -17,16 +16,17 @@ import graft.core.{Q, Tables => T}
   *    narrow map — no shuffle until the candidate-pair stage;
   *  - candidate generation never does an all-pairs join on raw text: exact
   *    dedup shuffles on a 128-bit fingerprint, MinHash shuffles on LSH band
-  *    keys, Jaccard shuffles on document-frequency-capped shingles. Each
-  *    bounds the join fan-out by construction (band width / df cap), the
-  *    standard web-scale dedup shape;
-  *  - SimHash all-pairs verify is the one quadratic stage; at scale it is
-  *    bucketed by signature prefix (see dd_simhash scaladoc).
-  *
-  * Determinism for the DuckDB oracle: token ids come from a dictionary
-  * (dense rank over distinct tokens) instead of xxhash64 so both engines
-  * produce identical hashes; at 100 TB the dictionary join is replaced by
-  * xxhash64(token) — same plan shape, no global sort (noted per query).
+  *    keys, SimHash on pigeonhole bit-blocks, Jaccard on
+  *    document-frequency-capped shingles. Each bounds the join fan-out by
+  *    construction (band width / block width / df cap) — the standard
+  *    web-scale dedup shape;
+  *  - there is NO global sort and NO driver-side dictionary anywhere:
+  *    token/shingle ids come from an md5-prefix hash (identical in DuckDB
+  *    for the oracle; swap for xxhash64 in a production profile — same plan,
+  *    cheaper hash);
+  *  - MinHash signatures are computed as ONE wide aggregation (16 `min`
+  *    columns in a single groupBy(doc_id) with map-side partial agg), not a
+  *    16× row explode; SimHash likewise as 48 signed sums in one pass.
   */
 object TextOps {
 
@@ -37,6 +37,37 @@ object TextOps {
   /** normalized text: lower, trim, collapse whitespace — the canonical form
     * every fingerprint/dedup query keys on. */
   private def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** 60-bit deterministic string id: first 15 hex chars of md5, as a long.
+    * Same value in DuckDB via CAST('0x'||substr(md5(s),1,15) AS BIGINT). */
+  private def sid60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  private def sid60Sql(e: String): String =
+    s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
+
+  // ── MinHash parameters: K=16 permutations h_k(x) = (x*(31k+7) + (17k+3))
+  //    mod P over md5-derived shingle ids, 4 bands × 4 rows. ──
+  private val MhK = 16
+  private val MhP = 1000003L
+  private val MhBands = 4
+
+  // ── SimHash parameters: 48-bit signature, near-dup iff hamming <= 3;
+  //    candidates from 4 pigeonhole 12-bit blocks: 3 differing bits across
+  //    4 blocks leave at least one block identical, so block-equality
+  //    candidates are a superset of all true pairs. 12-bit buckets (4096
+  //    values) keep per-bucket fan-out bounded even when signatures
+  //    cluster (measured at sf0.1: ~0.8M candidates vs 12.5M all-pairs). ──
+  private val ShBits = 48
+  private val ShThresh = 3
+  private val ShBlockOffsets = Seq(0, 12, 24, 36)
+  private val ShBlockWidths = Seq(12, 12, 12, 12)
+
+  /** word 3-gram shingles of the space-split token list `l` (empty when
+    * fewer than 3 tokens), distinct. */
+  private val shinglesSpark =
+    "array_distinct(CASE WHEN size(l) >= 3 THEN transform(sequence(1, size(l)-2), i -> concat_ws(' ', slice(l, i, 3))) ELSE cast(array() as array<string>) END)"
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(len(l)-2,0)+1), i -> l[i]||' '||l[i+1]||' '||l[i+2]))"
 
   val queries: Seq[Q] = Seq(
 
@@ -56,6 +87,24 @@ object TextOps {
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
           size(array_distinct(split(col("text"), " "))).cast(LongType).as("n_uniq"),
           length(col("text")).cast(LongType).as("len_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BPE-ish tokenization: letter runs / single digits / single punctuation
+    // marks (the GPT-2 pre-tokenizer shape), via one codegen'd
+    // regexp_extract_all — the token-count path a data pipeline runs before
+    // a real BPE pass. Narrow map; no shuffle.
+    Q(
+      "tx_token_bpe",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_bpe,
+        |  array_to_string(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')[1:5], '|') AS head5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))
+      T.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("n_bpe"),
+          array_join(slice(toks, 1, 5), "|").as("head5"))
         .orderBy(col("doc_id"))
     },
 
@@ -162,6 +211,11 @@ object TextOps {
     // share a shingle with document frequency <= 20 (the df cap bounds join
     // fan-out at scale — frequent shingles generate quadratic candidates and
     // near-zero signal); Jaccard computed over the rare-shingle space.
+    // Plan shape: ONE shuffle groups each shingle's (<=20) doc list; pairs
+    // are expanded inside the row (<=190 per shingle, bounded by the df
+    // cap), so there is no shingle-keyed self-join. At 100 TB the grouped
+    // relation would be persisted before its two consumers (pair expansion +
+    // per-doc counts) rather than recomputed.
     Q(
       "dd_ngram_jaccard",
       """WITH sh0 AS (
@@ -183,17 +237,19 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = T.documents(s, d)
         .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"), explode(array_distinct(
-          when(size(col("l")) >= 3,
-            expr("transform(sequence(1, size(l)-2), i -> concat_ws(' ', slice(l, i, 3)))"))
-            .otherwise(expr("cast(array() as array<string>)")))).as("shingle"))
-      val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select(col("shingle"))
-      val shr = sh.join(rare, Seq("shingle"))
-      val cnt = shr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = shr.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = shr.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
-      val pairs = a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+      // one shuffle: df-capped doc list per shingle
+      val grouped = sh.groupBy(col("shingle"))
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) <= 20)
+      val cnt = grouped.select(explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // in-row pair expansion: docs × docs filtered a<b (<=190 pairs/shingle)
+      val pairs = grouped
+        .select(explode(expr(
+          "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
       pairs
         .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
@@ -205,106 +261,134 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // MinHash + banded LSH: K=16 arithmetic permutations h_k(id)=(a_k·id+b_k)
-    // mod P over dictionary token ids, 4 bands × 4 rows; candidates collide
-    // on a whole band; estimated Jaccard = matching-minhash fraction.
-    // Scale path: token_id dictionary (global rank, oracle-deterministic)
-    // becomes xxhash64(token) at 100 TB — same plan minus the dictionary
-    // join; band-key shuffle bounds candidate fan-out by construction.
+    // MinHash + banded LSH over word 3-gram shingles: K=16 arithmetic
+    // permutations h_k(x) = (x*(31k+7) + (17k+3)) mod P over md5-derived
+    // 60-bit shingle ids, 4 bands × 4 rows; candidates collide on a whole
+    // band; estimated Jaccard = matching-minhash fraction.
+    // Plan shape: the signature is ONE wide aggregation — 16 min columns in
+    // a single groupBy(doc_id) (map-side combine, one shuffle) — not a 16×
+    // row explode; band keys are row-local concats; the verify step joins
+    // the wide signature twice (AQE broadcasts at test scale; hash join on
+    // doc_id at 100 TB). No dictionary, no global sort.
     Q(
-      "dd_minhash_lsh",
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, token FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)),
-        |dict AS (SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
-        |         FROM (SELECT DISTINCT token FROM toks)),
-        |ht AS (SELECT t.doc_id, k.k,
-        |         (d.token_id*(k.k*31+7) + (k.k*17+3)) % 1000003 AS h
-        |       FROM toks t JOIN dict d USING (token), range(0,16) k(k)),
-        |sig AS (SELECT doc_id, k, min(h) AS mh FROM ht GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k//4 AS band,
-        |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_key
-        |          FROM sig GROUP BY doc_id, k//4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |  sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)/16.0 AS est_jaccard
-        |FROM cand c
-        |JOIN sig sa ON sa.doc_id = c.doc_a
-        |JOIN sig sb ON sb.doc_id = c.doc_b AND sa.k = sb.k
-        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-      val dict = toks.select(col("token")).distinct()
-        .withColumn("token_id", row_number().over(Window.orderBy(col("token"))))
-      val ht = toks.join(broadcast(dict), Seq("token"))
-        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("k"), col("token_id"))
-        .withColumn("h", (col("token_id") * (col("k") * 31 + 7) + (col("k") * 17 + 3)) % 1000003)
-      val sig = ht.groupBy(col("doc_id"), col("k")).agg(min(col("h")).as("mh"))
-      val bands = sig.groupBy(col("doc_id"), (col("k") / 4).cast(IntegerType).as("band"))
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(k, mh))), x -> cast(x.mh as string)), ',')")
-          .as("band_key"))
-      val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-      val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-      val cand = ba.join(bb, Seq("band", "band_key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val sa = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh").as("mha"))
-      val sb = sig.select(col("doc_id").as("doc_b"), col("k"), col("mh").as("mhb"))
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "k"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)) / 16.0).as("est_jaccard"))
+      "dd_minhash_lsh", {
+        val mhAgg = (0 until MhK)
+          .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP) AS mh$k")
+          .mkString(",\n        |    ")
+        val bandRows = (0 until MhBands).map { b =>
+          val key = (0 until 4).map(i => s"mh${4 * b + i}").mkString("||','||")
+          s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+        }.mkString("\n        |  UNION ALL ")
+        val matches = (0 until MhK)
+          .map(k => s"(CASE WHEN sa.mh$k=sb.mh$k THEN 1 ELSE 0 END)").mkString("+")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id, unnest($shinglesSql) AS shingle
+           |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+           |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh),
+           |sig AS (SELECT doc_id,
+           |    $mhAgg
+           |  FROM ids GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b, ($matches)/16.0 AS est_jaccard
+           |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      val sh = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+      val ids = sh.select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
+      val sig = ids.groupBy(col("doc_id")).agg(
+        min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
+        (1 until MhK).map(k =>
+          min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
+      val bandKeys = (0 until MhBands).map(b =>
+        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.toDF("doc_a" +: (0 until MhK).map(k => s"a$k"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until MhK).map(k => s"b$k"): _*)
+      val nMatch = (0 until MhK)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), (nMatch / lit(16.0)).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }.copy(bench = true),
 
-    // SimHash near-dup: 32-bit signature from frequency-weighted token-hash
-    // bits; near-dup when hamming distance <= 6. The pairwise verify here is
-    // all-pairs (fine at test SF); at 100 TB candidates come from grouping
-    // on 4 rotated 8-bit signature prefixes (pigeonhole: hamming<=6 over 32
-    // bits guarantees one exact-matching byte), bounding the join.
+    // SimHash near-dup: 48-bit signature from frequency-weighted token-hash
+    // bits (md5-derived 60-bit token ids); near-dup iff hamming <= 3.
+    // Plan shape: the 48 signed bit-sums are ONE wide aggregation per doc
+    // (single shuffle, map-side combine); candidates come from 4 pigeonhole
+    // 12-bit blocks (3 differing bits over 4 blocks leave one block
+    // identical), NOT an all-pairs join — each block-equality bucket bounds
+    // fan-out.
     Q(
-      "dd_simhash",
-      """WITH tw AS (
-        |  SELECT doc_id, token, count(*) AS w FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
-        |  GROUP BY doc_id, token),
-        |dict AS (SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
-        |         FROM (SELECT DISTINCT token FROM tw)),
-        |th AS (SELECT tw.doc_id, tw.w,
-        |         (1103515245*d.token_id + 12345) % 4294967296 AS h
-        |       FROM tw JOIN dict d USING (token)),
-        |bits AS (SELECT doc_id, j.j,
-        |           sum(CASE WHEN (h // CAST(pow(2, j.j) AS BIGINT)) % 2 = 1 THEN w ELSE -w END) AS s
-        |         FROM th, range(0,32) j(j) GROUP BY doc_id, j.j),
-        |sh AS (SELECT doc_id,
-        |         sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
-        |       FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      "dd_simhash", {
+        val sums = (0 until ShBits)
+          .map(j => s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN w ELSE -w END) AS s$j")
+          .mkString(",\n        |    ")
+        val sig = (0 until ShBits)
+          .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+          .mkString("+")
+        val blockRows = ShBlockOffsets.zip(ShBlockWidths).zipWithIndex.map {
+          case ((off, w), j) =>
+            s"SELECT doc_id, $j AS blk, (simhash // ${1L << off}) % ${1L << w} AS bv FROM sh2"
+        }.mkString("\n        |  UNION ALL ")
+        s"""WITH tw AS (
+           |  SELECT doc_id, token, count(*) AS w FROM (
+           |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+           |  GROUP BY doc_id, token),
+           |th AS (SELECT doc_id, w, ${sid60Sql("token")} AS h FROM tw),
+           |sb AS (SELECT doc_id,
+           |    $sums
+           |  FROM th GROUP BY doc_id),
+           |sh2 AS (SELECT doc_id, $sig AS simhash FROM sb),
+           |blocks AS (
+           |  $blockRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM blocks a JOIN blocks b
+           |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b, bit_count(xor(sa.simhash, sbb.simhash)) AS hamming
+           |FROM cand c JOIN sh2 sa ON sa.doc_id = c.doc_a JOIN sh2 sbb ON sbb.doc_id = c.doc_b
+           |WHERE bit_count(xor(sa.simhash, sbb.simhash)) <= $ShThresh
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
       val tw = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
-      val dict = tw.select(col("token")).distinct()
-        .withColumn("token_id", row_number().over(Window.orderBy(col("token"))))
-      val th = tw.join(broadcast(dict), Seq("token"))
-        .withColumn("h", (lit(1103515245L) * col("token_id") + 12345L) % 4294967296L)
-      val bits = th
-        .select(col("doc_id"), col("w"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
-        .withColumn("pw", expr("cast(pow(2, j) as bigint)"))
-        .groupBy(col("doc_id"), col("j"), col("pw"))
-        .agg(sum(when(expr("(h div pw) % 2") === 1, col("w"))
-          .otherwise(-col("w"))).as("s"))
-      val sh = bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, col("pw")).otherwise(0L)).as("simhash"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val th = tw.select(col("doc_id"), col("w"), sid60(col("token")).as("h"))
+      // one wide aggregation: 48 signed bit-sums per doc
+      val bitSums = (0 until ShBits).map(j =>
+        sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("w")).otherwise(-col("w")))
+          .as(s"s$j"))
+      val sb = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sigCol = (0 until ShBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sh2 = sb.select(col("doc_id"), sigCol.as("simhash"))
+      val blockVals = ShBlockOffsets.zip(ShBlockWidths).map { case (off, w) =>
+        expr(s"(simhash div ${1L << off}) % ${1L << w}")
+      }
+      val blocks = sh2.select(col("doc_id"),
+        posexplode(array(blockVals: _*)).as(Seq("blk", "bv")))
+      val cand = blocks.as("a").join(blocks.as("b"), Seq("blk", "bv"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sh2.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val sbb = sh2.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      cand.join(sa, Seq("doc_a")).join(sbb, Seq("doc_b"))
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
-        .filter(col("hamming") <= 6)
+        .filter(col("hamming") <= ShThresh)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     }

@@ -22,6 +22,12 @@ import graft.core.{Q, Tables => T}
   * gives the same value). Only the final cosine = dot/(√na·√nb) is floating
   * point — a fixed 3-op IEEE tree on identical integers, deterministic.
   *
+  * Plan shape: the quantized integer array and its squared norm are
+  * materialized ONCE per vector (a narrow projection before any join), so
+  * the per-pair work is exactly one zip_with/aggregate fold over two int
+  * arrays — not a re-quantization of both sides per candidate. All folds are
+  * Spark higher-order functions (codegen'd, no UDF).
+  *
   * Scale design (100 TB): no all-pairs on the full corpus. The brute-force
   * top-k broadcasts the (small) query set and folds each pair's dot product
   * inside one narrow projection — no shuffle until the per-query top-k
@@ -31,20 +37,18 @@ import graft.core.{Q, Tables => T}
   */
 object VectorOps {
 
-  /** exact integer quantization: floor(double(f) * 1e7) as a fold-ready
-    * SQL lambda body (Spark higher-order functions are codegen'd). */
-  private val QuantSpark = "(acc, x) -> acc + floor(cast(x as double) * 10000000.0D)"
+  /** quantized integer components: floor(double(f) * 1e7) per element,
+    * computed once per row before any join. */
+  private def quantArr(emb: String): Column =
+    expr(s"transform($emb, x -> cast(floor(cast(x as double) * 10000000.0D) as bigint))")
 
-  /** per-row integer squared norm of the embedding array. */
-  private def normInt(emb: String): Column =
-    expr(s"aggregate($emb, cast(0 as bigint), (acc, x) -> acc + " +
-      s"floor(cast(x as double) * 10000000.0D) * floor(cast(x as double) * 10000000.0D))")
+  /** integer squared norm of a pre-quantized array. */
+  private def normOf(qarr: String): Column =
+    expr(s"aggregate($qarr, cast(0 as bigint), (acc, x) -> acc + x * x)")
 
-  /** integer dot product of two embedding array columns. */
-  private def dotInt(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (p, q) -> " +
-      s"floor(cast(p as double) * 10000000.0D) * floor(cast(q as double) * 10000000.0D)), " +
-      s"cast(0 as bigint), (acc, v) -> acc + v)")
+  /** integer dot product of two pre-quantized arrays. */
+  private def dotOf(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), cast(0 as bigint), (acc, v) -> acc + v)")
 
   /** 8-bit sign-bucket: bit i set iff embedding[i] >= 0 (i = 1..8,
     * 1-indexed) — an axis-aligned random-hyperplane LSH code. */
@@ -54,6 +58,15 @@ object VectorOps {
 
   private val signBucketSql =
     "list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END))"
+
+  /** embeddings with (vec_id, qarr, nrm[, bucket]) materialized once. */
+  private def quantized(s: SparkSession, d: String, withBucket: Boolean): DataFrame = {
+    val base = T.embeddings(s, d)
+      .withColumn("qarr", quantArr("embedding"))
+      .withColumn("nrm", normOf("qarr"))
+    if (withBucket) base.withColumn("bucket", signBucket("embedding").cast(LongType))
+    else base
+  }
 
   /** DuckDB-side flattened quantized view + norms, shared by the oracles. */
   private val FlatCte =
@@ -83,15 +96,14 @@ object VectorOps {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val emb = T.embeddings(s, d)
+      val emb = quantized(s, d, withBucket = false)
       val q = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val pairs = emb.select(col("vec_id").as("n_id"), col("embedding"))
+        .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"), col("nrm").as("nq"))
+      val pairs = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
         .crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
-          dotInt("q_emb", "embedding").as("dot"),
-          normInt("q_emb").as("nq"), normInt("embedding").as("nc"))
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
         .withColumn("cos", col("dot").cast(DoubleType)
           / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -121,16 +133,16 @@ object VectorOps {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val emb = T.embeddings(s, d)
-        .withColumn("bucket", signBucket("embedding").cast(LongType))
+      val emb = quantized(s, d, withBucket = true)
       val q = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-      val cand = emb.select(col("vec_id").as("n_id"), col("embedding"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
+          col("nrm").as("nq"), col("bucket"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("qarr"),
+        col("nrm").as("nc"), col("bucket"))
       val pairs = cand.join(q, Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
-          dotInt("q_emb", "embedding").as("dot"),
-          normInt("q_emb").as("nq"), normInt("embedding").as("nc"))
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
         .withColumn("cos", col("dot").cast(DoubleType)
           / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -157,21 +169,21 @@ object VectorOps {
          |FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
          |WHERE CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val emb = T.embeddings(s, d)
-        .withColumn("bucket", signBucket("embedding").cast(LongType))
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+      val emb = quantized(s, d, withBucket = true)
+      val a = emb.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
+        col("nrm").as("na"), col("bucket"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
+        col("nrm").as("nb"), col("bucket"))
       a.join(b, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          dotInt("emb_a", "emb_b").as("dot"),
-          normInt("emb_a").as("na"), normInt("emb_b").as("nb"))
+          dotOf("qa", "qb").as("dot"), col("na"), col("nb"))
         .withColumn("cos", col("dot").cast(DoubleType)
           / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
         .filter(col("cos") >= 0.95)
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
-    },
+    }.copy(bench = true),
 
     // Centroid aggregation per label (the building block of IVF coarse
     // quantization): exact integer component sums, then double means — the

@@ -48,18 +48,23 @@ case class TruncWeiExpr(child: Expression)
   override def prettyName: String = "trunc_wei"
 }
 
-/** exact decimal product, truncated (toward zero) only at scale 25 — deep
-  * enough that a later TruncWeiExpr (scale-18 floor) sees the exact value:
+/** exact decimal product, truncated (toward zero) only at scale 20 — finer
+  * than the scale-18 trunc, so a later TruncWeiExpr sees the exact value:
   * toward-zero truncation at a finer scale composes with toward-zero
-  * truncation at a coarser one. Output Decimal(38,25). */
+  * truncation at a coarser one. Output Decimal(38,20), leaving 18 integer
+  * digits (covers usd products up to 10^18 — e.g. 10^13 ether × 10^5
+  * price). Beyond that the product returns null, matching Spark's own
+  * decimal-op overflow behavior (the reference's Python Decimal never
+  * overflows; null is the documented engine bound, not an exception). */
 case class ExactMulExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DecimalType(38, 25)
+  override def dataType: DataType = DecimalType(38, 20)
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val r = a.asInstanceOf[Decimal].toJavaBigDecimal
       .multiply(b.asInstanceOf[Decimal].toJavaBigDecimal)
-      .setScale(25, RoundingMode.DOWN)
-    Decimal(r, 38, 25)
+      .setScale(20, RoundingMode.DOWN)
+    if (r.precision > 38) null else Decimal(r, 38, 20)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ExactMulExpr =
     copy(l, r)

@@ -23,7 +23,7 @@ class WeiSpec extends AnyFunSuite {
   }
 
   test("F2 toWeiStr truncates toward zero, both signs") {
-    // products carry scale-25 precision into truncToWei (a tuple encoder
+    // products carry scale-20 precision into truncToWei (a tuple encoder
     // would clip at scale 18, so build the deep-scale values via mulExact):
     // 3.999999999999999999 * 0.5  = 1.9999999999999999995 -> 1999999999999999999
     // -4.199999999999999999 * 0.5 = -2.0999999999999999995 -> -2099999999999999999
@@ -88,5 +88,18 @@ class WeiSpec extends AnyFunSuite {
       Wei.toWeiStr(Wei.usdTotal(negTotal, col("price"))).as("usd")).collect()(0)
     assert(out.getString(0) === "-51050000000000000")
     assert(out.getString(1) === "-102100000000000000000") // -0.05105 * 2000
+  }
+
+  test("mulExact overflows to null past 18 integer digits (documented bound)") {
+    // 10^10 ether * 10^9 = 10^19 > 10^18 bound -> null (Spark-style
+    // null-on-overflow, not a runtime throw)
+    val df = Seq(("10000000000000000000000000000", "1000000000000000000000000000"))
+      .toDF("a", "p")
+      .select(
+        Wei.mulExact(Wei.weiToDec(col("a")), Wei.weiToDec(col("p"))).as("over"),
+        Wei.mulExact(Wei.weiToDec(col("a")), Wei.weiToDec(lit("1000000000000000000"))).as("ok"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getDecimal(1) != null && BigDecimal(r.getDecimal(1)) == BigDecimal("10000000000"))
   }
 }
