@@ -8,6 +8,7 @@ object QueryRegistry {
     graft.operators.Relational.queries ++
       graft.operators.AsOf.queries ++
       graft.operators.Scalars.queries ++
+      graft.operators.EventPipeline.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.VectorOps.queries
 
