@@ -9,6 +9,7 @@ object QueryRegistry {
       graft.operators.AsOf.queries ++
       graft.operators.Scalars.queries ++
       graft.operators.EventPipeline.queries ++
+      graft.operators.Sinks.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.VectorOps.queries
 
