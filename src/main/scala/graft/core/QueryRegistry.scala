@@ -10,6 +10,7 @@ object QueryRegistry {
       graft.operators.Scalars.queries ++
       graft.operators.EventPipeline.queries ++
       graft.operators.Sinks.queries ++
+      graft.operators.Snapshot.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.VectorOps.queries
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Q, Tables => T}
+import graft.functions.Wei
 
 /** Scalar-function coverage — SURVEY.md §2.8 F7-F23 (the non-money rows;
   * F1-F6 live in graft.functions.Wei with unit vectors).
@@ -154,6 +155,125 @@ object Scalars {
           (wei * 2).cast(DecimalType(38, 0)).cast(StringType).as("doubled_wei"),
           (col("l_extendedprice").cast(DecimalType(18, 4)) / 10000.0).cast(DoubleType).as("ether_approx"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // F4 commission markup fallback (mocexchange.py:56-68): rbtc leg =
+    // commission + coalesce(reserveTokenMarkup, btcMarkup); usd leg picks
+    // rbtc×reservePrice when rbtc > 0, else moc×mocPrice. Wei values are
+    // synthesized per user; the DuckDB oracle computes the same pipeline in
+    // HUGEINT (// truncates toward zero, matching toWeiStr).
+    Q(
+      "f4_commission_fallback",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |w AS (SELECT user_id,
+        |  CAST(user_id % 7 AS HUGEINT) * 1000000000000000 AS comm,
+        |  CASE WHEN user_id % 2 = 0 THEN NULL
+        |       ELSE CAST(user_id % 5 AS HUGEINT) * 100000000000000 END AS rtm,
+        |  CAST(user_id % 7 AS HUGEINT) * 100000000000000 AS bm,
+        |  CAST(user_id % 20 + 1 AS HUGEINT) * 1000000000000000 AS mcv,
+        |  CAST(user_id % 10 AS HUGEINT) * 100000000000000 AS mm,
+        |  CAST(CAST(100 + user_id % 100 AS VARCHAR)||'000000000000000000' AS HUGEINT) AS rp,
+        |  CAST(CAST(50 + user_id % 50 AS VARCHAR)||'000000000000000000' AS HUGEINT) AS mp
+        |FROM u),
+        |c AS (SELECT user_id, comm + COALESCE(rtm, bm) AS rbtc, mcv + mm AS moc, rp, mp FROM w)
+        |SELECT user_id,
+        |  CAST(rbtc AS VARCHAR) AS rbtc_wei,
+        |  CAST(moc AS VARCHAR) AS moc_wei,
+        |  CAST(CASE WHEN rbtc > 0 THEN (rbtc * rp) // 1000000000000000000
+        |            ELSE (moc * mp) // 1000000000000000000 END AS VARCHAR) AS usd_wei
+        |FROM c ORDER BY user_id""".stripMargin) { (s, d) =>
+      val base = T.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"),
+          ((col("user_id") % 7) * 1000000000000000L).as("comm"),
+          when(col("user_id") % 2 === 0, lit(null).cast(LongType))
+            .otherwise((col("user_id") % 5) * 100000000000000L).as("rtm"),
+          ((col("user_id") % 7) * 100000000000000L).as("bm"),
+          ((col("user_id") % 20 + 1) * 1000000000000000L).as("mcv"),
+          ((col("user_id") % 10) * 100000000000000L).as("mm"),
+          concat((lit(100) + col("user_id") % 100).cast(StringType),
+            lit("0" * 18)).as("rp"),
+          concat((lit(50) + col("user_id") % 50).cast(StringType),
+            lit("0" * 18)).as("mp"))
+      val (rbtc, moc, usd) = Wei.commissions(
+        col("comm"), col("rtm"), col("bm"), col("mcv"), col("mm"),
+        col("rp"), col("mp"))
+      base.select(col("user_id"),
+          Wei.toWeiStr(rbtc).as("rbtc_wei"),
+          Wei.toWeiStr(moc).as("moc_wei"),
+          Wei.toWeiStr(usd).as("usd_wei"))
+        .orderBy(col("user_id"))
+    },
+
+    // F5 gas fee (mocexchange.py:76-83): gasFeeRBTC = gasUsed ×
+    // fromWei(gasPrice) re-scaled to wei; gasFeeUSD prices it at the
+    // reserve price. Both exact; the oracle is pure HUGEINT arithmetic.
+    Q(
+      "f5_gas_fee",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |w AS (SELECT user_id,
+        |  21000 + user_id AS gas_used,
+        |  (user_id % 100 + 1) * 1000000000 AS gas_price,
+        |  CAST(CAST(100 + user_id % 100 AS VARCHAR)||'000000000000000000' AS HUGEINT) AS rp
+        |FROM u)
+        |SELECT user_id,
+        |  CAST(CAST(gas_used AS HUGEINT) * gas_price AS VARCHAR) AS gas_fee_rbtc_wei,
+        |  CAST((CAST(gas_used AS HUGEINT) * gas_price * rp)
+        |       // 1000000000000000000 AS VARCHAR) AS gas_fee_usd_wei
+        |FROM w ORDER BY user_id""".stripMargin) { (s, d) =>
+      val base = T.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"),
+          (lit(21000) + col("user_id")).as("gas_used"),
+          ((col("user_id") % 100 + 1) * 1000000000L).as("gas_price"),
+          concat((lit(100) + col("user_id") % 100).cast(StringType),
+            lit("0" * 18)).as("rp"))
+      val fee = Wei.gasFee(col("gas_used"), col("gas_price"))
+      base.select(col("user_id"),
+          Wei.toWeiStr(fee).as("gas_fee_rbtc_wei"),
+          Wei.toWeiStr(Wei.mulExact(fee, Wei.weiToDec(col("rp")))).as("gas_fee_usd_wei"))
+        .orderBy(col("user_id"))
+    },
+
+    // F6 signed totals (mocexchange.py:84-89 mint, :174-181 redeem): mint
+    // adds commission/interests/gas, redeem subtracts — redeem totals go
+    // NEGATIVE when fees exceed the reserve amount, and the usd total must
+    // truncate toward zero on those (Python int() semantics; DuckDB //
+    // matches, floor would not).
+    Q(
+      "f6_signed_totals",
+      """WITH w AS (SELECT event_id,
+        |  CAST(event_id % 1000 AS HUGEINT) * 100000000000000 AS rt,
+        |  CAST(user_id % 100 + 1 AS HUGEINT) * 100000000000000 AS comm,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE CAST(event_id % 50 AS HUGEINT) * 10000000000000 END AS ints,
+        |  CAST(21000 + user_id AS HUGEINT) * ((user_id % 100 + 1) * 1000000000) AS gas_wei,
+        |  CAST(CAST(100 + user_id % 100 AS VARCHAR)||'000000000000000000' AS HUGEINT) AS rp
+        |FROM events),
+        |t AS (SELECT event_id,
+        |  rt + comm + COALESCE(ints, 0) + gas_wei AS mint_wei,
+        |  rt - comm + COALESCE(ints, 0) - gas_wei AS redeem_wei, rp FROM w)
+        |SELECT event_id,
+        |  CAST(mint_wei AS VARCHAR) AS mint_wei,
+        |  CAST(redeem_wei AS VARCHAR) AS redeem_wei,
+        |  CAST((redeem_wei * rp) // 1000000000000000000 AS VARCHAR) AS redeem_usd_wei
+        |FROM t ORDER BY event_id""".stripMargin) { (s, d) =>
+      val base = T.events(s, d)
+        .select(col("event_id"),
+          ((col("event_id") % 1000) * 100000000000000L).as("rt"),
+          ((col("user_id") % 100 + 1) * 100000000000000L).as("comm"),
+          when(col("event_id") % 3 === 0, lit(null).cast(LongType))
+            .otherwise((col("event_id") % 50) * 10000000000000L).as("ints"),
+          (lit(21000) + col("user_id")).as("gas_used"),
+          ((col("user_id") % 100 + 1) * 1000000000L).as("gas_price"),
+          concat((lit(100) + col("user_id") % 100).cast(StringType),
+            lit("0" * 18)).as("rp"))
+      val fee = Wei.gasFee(col("gas_used"), col("gas_price"))
+      val mint = Wei.mintTotalWei(col("rt"), col("comm"), col("ints"), fee)
+      val redeem = Wei.redeemTotalWei(col("rt"), col("comm"), col("ints"), fee)
+      base.select(col("event_id"),
+          mint.cast(StringType).as("mint_wei"),
+          redeem.cast(StringType).as("redeem_wei"),
+          Wei.toWeiStr(Wei.usdTotal(redeem, col("rp"))).as("redeem_usd_wei"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Snapshot assembly + report scalars — SURVEY.md §2.4 A4/A5 and §2.8 F24:
+  * the reference's wide point-in-time state documents (moc_state.py:140-221
+  * assembles ~50 scalar reads + nested sub-docs into one MocState doc) and
+  * the console TVL report (report/historical.py:106-121).
+  *
+  * The snapshot query builds a genuinely nested row (struct-in-struct) per
+  * key and serializes it with to_json (F24, lib_tools.py:34-35) — field
+  * order is schema order on both engines, and all leaves are integers so
+  * rendering is byte-identical. Scale: one groupBy(user_id) with map-side
+  * combine; the JSON projection is narrow.
+  */
+object Snapshot {
+
+  val queries: Seq[Q] = Seq(
+
+    // A4 wide-struct snapshot per key + F24 JSON serialization: per-user
+    // state doc with counts, argmax pointer, and a nested per-type
+    // breakdown — the UserState/MocState document shape.
+    Q(
+      "a4_snapshot_struct",
+      """SELECT user_id,
+        |  to_json(struct_pack(
+        |    user_id := user_id,
+        |    n_events := n_events,
+        |    last_event := last_event,
+        |    by_type := struct_pack(n_purchase := n_purchase, n_view := n_view)
+        |  )) AS snapshot
+        |FROM (
+        |  SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS last_event,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("event_id")).as("last_event"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "view", 1)).as("n_view"))
+        .select(col("user_id"),
+          to_json(struct(
+            col("user_id"),
+            col("n_events"),
+            col("last_event"),
+            struct(col("n_purchase"), col("n_view")).as("by_type"))).as("snapshot"))
+        .orderBy(col("user_id"))
+    },
+
+    // A5 TVL / protocol report scalars (historical.py:106-121): single-row
+    // multi-aggregate with the Decimal round-trip pinning the doubles and a
+    // display scale-down (F21) as one deterministic IEEE op at the end.
+    Q(
+      "a5_tvl_scalars",
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS tvl,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS tvl_discounted,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / 10000.0 AS tvl_scaled
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      def d4(c: String) = col(c).cast(DecimalType(18, 4))
+      def o4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 4)).cast(DoubleType)
+      T.lineitem(s, d)
+        .agg(
+          o4(sum(d4("l_extendedprice"))).as("tvl"),
+          o4(sum(d4("l_extendedprice") * (lit(1) - d4("l_discount")))).as("tvl_discounted"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          (o4(sum(d4("l_extendedprice"))) / 10000.0).as("tvl_scaled"))
+    }
+  )
+}
