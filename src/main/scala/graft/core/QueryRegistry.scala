@@ -12,6 +12,7 @@ object QueryRegistry {
       graft.operators.Sinks.queries ++
       graft.operators.Snapshot.queries ++
       graft.operators.TextOps.queries ++
+      graft.operators.Multimodal.queries ++
       graft.operators.VectorOps.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Multimodal-column operators — SURVEY.md §7.4 extension surface: media
+  * payloads (image/audio/video) travel as opaque `binary` columns with a
+  * typed metadata struct, and the decode / feature-extract / resize /
+  * frame-sample stages run over them.
+  *
+  * ── STUB NOTICE ──
+  * No codec libraries exist in this environment, so the *decode* step is a
+  * DETERMINISTIC FAKE: metadata (width/height/frame-count) is derived from
+  * the payload's md5 and byte length instead of a real container parse, and
+  * "features" are md5-derived integers instead of model embeddings. The
+  * fake is clearly factored (`fakeDims` / `Multimodal.md5Features`) so a
+  * real codec drops in behind the same signatures. Everything AROUND the
+  * stub is real and load-bearing: binary columns, metadata structs, the
+  * per-partition batch iteration (Dataset.mapPartitions — the Scala analog
+  * of mapInPandas: one iterator per partition, codec state initialized once
+  * per partition, not per row), frame explosion, and the pushdown-friendly
+  * projections.
+  *
+  * Scale: decode/feature stages are narrow maps (no shuffle); per-partition
+  * codec initialization amortizes like an Arrow batch would; frame
+  * sampling's explode stays inside the scan stage.
+  */
+object Multimodal {
+
+  /** input/output rows for the mapPartitions feature stage */
+  final case class MediaIn(doc_id: Long, text: String)
+  final case class MediaFeat(doc_id: Long, features: Array[Long])
+
+  /** STUB for a real feature extractor: 4 ints from the payload md5.
+    * Mirrors the oracle's list_transform over md5 substrings. */
+  def md5Features(payload: Array[Byte]): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    (0 until 4).map(i => java.lang.Long.parseLong(hex.substring(4 * i, 4 * i + 4), 16)).toArray
+  }
+
+  /** STUB for a real header parse: fake dims from md5 hex + byte length. */
+  private def fakeDims(mediaMd5: org.apache.spark.sql.Column, sizeBytes: org.apache.spark.sql.Column) = (
+    (conv(substring(mediaMd5, 1, 4), 16, 10).cast(LongType) % 240 + 16).as("width"),
+    (conv(substring(mediaMd5, 5, 4), 16, 10).cast(LongType) % 240 + 16).as("height"),
+    (sizeBytes % 90 + 1).as("n_frames"))
+
+  private val FakeDimsSql =
+    """CAST('0x'||substr(md5(text),1,4) AS BIGINT) % 240 + 16 AS width,
+      |  CAST('0x'||substr(md5(text),5,4) AS BIGINT) % 240 + 16 AS height,
+      |  octet_length(encode(text)) % 90 + 1 AS n_frames""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Decode: binary payload → typed metadata struct (format, byte size,
+    // fake-parsed dims). The struct is assembled then re-projected — the
+    // schema a real pipeline would persist next to the blob.
+    Q(
+      "mm_decode_meta",
+      s"""SELECT doc_id, format, size_bytes, width, height, n_frames FROM (
+         |  SELECT doc_id, source AS format,
+         |    octet_length(encode(text)) AS size_bytes,
+         |    $FakeDimsSql
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val media = T.documents(s, d)
+        .withColumn("media", col("text").cast(BinaryType))
+      val (w, h, nf) = fakeDims(md5(col("media")), length(col("media")))
+      media
+        .select(col("doc_id"),
+          struct(col("source").as("format"),
+            length(col("media")).cast(LongType).as("size_bytes"),
+            w, h, nf).as("meta"))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.size_bytes").as("size_bytes"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Resize planning: fit each image into a 64×64 box preserving aspect
+    // ratio — pure metadata math (the byte-level resample is the codec
+    // stub's job); one deterministic IEEE expression tree per row.
+    Q(
+      "mm_resize_plan",
+      s"""SELECT doc_id, width, height,
+         |  GREATEST(1, CAST(floor(width * least(64.0/width, 64.0/height)) AS BIGINT)) AS out_w,
+         |  GREATEST(1, CAST(floor(height * least(64.0/width, 64.0/height)) AS BIGINT)) AS out_h
+         |FROM (SELECT doc_id, $FakeDimsSql FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val media = T.documents(s, d).withColumn("media", col("text").cast(BinaryType))
+      val (w, h, _) = fakeDims(md5(col("media")), length(col("media")))
+      val dims = media.select(col("doc_id"), w, h)
+      val scale = least(lit(64.0) / col("width"), lit(64.0) / col("height"))
+      dims.select(col("doc_id"), col("width"), col("height"),
+          greatest(lit(1L), floor(col("width") * scale).cast(LongType)).as("out_w"),
+          greatest(lit(1L), floor(col("height") * scale).cast(LongType)).as("out_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Frame sampling: every 10th frame index of the fake-decoded stream,
+    // with a content key per sampled frame — the explode stays inside the
+    // scan stage (narrow fan-out, no shuffle).
+    Q(
+      "mm_frame_sample",
+      s"""SELECT doc_id, f AS frame_idx,
+         |  substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(f AS VARCHAR)), 1, 8) AS frame_key
+         |FROM (SELECT doc_id, unnest(range(0, n_frames, 10)) AS f
+         |      FROM (SELECT doc_id, $FakeDimsSql FROM documents))
+         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val media = T.documents(s, d).withColumn("media", col("text").cast(BinaryType))
+      val (w, h, nf) = fakeDims(md5(col("media")), length(col("media")))
+      media.select(col("doc_id"), w, h, nf)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          substring(md5(concat(col("doc_id").cast(StringType), lit(":"),
+            col("frame_idx").cast(StringType))), 1, 8).as("frame_key"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Feature extraction through REAL per-partition batch plumbing
+    // (Dataset.mapPartitions = the Scala analog of mapInPandas): the
+    // extractor is initialized once per partition and streams the
+    // partition's rows through it; the stub emits md5-derived ints whose
+    // values the oracle reproduces declaratively.
+    Q(
+      "mm_feature_extract",
+      """SELECT doc_id,
+        |  list_transform(range(0,4),
+        |    i -> CAST('0x'||substr(md5(text), CAST(1+4*i AS INTEGER), 4) AS BIGINT)) AS features
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .select(col("doc_id"), col("text")).as[MediaIn]
+        .mapPartitions { rows =>
+          // per-partition init (a real codec/model would load here, once)
+          rows.map(r => MediaFeat(r.doc_id, md5Features(
+            r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    }
+  )
+}
