@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.core.Merge
+
+/** Streaming shell building blocks — SURVEY.md §2.9: reorg margin (T2),
+  * dirty-set changelog (T6), and the idempotent keyed upsert sink that
+  * turns at-least-once micro-batch delivery into effectively-once table
+  * state (T7 = S6 inside foreachBatch).
+  */
+object Pipelines {
+
+  /** T2 reorg safety margin (scan_raw_txs.py:74-80): never index within
+    * `recession` blocks of the chain head. `headCol` is the per-row
+    * observed head (the stream source stamps it). */
+  def reorgSafe(df: DataFrame, blockCol: String, headCol: String,
+      recession: Long = 2L): DataFrame =
+    df.filter(col(blockCol) <= col(headCol) - recession)
+
+  /** T6 dirty-set changelog (moc_balances.py:174-188 → scan_moc_user.py:
+    * 44-70): collapse the stream of touched accounts to at-most-once per
+    * key per micro-batch window; the downstream recompute join consumes
+    * this. On an unbounded stream, watermark before deduplicating. */
+  def dirtySet(updates: DataFrame, keyCol: String): DataFrame =
+    updates.select(col(keyCol)).dropDuplicates(Seq(keyCol))
+
+  /** T7/S6: one idempotent micro-batch application — MERGE the batch into
+    * the parquet-backed state table by natural key (updates win), with a
+    * write-to-temp + swap so the target is never half-written. Replaying
+    * the same batch is a no-op on table contents, which is what makes
+    * at-least-once delivery effectively-once (the reference relies on the
+    * same property via Mongo natural-key upserts, scan_raw_txs.py:51-54).
+    */
+  def upsertBatch(spark: SparkSession, stateDir: String,
+      batch: DataFrame, keys: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val state = new Path(stateDir)
+    val tmp = new Path(stateDir + ".__tmp")
+    val fs = state.getFileSystem(conf)
+    val merged =
+      if (fs.exists(state)) Merge.upsert(spark.read.parquet(stateDir), batch, keys)
+      else batch
+    // materialize to tmp BEFORE touching the live dir (merged lazily reads it)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(state, true)
+    fs.rename(tmp, state)
+  }
+
+  /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
+  def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(batch.sparkSession, stateDir, batch.toDF(), keys)
+      }
+}

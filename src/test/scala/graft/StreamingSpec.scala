@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Pipelines, StatusStateMachine => M, TxEvent, TxStatus}
+
+/** Streaming semantics: the pure status transitions (T5), the
+  * flatMapGroupsWithState wiring over MemoryStream micro-batches, the
+  * dirty-set changelog (T6), and foreachBatch upsert idempotency (T7).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // ── pure transition function ──
+
+  test("T5 happy path: pending → confirming → confirmed by head advance") {
+    val s0 = M.init(TxEvent("a", "created", -1, 100, 0))
+    assert(s0.status === M.Pending)
+    val s1 = M.transition(s0, TxEvent("a", "mined", 95, 100, 5))
+    assert(s1.status === M.Confirming && s1.blockNumber === 95)
+    val s2 = M.transition(s1, TxEvent("a", "tick", -1, 105, 10))
+    assert(s2.status === M.Confirming) // 105-95 = 10, not > ConfirmBlocks
+    val s3 = M.transition(s2, TxEvent("a", "tick", -1, 106, 15))
+    assert(s3.status === M.Confirmed)
+  }
+
+  test("T5 deep-mined tx confirms immediately; revert fails from any state") {
+    val s0 = M.init(TxEvent("b", "created", -1, 100, 0))
+    assert(M.transition(s0, TxEvent("b", "mined", 50, 100, 1)).status === M.Confirmed)
+    val s1 = M.transition(s0, TxEvent("b", "mined", 95, 100, 1))
+    assert(M.transition(s1, TxEvent("b", "reverted", -1, 100, 2)).status === M.Failed)
+  }
+
+  test("T5 stale timeout: pending past 600s fails with staleTransaction") {
+    val s0 = M.init(TxEvent("c", "created", -1, 100, 1000))
+    assert(M.transition(s0, TxEvent("c", "tick", -1, 100, 1600)).status === M.Pending)
+    val s1 = M.transition(s0, TxEvent("c", "tick", -1, 100, 1601))
+    assert(s1.status === M.FailedStale)
+    assert(M.isTerminal(s1))
+  }
+
+  test("T5 created replay is a no-op (at-least-once delivery)") {
+    val s0 = M.init(TxEvent("d", "created", -1, 100, 0))
+    val s1 = M.transition(s0, TxEvent("d", "mined", 95, 100, 5))
+    assert(M.transition(s1, TxEvent("d", "created", -1, 100, 6)) === s1)
+  }
+
+  // ── streaming wiring over MemoryStream ──
+
+  test("wire() tracks per-tx state across micro-batches and drops terminal state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TxEvent]
+    val q = M.wire(in.toDS()).writeStream
+      .format("memory").queryName("statuses").outputMode("update").start()
+    try {
+      in.addData(TxEvent("t1", "created", -1, 100, 0), TxEvent("t2", "created", -1, 100, 0))
+      q.processAllAvailable()
+      in.addData(TxEvent("t1", "mined", 98, 100, 5))
+      q.processAllAvailable()
+      in.addData(TxEvent("t1", "tick", -1, 109, 10), TxEvent("t2", "reverted", -1, 100, 10))
+      q.processAllAvailable()
+      val rows = spark.table("statuses").as[TxStatus].collect()
+      val byBatch = rows.groupBy(_.txHash).view.mapValues(_.map(_.status).toSet).toMap
+      assert(byBatch("t1") === Set(M.Pending, M.Confirming, M.Confirmed))
+      assert(byBatch("t2") === Set(M.Pending, M.Failed))
+    } finally q.stop()
+  }
+
+  // ── dirty-set + upsert sink ──
+
+  test("T6 dirty set collapses to one row per touched key") {
+    val updates = Seq(("a", 1), ("b", 2), ("a", 3), ("c", 4), ("a", 5))
+      .toDF("account", "n")
+    val out = Pipelines.dirtySet(updates, "account")
+    assert(out.as[String].collect().toSet === Set("a", "b", "c"))
+  }
+
+  test("T7 foreachBatch upsert is idempotent under batch replay") {
+    val dir = Files.createTempDirectory("graft-state").toString + "/state"
+    val b1 = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    Pipelines.upsertBatch(spark, dir, b1, Seq("k"))
+    val b2 = Seq((2L, "Y"), (3L, "z")).toDF("k", "v")
+    Pipelines.upsertBatch(spark, dir, b2, Seq("k"))
+    Pipelines.upsertBatch(spark, dir, b2, Seq("k")) // replay
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "x"), (2L, "Y"), (3L, "z")))
+  }
+
+  test("T2 reorg margin excludes blocks within recession of head") {
+    val df = Seq((98L, 100L), (99L, 100L), (97L, 100L)).toDF("bn", "head")
+    val kept = Pipelines.reorgSafe(df, "bn", "head", recession = 2)
+      .select("bn").as[Long].collect().toSet
+    assert(kept === Set(97L, 98L))
+  }
+}
