@@ -11,6 +11,8 @@ object QueryRegistry {
       graft.operators.EventPipeline.queries ++
       graft.operators.Sinks.queries ++
       graft.operators.Snapshot.queries ++
+      graft.operators.Api.queries ++
+      graft.operators.EventUnion.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.VectorOps.queries

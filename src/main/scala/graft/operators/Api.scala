@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** REST endpoint compositions — SURVEY.md §3.3: each webservice query is
+  * one declarative DataFrame program composing the already-tested operator
+  * rows (P6 case-insensitive address equality, P7 excluded events, P8
+  * optional token filter, P10 wide projection, O1-O3 sort/skip/limit, F17
+  * ISO dates). Catalyst pushes the filters to the scan and runs the
+  * top-k/pagination as TakeOrderedAndProject — the engine-side equivalent
+  * of Mongo's compound-index path (mongo_manager.py:158-160).
+  */
+object Api {
+
+  /** the synthesized Transaction-collection view the endpoints query:
+    * mixed-case address, display event name, token, ISO date. */
+  private def txView(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(
+      col("event_id"),
+      concat(lit("0xA"), col("user_id").cast(StringType)).as("address"),
+      when(col("event_type") === "purchase", "RiskProMint")
+        .when(col("event_type") === "click", "TransferFromMoC")
+        .when(col("event_type") === "signup", "Approval")
+        .when(col("event_type") === "error", "SettlementFailed")
+        .otherwise("QueueDOC").as("event"),
+      when(col("event_type") === "purchase", "RISKPRO").otherwise("STABLE")
+        .as("token_involved"),
+      col("value"), col("ts"))
+
+  private val TxViewCte =
+    """tx AS (
+      |  SELECT event_id,
+      |    '0xA' || CAST(user_id AS VARCHAR) AS address,
+      |    CASE event_type WHEN 'purchase' THEN 'RiskProMint'
+      |      WHEN 'click' THEN 'TransferFromMoC' WHEN 'signup' THEN 'Approval'
+      |      WHEN 'error' THEN 'SettlementFailed' ELSE 'QueueDOC' END AS event,
+      |    CASE event_type WHEN 'purchase' THEN 'RISKPRO' ELSE 'STABLE' END AS token_involved,
+      |    value, ts
+      |  FROM events)""".stripMargin
+
+  private val Excluded = Seq("TransferFromMoC", "QueueDOC")
+  private val ExcludedSql = Excluded.map(e => s"'$e'").mkString(", ")
+
+  val queries: Seq[Q] = Seq(
+
+    // GET /transactions/list (bp_user_operations.py:9-93): address
+    // case-insensitive equality + excluded-event anti-filter + createdAt
+    // desc pagination + ISO-millis date rendering.
+    Q(
+      "api_tx_list",
+      s"""WITH $TxViewCte
+         |SELECT event_id, address, event, token_involved, value,
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS created_at
+         |FROM tx
+         |WHERE lower(address) = '0xa7' AND event NOT IN ($ExcludedSql)
+         |ORDER BY ts DESC, event_id DESC
+         |LIMIT 20 OFFSET 2""".stripMargin) { (s, d) =>
+      txView(s, d)
+        .filter(lower(col("address")) === "0xa7" && !col("event").isin(Excluded: _*))
+        .select(col("event_id"), col("address"), col("event"), col("token_involved"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("created_at"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .offset(2).limit(20)
+    },
+
+    // GET /transactions/last (bp_user_operations.py:124-133): the newest
+    // operation for an address with the token filter applied (P8) — a
+    // TakeOrderedAndProject top-1.
+    Q(
+      "api_tx_last",
+      s"""WITH $TxViewCte
+         |SELECT event_id, address, event, token_involved, value,
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS created_at
+         |FROM tx
+         |WHERE lower(address) = '0xa7' AND event NOT IN ($ExcludedSql)
+         |  AND token_involved = 'RISKPRO'
+         |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin) { (s, d) =>
+      txView(s, d)
+        .filter(lower(col("address")) === "0xa7" && !col("event").isin(Excluded: _*)
+          && col("token_involved") === "RISKPRO")
+        .select(col("event_id"), col("address"), col("event"), col("token_involved"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("created_at"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1)
+    },
+
+    // GET /fast-btc-bridge/pegout (bp_fastbtc_bridge.py:9-40): type filter
+    // + timestamp-desc pagination over the transfer collection, with the
+    // transferId key the bridge mutates in place (S9).
+    Q(
+      "api_pegouts",
+      """SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS transfer_id,
+        |  '0xA' || CAST(user_id AS VARCHAR) AS address,
+        |  'PEG_OUT' AS type, value, ts
+        |FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id DESC
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(col("event_type") === "error")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(20)
+        .select(substring(md5(col("event_id").cast(StringType)), 1, 12).as("transfer_id"),
+          concat(lit("0xA"), col("user_id").cast(StringType)).as("address"),
+          lit("PEG_OUT").as("type"), col("value"), col("ts"))
+    }
+  )
+}
