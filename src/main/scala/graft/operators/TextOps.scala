@@ -238,10 +238,14 @@ object TextOps {
       val sh = T.documents(s, d)
         .withColumn("l", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
-      // one shuffle: df-capped doc list per shingle
+      // one shuffle: df-capped doc list per shingle. Persisted because two
+      // aggregation grains consume it (per-doc counts + per-pair counts) —
+      // the batch analog of checkpointing the shingle index, which is tiny
+      // relative to the corpus.
       val grouped = sh.groupBy(col("shingle"))
         .agg(collect_list(col("doc_id")).as("docs"))
         .filter(size(col("docs")) <= 20)
+        .persist()
       val cnt = grouped.select(explode(col("docs")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // in-row pair expansion: docs × docs filtered a<b (<=190 pairs/shingle)
@@ -302,10 +306,14 @@ object TextOps {
         .withColumn("l", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
       val ids = sh.select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
+      // persisted: three consumers (band keys + both verify sides) would
+      // otherwise recompute the shingle scan; the signature table is 17
+      // ints per doc — negligible next to the corpus.
       val sig = ids.groupBy(col("doc_id")).agg(
         min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
         (1 until MhK).map(k =>
           min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
+        .persist()
       val bandKeys = (0 until MhBands).map(b =>
         concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
       val bands = sig.select(col("doc_id"),
@@ -374,7 +382,10 @@ object TextOps {
       val sigCol = (0 until ShBits)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
-      val sh2 = sb.select(col("doc_id"), sigCol.as("simhash"))
+      // persisted: blocks + both verify sides consume it; without this the
+      // 48-sum aggregation over the token scan runs three times. One long
+      // per doc — negligible storage.
+      val sh2 = sb.select(col("doc_id"), sigCol.as("simhash")).persist()
       val blockVals = ShBlockOffsets.zip(ShBlockWidths).map { case (off, w) =>
         expr(s"(simhash div ${1L << off}) % ${1L << w}")
       }
