@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.{Q, Tables => T}
 
@@ -214,6 +215,43 @@ object AsOf {
       cust.crossJoin(broadcast(trig))
         .select(col("trigger_id"), col("c_custkey"), col("c_acctbal"), col("value"))
         .orderBy(col("trigger_id"), col("c_custkey"))
+    },
+
+    // J7b point-in-time balance snapshot (SURVEY.md §7.4 hard part 3 —
+    // mocsettlement.py:292-368 queries the chain at block-1; a batch engine
+    // answers "balance of every user just before the trigger" from the
+    // event log itself): signed deltas aggregated up to the liquidation
+    // trigger's timestamp, positive holders fanned out one row per user.
+    // Decimal-pinned sums keep the doubles order-independent.
+    Q(
+      "j7b_balance_snapshot",
+      """WITH trig AS (SELECT event_id, ts FROM events WHERE event_type = 'error'
+        |             ORDER BY ts DESC, event_id DESC LIMIT 1),
+        |bal AS (
+        |  SELECT e.user_id,
+        |    CAST(CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(e.value AS DECIMAL(18,4))
+        |                       ELSE -CAST(e.value AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS balance
+        |  FROM events e, trig
+        |  WHERE e.ts < trig.ts AND e.event_type IN ('purchase','click')
+        |  GROUP BY e.user_id)
+        |SELECT trig.event_id AS trigger_id, b.user_id, b.balance
+        |FROM bal b, trig WHERE b.balance > 0
+        |ORDER BY b.user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val trig = ev.filter(col("event_type") === "error")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("event_id").as("trigger_id"), col("ts").as("trig_ts"))
+      val d4 = (c: Column) => c.cast(DecimalType(18, 4))
+      ev.filter(col("event_type").isin("purchase", "click"))
+        .crossJoin(broadcast(trig))
+        .filter(col("ts") < col("trig_ts"))
+        .groupBy(col("trigger_id"), col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", d4(col("value")))
+            .otherwise(-d4(col("value"))))
+          .cast(DecimalType(38, 4)).cast(DoubleType).as("balance"))
+        .filter(col("balance") > 0)
+        .select(col("trigger_id"), col("user_id"), col("balance"))
+        .orderBy(col("user_id"))
     },
 
     // P13 staleness guard (moc_balances.py:123-136 skip-if-newer): keep a

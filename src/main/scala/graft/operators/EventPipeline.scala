@@ -227,6 +227,40 @@ object EventPipeline {
         .orderBy(col("event_id"))
     },
 
+    // T4 late-data reprocess scan (scan_events_txs.py:191-238, job 8):
+    // unprocessed rows created within the last 24 h of the head timestamp
+    // but older than 5 minutes (give in-flight rows time to land), only in
+    // a reprocessable status, in arrival order (O4). The three predicates
+    // compose into one pushdown-friendly conjunction against the scan.
+    Q(
+      "t4_late_reprocess",
+      """WITH head AS (SELECT MAX(ts) AS h FROM events)
+        |SELECT e.event_id, e.ts,
+        |  CASE e.event_id % 4 WHEN 0 THEN 'confirmed' WHEN 1 THEN 'confirming'
+        |    WHEN 2 THEN 'pending' ELSE 'failed' END AS status
+        |FROM events e, head
+        |WHERE e.event_id % 5 = 0
+        |  AND e.ts >= head.h - INTERVAL 24 HOURS
+        |  AND e.ts <= head.h - INTERVAL 5 MINUTES
+        |  AND CASE e.event_id % 4 WHEN 0 THEN 'confirmed' WHEN 1 THEN 'confirming'
+        |      WHEN 2 THEN 'pending' ELSE 'failed' END IN ('confirmed','confirming')
+        |ORDER BY e.ts, e.event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val head = ev.agg(max(col("ts")).as("h"))
+      val status = when(col("event_id") % 4 === 0, "confirmed")
+        .when(col("event_id") % 4 === 1, "confirming")
+        .when(col("event_id") % 4 === 2, "pending")
+        .otherwise("failed")
+      ev.crossJoin(broadcast(head))
+        .filter(col("event_id") % 5 === 0
+          && col("ts") >= col("h") - expr("INTERVAL 24 HOURS")
+          && col("ts") <= col("h") - expr("INTERVAL 5 MINUTES"))
+        .withColumn("status", status)
+        .filter(col("status").isin("confirmed", "confirming"))
+        .select(col("event_id"), col("ts"), col("status"))
+        .orderBy(col("ts"), col("event_id"))
+    },
+
     // X1 ABI-word decode through the native codegen'd HexToLongExpr:
     // synthesize a 2-word hex payload (amount, account) per tx and decode
     // both words — the scan→decode pipeline stays inside one

@@ -54,6 +54,30 @@ object Snapshot {
         .orderBy(col("user_id"))
     },
 
+    // S5 snapshot source pivot (moc_state.py:28-132 multicall: N named
+    // reads fanned into one wide row): the long-format state relation
+    // pivots to one wide row per key — Spark's relational pivot operator
+    // with the value set pinned (no extra distinct pass), absent cells
+    // zero-filled.
+    Q(
+      "s5_snapshot_pivot",
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val types = Seq("purchase", "view", "click", "signup", "error")
+      val pivoted = T.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    },
+
     // A5 TVL / protocol report scalars (historical.py:106-121): single-row
     // multi-aggregate with the Decimal round-trip pinning the doubles and a
     // display scale-down (F21) as one deterministic IEEE op at the end.
