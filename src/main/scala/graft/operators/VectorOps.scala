@@ -185,6 +185,75 @@ object VectorOps {
         .orderBy(col("vec_a"), col("vec_b"))
     }.copy(bench = true),
 
+    // IVF (inverted-file) top-k — the coarse-quantization ANN scale path:
+    // label-mean centroids in exact integer arithmetic (sum div n — both
+    // engines truncate toward zero), every vector assigned to its nearest
+    // centroid by integer L2, queries probe their nprobe=2 nearest cells,
+    // exact integer-cosine rerank inside the probed cells only. The ranked
+    // assignment relation is persisted (two consumers: assignments +
+    // probes); at 100 TB the posting lists are the partitioning key, so
+    // the rerank shuffle touches ~nprobe/k of the corpus instead of all
+    // of it.
+    Q(
+      "ss_topk_ivf",
+      s"""$FlatCte,
+         |n AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+         |csum AS (SELECT e.label, f.i, SUM(f.v) AS s
+         |         FROM flat f JOIN embeddings e USING (vec_id) GROUP BY e.label, f.i),
+         |cent AS (SELECT c.label AS cl, c.i, c.s // n.cnt AS cv FROM csum c JOIN n USING (label)),
+         |dist AS (SELECT f.vec_id, c.cl, SUM((f.v - c.cv)*(f.v - c.cv)) AS d2
+         |         FROM flat f JOIN cent c ON f.i = c.i GROUP BY f.vec_id, c.cl),
+         |ranked AS (SELECT vec_id, cl,
+         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |           FROM dist),
+         |assign AS (SELECT vec_id, cl AS cell FROM ranked WHERE rn = 1),
+         |probe AS (SELECT vec_id AS q_id, cl AS cell FROM ranked WHERE vec_id < 16 AND rn <= 2),
+         |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+         |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |dots AS (SELECT c.q_id, c.n_id, SUM(qf.v * nf.v) AS dot
+         |         FROM cand c JOIN flat qf ON qf.vec_id = c.q_id
+         |         JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+         |         GROUP BY c.q_id, c.n_id),
+         |scored AS (SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+         |           FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = quantized(s, d, withBucket = false)
+      val n = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      val flat = emb.select(col("vec_id"), col("label"),
+          posexplode(col("qarr")).as(Seq("i0", "v")))
+        .withColumn("i", col("i0") + 1).drop("i0")
+      val cent = flat.groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
+        .join(broadcast(n), Seq("label"))
+        .select(col("label").as("cl"), col("i"), expr("s div cnt").as("cv"))
+      val dist = flat.join(broadcast(cent), Seq("i"))
+        .groupBy(col("vec_id"), col("cl"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))
+      val ranked = dist.withColumn("rn", row_number().over(wAssign)).persist()
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("cell"))
+      val probe = ranked.filter(col("vec_id") < 16 && col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cl").as("cell"))
+      val cand = probe.join(assign, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+      val qSide = emb.select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
+        col("nrm").as("nq"))
+      val nSide = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
+      val scored = cand.join(qSide, Seq("q_id")).join(nSide, Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+        .withColumn("cos", col("dot").cast(DoubleType)
+          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Centroid aggregation per label (the building block of IVF coarse
     // quantization): exact integer component sums, then double means — the
     // kind of vector agg a 100 TB IVF index build runs per partition list.
