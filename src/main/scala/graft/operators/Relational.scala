@@ -89,6 +89,20 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"))
     },
 
+    // A1-at-scale: approx_count_distinct (HLL++) — the documented scale
+    // path for the distinct-actives metric (§2.4 note): mergeable sketches
+    // instead of shuffling the full key set. HLL implementations differ
+    // across engines, so this is registered WITHOUT an oracle (the driver
+    // records the weaker rows-only check by design); QueryRegistrySpec
+    // bounds its error against the exact count.
+    Q(
+      "a1b_approx_distinct",
+      (s: SparkSession, d: String) =>
+        T.events(s, d)
+          .filter(col("event_type").isin("purchase", "signup", "error"))
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx")),
+      oracle = None),
+
     // A2 filtered row count (bp_user_operations.py:88-92).
     Q(
       "a2_filtered_count",

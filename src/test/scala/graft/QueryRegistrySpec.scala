@@ -38,6 +38,15 @@ class QueryRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct-actives lands within 5% of the exact count") {
+    val approx = QueryRegistry.byName("a1b_approx_distinct").fn(spark, sf)
+      .collect()(0).getLong(0).toDouble
+    val exact = QueryRegistry.byName("a1_distinct_users").fn(spark, sf)
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("flagship q1_agg returns the 6 flag/status groups with positive sums") {
     val rows = QueryRegistry.byName("q1_agg").fn(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 6)
