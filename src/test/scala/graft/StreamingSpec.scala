@@ -91,6 +91,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, "x"), (2L, "Y"), (3L, "z")))
   }
 
+  test("T8 liveness watchdog flags a stalled head under a virtual clock") {
+    var now = 0L
+    val mon = new graft.streaming.HeadLivenessListener(
+      staleAfterMs = 1000L, clock = () => now)
+    mon.observe("blocks", 100L)
+    now = 500L
+    assert(!mon.stalled("blocks"))
+    mon.observe("blocks", 100L) // head did NOT advance — timestamp not refreshed
+    now = 1501L
+    assert(mon.stalled("blocks"))
+    mon.observe("blocks", 101L) // head advances — watchdog resets
+    assert(!mon.stalled("blocks"))
+    assert(mon.headOf("blocks") === Some(101L))
+  }
+
   test("T2 reorg margin excludes blocks within recession of head") {
     val df = Seq((98L, 100L), (99L, 100L), (97L, 100L)).toDF("bn", "head")
     val kept = Pipelines.reorgSafe(df, "bn", "head", recession = 2)
