@@ -217,6 +217,42 @@ object AsOf {
         .orderBy(col("trigger_id"), col("c_custkey"))
     },
 
+    // J10 bucketized range join: "which purchases fall inside each alert
+    // window" — the declarative BETWEEN formulation executes as a
+    // BroadcastNestedLoopJoin (quadratic); bucketizing time into
+    // fixed-width chunks turns it into a HASH join on the bucket key plus
+    // a residual range filter: intervals explode into the ≤3 buckets they
+    // cover, points carry exactly one bucket (so no post-join dedup), and
+    // the equi-join prunes all non-overlapping pairs before the BETWEEN
+    // runs. The standard interval-join rewrite at 100 TB.
+    Q(
+      "j10_range_bucketed",
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, ts - INTERVAL 30 MINUTES AS lo,
+        |         ts + INTERVAL 30 MINUTES AS hi
+        |  FROM events WHERE event_type = 'error'
+        |  ORDER BY ts DESC, event_id DESC LIMIT 50),
+        |p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT iv.interval_id, COUNT(*) AS n
+        |FROM iv JOIN p ON p.ts >= iv.lo AND p.ts <= iv.hi
+        |GROUP BY iv.interval_id ORDER BY interval_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val iv = ev.filter(col("event_type") === "error")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(50)
+        .select(col("event_id").as("interval_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+      val ivb = iv.withColumn("bucket",
+        explode(sequence(expr("unix_timestamp(lo) div 1800"),
+          expr("unix_timestamp(hi) div 1800"))))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("ts"), expr("unix_timestamp(ts) div 1800").as("bucket"))
+      p.join(broadcast(ivb), Seq("bucket"))
+        .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("interval_id"))
+    },
+
     // J7b point-in-time balance snapshot (SURVEY.md §7.4 hard part 3 —
     // mocsettlement.py:292-368 queries the chain at block-1; a batch engine
     // answers "balance of every user just before the trigger" from the

@@ -2,9 +2,11 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.types._
 
 import graft.core.{Q, Tables => T}
+import graft.plans.{RollingHash, RollingMinHashExpr}
 
 /** Training-data text pipeline operators — SURVEY.md §7.4 extension surface
   * (beyond reference parity): tokenization, quality scoring, language-ID,
@@ -187,6 +189,33 @@ object TextOps {
           col("doc_id"),
           md5(norm(col("text"))).as("fp128"),
           substring(md5(norm(col("text"))), 1, 16).as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling-hash fingerprint: minimum Rabin-Karp hash over all 16-char
+    // windows (winnowing-lite) via the custom O(n) rolling expression —
+    // the oracle recomputes it declaratively in O(n·w) with precomputed
+    // power-of-B constants, pinning the exact modular arithmetic.
+    Q(
+      "tx_rolling_fp", {
+        val w = 16
+        val consts = (0 until w).map(j =>
+          BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+        val terms = consts.zipWithIndex.map { case (c, j) =>
+          s"CAST(ascii(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $c"
+        }.mkString(" + ")
+        s"""SELECT doc_id,
+           |  CASE WHEN length(text) < $w THEN NULL ELSE
+           |    list_min(list_transform(range(1, length(text) - ${w - 2}),
+           |      i -> ($terms) % ${RollingHash.M}))
+           |  END AS rfp,
+           |  greatest(length(text) - ${w - 1}, 0) AS n_windows
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"),
+          toCol(RollingMinHashExpr(toExpr(col("text")), 16)).as("rfp"),
+          greatest(length(col("text")) - 15, lit(0)).cast(LongType).as("n_windows"))
         .orderBy(col("doc_id"))
     },
 

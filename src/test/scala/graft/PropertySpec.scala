@@ -1,0 +1,94 @@
+package graft
+
+import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Merge
+import graft.functions.Wei
+import graft.operators.AsOf
+
+/** Property-based coverage (SURVEY.md §5 point 2): wei money math against
+  * an arbitrary-precision model, MERGE idempotency over generated tables,
+  * as-of join against a brute-force model, and pagination invariants —
+  * each over ScalaCheck-generated inputs with a fixed seed (deterministic
+  * CI).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def sampled[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("wei product+truncation matches the BigDecimal model (both signs)") {
+    val genWei = Gen.chooseNum(-1000000L, 1000000L)
+      .flatMap(m => Gen.chooseNum(0L, 999999999999999999L).map(f =>
+        BigInt(m) * BigInt("1000000000000000000") + (if (m < 0) -BigInt(f) else BigInt(f))))
+    val pairs = sampled(Gen.zip(genWei, genWei), 300)
+    val df = pairs.map { case (a, b) => (a.toString, b.toString) }.toDF("a", "b")
+      .select(Wei.toWeiStr(Wei.mulExact(Wei.weiToDec(col("a")), Wei.weiToDec(col("b")))).as("got"))
+    val got = df.collect().map(_.getString(0))
+    val scale18 = new JBD("1000000000000000000")
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val exact = new JBD(a.bigInteger).multiply(new JBD(b.bigInteger), MathContext.UNLIMITED)
+        .divide(scale18, 40, RoundingMode.HALF_UP) // a*b/1e18 at deep scale
+        .setScale(20, RoundingMode.DOWN) // mulExact's documented truncation
+        .setScale(0, RoundingMode.DOWN) // toWeiStr truncation toward zero
+      assert(g === exact.toBigInteger.toString, s"a=$a b=$b")
+    }
+  }
+
+  test("Merge.upsert is idempotent and key-unique on generated tables") {
+    val genRow = Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000L))
+    (0 until 5).foreach { i =>
+      val t = sampled(genRow, 40).distinctBy(_._1).toDF("k", "v")
+      val u = sampled(genRow.map { case (k, v) => (k, v + 10000L) }, 20)
+        .distinctBy(_._1).toDF("k", "v")
+      val once = Merge.upsert(t, u, Seq("k"))
+      val twice = Merge.upsert(once, u, Seq("k"))
+      val a = once.as[(Long, Long)].collect().toSet
+      val b = twice.as[(Long, Long)].collect().toSet
+      assert(a === b, s"iteration $i not idempotent")
+      assert(a.map(_._1).size === a.size, s"iteration $i produced duplicate keys")
+    }
+  }
+
+  test("asOfBackward matches a brute-force model on random inputs") {
+    val genL = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 99L))
+    val genR = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 15L), Gen.chooseNum(100L, 199L),
+      Gen.chooseNum(0.0, 1000.0))
+    (0 until 4).foreach { i =>
+      val lRows = sampled(genL, 25).distinctBy(r => (r._2, r._3))
+      val rRows = sampled(genR, 25).distinctBy(r => (r._2, r._3))
+      val left = lRows.toDF("key", "ts", "tb")
+      val right = rRows.toDF("key", "ts", "tb", "rv")
+      val got = AsOf.asOfBackward(left, right, "key", "ts", "tb", "rv", "asof")
+        .select(col("key"), col("ts"), col("tb"), col("asof"))
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      lRows.foreach { case (k, ts, tb) =>
+        val expected = rRows
+          .filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._4)
+        assert(got((k, ts, tb)) === expected, s"iter $i left=($k,$ts,$tb)")
+      }
+    }
+  }
+
+  test("pagination pages are disjoint, ordered, and within the limit") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val pages = (0 until 4).map(p =>
+      base.offset(p * 20).limit(20).select("o_orderkey").as[Long].collect().toSeq)
+    pages.foreach(p => assert(p.size <= 20))
+    val all = pages.flatten
+    assert(all.distinct.size === all.size, "pages overlap")
+    val expected = base.limit(80).select("o_orderkey").as[Long].collect().toSeq
+    assert(all === expected, "concatenated pages differ from the prefix")
+  }
+}
