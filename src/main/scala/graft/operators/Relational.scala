@@ -63,6 +63,76 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }.copy(bench = true),
 
+    // Q3-shape shipping-priority composite: segment-filtered 3-way join
+    // (broadcast dim → fact) + grouped revenue + top-10 — the
+    // multi-join/agg plan the report side would run at 100 TB (join order
+    // and broadcast choice left to Catalyst/AQE; revenue Decimal-pinned,
+    // deterministic tie-break).
+    Q(
+      "q3_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = T.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15 00:00:00").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = T.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(o12(sum(d6(col("l_extendedprice")) * (lit(1) - d6(col("l_discount"))))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }.copy(bench = true),
+
+    // Q5-shape local-supplier revenue: snowflake join (two broadcast dims)
+    // + fact-fact equi-join with a co-nationality predicate + grouped
+    // revenue per nation.
+    Q(
+      "q5_local_supplier",
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asia = broadcast(T.nation(s, d)
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val ord = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val supp = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(o12(sum(d6(col("l_extendedprice")) * (lit(1) - d6(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }.copy(bench = true),
+
     // A1 group-count by key (historical.py:144-165): count per address →
     // count per user, plus the "distinct actives" via a1b below.
     Q(
@@ -332,6 +402,49 @@ object Relational {
         .select(col("event_id"), col("ts"))
         .withColumn("rn", row_number().over(w))
         .orderBy(col("rn"))
+    },
+
+    // W5 tumbling event-time window (T9 note: the engine exposes window()
+    // for the extension ops even though the reference never windows):
+    // daily event counts via Spark's window() operator — epoch-aligned
+    // 1-day tumbling windows coincide with date_trunc on the oracle side.
+    Q(
+      "w5_tumbling_window",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("day"), col("n"), col("n_users"))
+        .orderBy(col("day"))
+    },
+
+    // W6 sessionization: session_window (gap 30 min) per user — batch mode
+    // of the Structured Streaming session operator; the oracle computes
+    // identical sessions via the classic gaps-and-islands rewrite (new
+    // island when the gap from the previous event exceeds 30 min).
+    Q(
+      "w6_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTES
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM islands GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     },
 
     // ── U: set operations ──────────────────────────────────────────────────

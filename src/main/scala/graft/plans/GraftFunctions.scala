@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL surface for the engine's custom Catalyst expressions: `hex_to_long`,
+  * `rolling_min_hash`, `wei_to_dec`, `trunc_wei`, `exact_mul` become
+  * callable from `spark.sql(...)` — a user of the reference switching to
+  * this library keeps a pure-SQL workflow for the custom scalar layer.
+  *
+  * Two registration paths, same builders:
+  *  - `GraftFunctions.register(spark)` on an existing session;
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    (the `SparkSessionExtensions.injectFunction` path).
+  */
+object GraftFunctions {
+
+  private def one(name: String)(f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[HexToLongExpr].getName, name),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"$name expects 1 argument")
+        f(args.head)
+      })
+
+  private def two(name: String)(f: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[ExactMulExpr].getName, name),
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"$name expects 2 arguments")
+        f(args(0), args(1))
+      })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    one("hex_to_long")(HexToLongExpr(_)),
+    two("rolling_min_hash") { (text, w) =>
+      val window = w match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"rolling_min_hash window must be an int literal, got $other")
+      }
+      RollingMinHashExpr(text, window)
+    },
+    one("wei_to_dec")(e => WeiToDecExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.DecimalType(38, 0)))),
+    one("trunc_wei")(TruncWeiExpr(_)),
+    two("exact_mul")(ExactMulExpr(_, _)))
+
+  /** register on an already-built session. */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>
+    ColumnBridge.registerFunction(spark, id.funcName, info, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
