@@ -59,6 +59,22 @@ object AsOf {
       .drop("__side", "__rv")
   }
 
+  /** The same inclusive as-of join as a FIRST-CLASS logical operator:
+    * constructs graft.plans.AsOfJoinPlan, which the optimizer rule
+    * injected by GraftExtensions expands into the merge-sweep plan. The
+    * session must carry `spark.sql.extensions=graft.plans.GraftExtensions`
+    * (all engine entry points do). */
+  def asOfBackwardPlan(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, tiebreak: String,
+      rightVal: String, asofName: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        key, ts, tiebreak, rightVal, asofName))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // J3 per-key backward as-of (scan_moc_state.py:75-81 latest price before
@@ -104,6 +120,29 @@ object AsOf {
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       asOfBackward(purchases, views, "user_id", "ts", "event_id",
+          rightVal = "value", asofName = "asof_view_value")
+        .orderBy(col("event_id"))
+    },
+
+    // J3c the same as-of join expressed through the CUSTOM LOGICAL
+    // OPERATOR (graft.plans.AsOfJoinPlan + the optimizer rewrite injected
+    // via SparkSessionExtensions): semantics identical to j3b, but the
+    // merge-sweep expansion is chosen by the optimizer rule, not spelled
+    // at the call site.
+    Q(
+      "j3c_asof_plan",
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  (SELECT v.value FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      asOfBackwardPlan(purchases, views, "user_id", "ts", "event_id",
           rightVal = "value", asofName = "asof_view_value")
         .orderBy(col("event_id"))
     },

@@ -55,8 +55,12 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL function surface plus the
+  * as-of join macro-operator rewrite (AsOfJoinPlan → single-shuffle
+  * merge-sweep expansion). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => AsOfJoinRewrite)
+  }
 }
