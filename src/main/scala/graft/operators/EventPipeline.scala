@@ -227,6 +227,26 @@ object EventPipeline {
         .orderBy(col("event_id"))
     },
 
+    // S1b forced-range block relation through the CUSTOM PLANNER STRATEGY
+    // (graft.plans.BlockRangePlan → BlockRangeExec via the strategy
+    // injected by GraftExtensions): 100k block headers generated as
+    // UnsafeRows across 8 partitions, aggregated by tx-count bucket. The
+    // oracle recomputes the deterministic formula over range().
+    Q(
+      "s1b_block_relation", {
+        s"""SELECT txCount, COUNT(*) AS n, MIN(b) AS first_block, MAX(b) AS last_block
+           |FROM (SELECT b, ${graft.plans.BlockRangeRelation.TxCountSql} AS txCount
+           |      FROM range(0, 100000) t(b))
+           |GROUP BY txCount ORDER BY txCount""".stripMargin
+      }) { (s, d) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(s, graft.plans.BlockRangePlan(0L, 99999L, 8))
+        .groupBy(col("txCount"))
+        .agg(count(lit(1)).as("n"), min(col("blockNumber")).as("first_block"),
+          max(col("blockNumber")).as("last_block"))
+        .orderBy(col("txCount"))
+    },
+
     // T4 late-data reprocess scan (scan_events_txs.py:191-238, job 8):
     // unprocessed rows created within the last 24 h of the head timestamp
     // but older than 5 minutes (give in-flight rows time to land), only in

@@ -62,5 +62,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => AsOfJoinRewrite)
+    ext.injectPlannerStrategy(_ => BlockRangeStrategy)
   }
 }

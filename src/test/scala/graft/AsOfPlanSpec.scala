@@ -29,6 +29,15 @@ class AsOfPlanSpec extends AnyFunSuite {
       "rewrite did not fire — node left in optimized plan")
   }
 
+  test("BlockRangePlan is planned by the injected strategy into BlockRangeExec") {
+    val df = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, graft.plans.BlockRangePlan(0L, 999L, 4))
+    // physical nodeName renders without the Exec suffix
+    assert(df.queryExecution.executedPlan.toString.contains("BlockRange"))
+    assert(df.count() === 1000L)
+    assert(df.rdd.getNumPartitions === 4)
+  }
+
   test("operator results equal the hand-written expansion") {
     val viaPlan = AsOf.asOfBackwardPlan(left, right, "key", "ts", "tb", "rv", "asof")
       .collect().map(_.toSeq).toSet
