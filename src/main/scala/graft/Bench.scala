@@ -24,11 +24,16 @@ object Bench {
     // measured run, and the min shields against transient host/GC stalls
     // (observed: the same query varying 0.6s ↔ 8s between runs on a noisy
     // host with identical plans).
-    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    def timedPass(): Map[String, Double] = {
+      // each query invocation builds fresh DataFrames, so persisted
+      // intermediates from the previous pass are dead weight — drop them
+      spark.catalog.clearCache()
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
     val p1 = timedPass()
     val p2 = timedPass()
     val results = ordered.map { case (name, _) =>

@@ -60,7 +60,10 @@ object Merge {
   /** S9 update-only-if-exists (upsert=False status patch,
     * fastbtcbridge.py:69-72): matched rows take `updateCols` from
     * `updates`; unmatched update rows are dropped; unmatched target rows
-    * pass through. */
+    * pass through. `updateCols` values must be non-null in `updates`
+    * (the reference always patches concrete values) — a null update value
+    * would be indistinguishable from "no update row" and keep the target
+    * value. */
   def updateIfExists(
       target: DataFrame, updates: DataFrame, keys: Seq[String],
       updateCols: Seq[String]): DataFrame = {

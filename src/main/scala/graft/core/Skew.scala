@@ -26,6 +26,8 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt column name is reserved by saltedJoin")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(factor)).cast(IntegerType))
     val replicated = small.withColumn("__salt",

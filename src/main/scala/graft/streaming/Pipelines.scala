@@ -53,9 +53,34 @@ object Pipelines {
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
   def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    sinkTo(stream, keys, checkpointDir,
+      (batch, ks) => upsertBatch(batch.sparkSession, stateDir, batch, ks))
+
+  /** generic foreachBatch wiring over any [[DocumentSink]]. */
+  def sinkTo(stream: DataFrame, keys: Seq[String], checkpointDir: String,
+      sink: (DataFrame, Seq[String]) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        upsertBatch(batch.sparkSession, stateDir, batch.toDF(), keys)
+        sink(batch.toDF(), keys)
       }
+}
+
+/** Keyed document-store boundary — the reference's 16 MongoDB collections
+  * (SURVEY.md §1.3) sit behind this one seam so the derivation pipelines
+  * never see the storage system. [[ParquetDocumentSink]] is the in-repo
+  * implementation (and the test double). A MongoDB implementation does
+  * the same `upsert` with per-partition bulk `replaceOne(upsert=true)`
+  * writes keyed by the same natural keys — no driver ships in this
+  * zero-egress environment, so it lives out of tree behind this trait.
+  */
+trait DocumentSink {
+  /** idempotently apply one micro-batch keyed by `keys` (updates win). */
+  def upsert(batch: DataFrame, keys: Seq[String]): Unit
+}
+
+final class ParquetDocumentSink(spark: SparkSession, stateDir: String)
+    extends DocumentSink {
+  override def upsert(batch: DataFrame, keys: Seq[String]): Unit =
+    Pipelines.upsertBatch(spark, stateDir, batch, keys)
 }
