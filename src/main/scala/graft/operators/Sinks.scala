@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.{Merge, Q, Tables => T}
 
@@ -175,6 +176,55 @@ object Sinks {
       val updates = updates0.withColumn("version", col("event_id"))
       Merge.upsertMonotonic(state, updates, Seq("user_id"), "version")
         .orderBy(col("user_id"))
+    },
+
+    // T6+S6 end-to-end UserState refresh (moc_balances.py:174-188 enqueue
+    // → scan_moc_user.py:44-70 drain): the dirty set is every account
+    // touched since the cut; each dirty account's balance is recomputed
+    // from FULL history at the head (the reference refetches the whole
+    // snapshot per address, not a delta) and upserted over the prior
+    // state; untouched accounts keep their stale row. Decimal-pinned sums.
+    Q(
+      "t6_userstate_refresh",
+      """WITH cut AS (SELECT MAX(ts) - INTERVAL 1 DAY AS c FROM events),
+        |prior AS (
+        |  SELECT e.user_id,
+        |    CAST(CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(e.value AS DECIMAL(18,4))
+        |                       ELSE -CAST(e.value AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS balance
+        |  FROM events e, cut
+        |  WHERE e.ts < cut.c AND e.event_type IN ('purchase','click')
+        |  GROUP BY e.user_id),
+        |dirty AS (SELECT DISTINCT e.user_id FROM events e, cut WHERE e.ts >= cut.c),
+        |recomputed AS (
+        |  SELECT e.user_id,
+        |    CAST(CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(e.value AS DECIMAL(18,4))
+        |                       ELSE -CAST(e.value AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS balance
+        |  FROM events e
+        |  WHERE e.event_type IN ('purchase','click')
+        |    AND e.user_id IN (SELECT user_id FROM dirty)
+        |  GROUP BY e.user_id)
+        |SELECT COALESCE(r.user_id, p.user_id) AS user_id,
+        |  CASE WHEN r.user_id IS NULL THEN p.balance ELSE r.balance END AS balance,
+        |  r.user_id IS NOT NULL AS refreshed
+        |FROM prior p FULL JOIN recomputed r ON p.user_id = r.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAY")).as("c"))
+      val d4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 4))
+      def balance(df: DataFrame): DataFrame = df
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", d4(col("value")))
+            .otherwise(-d4(col("value"))))
+          .cast(DecimalType(38, 4)).cast(DoubleType).as("balance"))
+      val withCut = ev.crossJoin(broadcast(cut))
+      val prior = balance(withCut.filter(col("ts") < col("c")))
+        .withColumn("refreshed", lit(false))
+      val dirty = withCut.filter(col("ts") >= col("c"))
+        .select(col("user_id")).distinct()
+      val recomputed = balance(ev.join(dirty, Seq("user_id"), "left_semi"))
+        .withColumn("refreshed", lit(true))
+      Merge.upsert(prior, recomputed, Seq("user_id")).orderBy(col("user_id"))
     },
 
     // S12 checkpoint advance (scan_raw_txs.py:132-137): the cursor write
