@@ -45,6 +45,13 @@ object Api {
   private val Excluded = Seq("TransferFromMoC", "QueueDOC")
   private val ExcludedSql = Excluded.map(e => s"'$e'").mkString(", ")
 
+  /** O1 pagination clamp (lib_tools.py:55-61): requested page sizes snap
+    * to the allowed set — default 20, max 40, anything else rounded down
+    * to the nearest allowed value. */
+  val AllowedPageSizes: Seq[Int] = Seq(20, 40)
+  def clampPageSize(requested: Int): Int =
+    AllowedPageSizes.filter(_ <= requested).lastOption.getOrElse(AllowedPageSizes.head)
+
   val queries: Seq[Q] = Seq(
 
     // GET /transactions/list (bp_user_operations.py:9-93): address
@@ -88,6 +95,42 @@ object Api {
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("created_at"))
         .orderBy(col("ts").desc, col("event_id").desc)
         .limit(1)
+    },
+
+    // The console report (report/historical.py:85-236, the reference's
+    // third process): per-operation translated display names (F20) with
+    // total and historical-cut counts plus distinct actives (A1/A2/P9) —
+    // one grouped pass with conditional aggregates, no second scan for
+    // the historical slice.
+    Q(
+      "api_report",
+      """WITH cut AS (SELECT MAX(ts) - INTERVAL 3 DAY AS c FROM events)
+        |SELECT
+        |  CASE event_type WHEN 'purchase' THEN 'Mint' WHEN 'view' THEN 'Browse'
+        |    WHEN 'click' THEN 'Transfer' WHEN 'signup' THEN 'Approve'
+        |    ELSE 'Settle' END AS operation,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE ts < cut.c) AS n_old,
+        |  COUNT(DISTINCT user_id) AS users_all,
+        |  COUNT(DISTINCT CASE WHEN ts < cut.c THEN user_id END) AS users_old
+        |FROM events, cut
+        |GROUP BY event_type, cut.c
+        |ORDER BY operation""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 3 DAY")).as("c"))
+      val opName = when(col("event_type") === "purchase", "Mint")
+        .when(col("event_type") === "view", "Browse")
+        .when(col("event_type") === "click", "Transfer")
+        .when(col("event_type") === "signup", "Approve")
+        .otherwise("Settle")
+      ev.crossJoin(broadcast(cut))
+        .groupBy(opName.as("operation"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("ts") < col("c"), 1)).as("n_old"),
+          countDistinct(col("user_id")).as("users_all"),
+          countDistinct(when(col("ts") < col("c"), col("user_id"))).as("users_old"))
+        .orderBy(col("operation"))
     },
 
     // GET /fast-btc-bridge/pegout (bp_fastbtc_bridge.py:9-40): type filter

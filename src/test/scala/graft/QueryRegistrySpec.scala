@@ -39,6 +39,15 @@ class QueryRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("page-size clamp snaps to the allowed set (lib_tools getPagination)") {
+    import graft.operators.Api.clampPageSize
+    assert(clampPageSize(20) === 20)
+    assert(clampPageSize(25) === 20)
+    assert(clampPageSize(40) === 40)
+    assert(clampPageSize(500) === 40)
+    assert(clampPageSize(1) === 20) // below minimum → default
+  }
+
   test("approx distinct-actives lands within 5% of the exact count") {
     val approx = QueryRegistry.byName("a1b_approx_distinct").fn(spark, sf)
       .collect()(0).getLong(0).toDouble
