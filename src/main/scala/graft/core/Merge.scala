@@ -19,7 +19,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * All operations require `target` and `updates` to share the natural-key
   * columns; `upsert`/`insertIfAbsent` additionally require identical
-  * schemas (unionByName).
+  * schemas (unionByName). `updates` must be key-unique (the reference
+  * upserts one document per key; a duplicate-key update batch would
+  * fan matched rows out) — dedupe with `dropDuplicates(keys)` or
+  * `upsertMonotonic` when the batch may carry several versions of a key.
   */
 object Merge {
 

@@ -44,7 +44,13 @@ object Pipelines {
     val merged =
       if (fs.exists(state)) Merge.upsert(spark.read.parquet(stateDir), batch, keys)
       else batch
-    // materialize to tmp BEFORE touching the live dir (merged lazily reads it)
+    // materialize to tmp BEFORE touching the live dir (merged lazily reads
+    // it). The delete+rename swap is not crash-atomic — a failure between
+    // the two loses the live dir (the checkpoint replays the batch, but a
+    // reader could observe the gap). Production targets a transactional
+    // table format (Delta MERGE) or Mongo upserts behind DocumentSink,
+    // where the swap problem doesn't exist; this parquet sink is the
+    // self-contained test-environment implementation.
     merged.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(state, true)
     fs.rename(tmp, state)
