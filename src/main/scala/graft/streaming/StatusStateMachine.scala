@@ -46,8 +46,16 @@ object StatusStateMachine {
     TxStatus(ev.txHash, Pending, -1L, ev.ts, ev.ts)
 
   /** pure transition — all lifecycle semantics live here, unit-tested
-    * without any streaming machinery. */
-  def transition(cur: TxStatus, ev: TxEvent): TxStatus = ev.kind match {
+    * without any streaming machinery. Terminal states ABSORB every further
+    * event (the reference never rescans confirmed/failed docs:
+    * scan_transaction_status.py:55,87 reads only pending/confirming), so
+    * a replayed receipt can never regress a confirmed tx. Cross-batch
+    * duplicate delivery after the state was dropped re-initializes from
+    * scratch — the sink-side defense is a version-gated upsert
+    * (Merge.upsertMonotonic on updatedTs), which the checkpointed source
+    * makes failure-recovery-only in practice. */
+  def transition(cur: TxStatus, ev: TxEvent): TxStatus = if (isTerminal(cur)) cur
+  else ev.kind match {
     case "created" => cur // idempotent on replay (at-least-once delivery)
     case "reverted" => cur.copy(status = Failed, updatedTs = ev.ts)
     case "mined" =>
