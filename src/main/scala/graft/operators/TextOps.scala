@@ -6,7 +6,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expressio
 import org.apache.spark.sql.types._
 
 import graft.core.{Q, Tables => T}
-import graft.plans.{RollingHash, RollingMinHashExpr}
+import graft.plans.{RollingHash, RollingMinHashExpr, WinnowExpr}
 
 /** Training-data text pipeline operators — SURVEY.md §7.4 extension surface
   * (beyond reference parity): tokenization, quality scoring, language-ID,
@@ -220,6 +220,67 @@ object TextOps {
     },
 
     // ── Deduplication ─────────────────────────────────────────────────────
+
+    // Winnowing near-dup (the MOSS scheme over tx_rolling_fp's hashes):
+    // each doc carries the min hash of every 32-window over its 16-char
+    // rolling hashes (custom array expression, O(n·k)); candidate pairs
+    // share a df-capped fingerprint; near-dups share at least 2. Two docs
+    // sharing any ≥47-char contiguous run are guaranteed a common
+    // fingerprint. The oracle recomputes the same set declaratively with
+    // list slicing.
+    Q(
+      "dd_winnow", {
+        val w = 16
+        val consts = (0 until w).map(j =>
+          BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+        val terms = consts.zipWithIndex.map { case (c, j) =>
+          s"CAST(ascii(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $c"
+        }.mkString(" + ")
+        s"""WITH hs AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(text) < $w THEN NULL ELSE
+           |      list_transform(range(1, length(text) - ${w - 2}),
+           |        i -> ($terms) % ${RollingHash.M})
+           |    END AS hashes
+           |  FROM documents),
+           |wn AS (
+           |  SELECT doc_id,
+           |    CASE WHEN hashes IS NULL THEN NULL
+           |      WHEN len(hashes) <= 32 THEN [list_min(hashes)]
+           |      ELSE list_sort(list_distinct(list_transform(range(1, len(hashes) - 30),
+           |        j -> list_min(hashes[CAST(j AS INTEGER):CAST(j + 31 AS INTEGER)]))))
+           |    END AS fps
+           |  FROM hs),
+           |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn WHERE fps IS NOT NULL),
+           |grouped AS (SELECT fp, list_sort(list(doc_id)) AS docs FROM f
+           |            GROUP BY fp HAVING count(*) <= 20),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           |  FROM (SELECT fp, unnest(docs) AS doc_id FROM grouped) a
+           |  JOIN (SELECT fp, unnest(docs) AS doc_id FROM grouped) b
+           |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      val f = T.documents(s, d)
+        .select(col("doc_id"),
+          toCol(WinnowExpr(toExpr(col("text")), 16, 32)).as("fps"))
+        .filter(col("fps").isNotNull)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val grouped = f.groupBy(col("fp"))
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) <= 20)
+        .persist()
+      grouped
+        .select(explode(expr(
+          "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on a 128-bit key (uniform — no skew), canonical = min doc_id.

@@ -48,6 +48,81 @@ object RollingHash {
   }
 }
 
+object Winnow {
+  /** full winnowing fingerprint set (the MOSS scheme): the minimum hash of
+    * every `k`-window over the `w`-char rolling hashes, distinct and
+    * ascending (canonical for set compare). Documents shorter than `w`
+    * chars yield null; with `<= k` hashes the whole doc is one window.
+    * Guarantee: two docs sharing a contiguous run of ≥ w+k-1 chars share
+    * at least one fingerprint. O(n·k) here (n ≈ 300 at test scale; the
+    * O(n) monotonic-deque variant drops in behind the same signature). */
+  def fingerprints(s: UTF8String, w: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    val str = s.toString
+    val n = str.length
+    if (n < w) return null
+    val m = n - w + 1
+    val hs = new Array[Long](m)
+    var bw = 1L
+    var j = 0
+    while (j < w - 1) { bw = bw * RollingHash.B % RollingHash.M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * RollingHash.B + str.charAt(i)) % RollingHash.M; i += 1 }
+    hs(0) = h
+    while (i < n) {
+      val t = (h - str.charAt(i - w).toLong * bw % RollingHash.M + RollingHash.M) % RollingHash.M
+      h = (t * RollingHash.B + str.charAt(i)) % RollingHash.M
+      hs(i - w + 1) = h
+      i += 1
+    }
+    val mins =
+      if (m <= k) Array(hs.min)
+      else (0 to m - k).map(st => { // min per k-window
+        var mn = hs(st); var x = st + 1
+        while (x < st + k) { if (hs(x) < mn) mn = hs(x); x += 1 }
+        mn
+      }).toArray
+    val out = mins.distinct.sorted
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** array-of-fingerprints winnowing expression (input StringType). */
+case class WinnowExpr(child: Expression, window: Int, winnowK: Int)
+    extends UnaryExpression {
+  require(window > 0 && winnowK > 0)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(v: Any): Any =
+    Winnow.fingerprints(v.asInstanceOf[UTF8String], window, winnowK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("fps")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $arr =
+            graft.plans.Winnow.fingerprints(${childGen.value}, $window, $winnowK);
+          if ($arr != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $arr;
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+}
+
 case class RollingMinHashExpr(child: Expression, window: Int)
     extends UnaryExpression {
   require(window > 0, "window must be positive")
