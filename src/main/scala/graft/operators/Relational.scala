@@ -404,6 +404,49 @@ object Relational {
         .orderBy(col("rn"))
     },
 
+    // Rollup (engine extension — the reference has no grouping sets):
+    // sub-total and grand-total rows in one pass, Decimal-pinned.
+    Q(
+      "q6_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(o6(sum(d6(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // U5/U6 intersect + except (engine extensions; SURVEY §2.7 notes the
+    // reference has neither): purchasers who also clicked, and purchasers
+    // who never errored.
+    Q(
+      "u5_intersect",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "click").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
+    Q(
+      "u6_except",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
     // W5 tumbling event-time window (T9 note: the engine exposes window()
     // for the extension ops even though the reference never windows):
     // daily event counts via Spark's window() operator — epoch-aligned
