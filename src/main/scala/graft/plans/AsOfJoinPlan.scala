@@ -25,16 +25,11 @@ import org.apache.spark.sql.types.DataType
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     key: String, ts: String, tiebreak: String,
-    rightVal: String, asofName: String) extends BinaryNode {
-
-  private def rightValType: DataType =
-    right.output.find(_.name == rightVal)
-      .map(_.dataType)
-      .getOrElse(org.apache.spark.sql.types.DoubleType)
-
-  /** stable output: all of left's columns plus the as-of value. */
-  lazy val asofAttr: AttributeReference =
-    AttributeReference(asofName, rightValType, nullable = true)()
+    rightVal: String, asofName: String,
+    // constructor field (not a derived val): node copies during
+    // optimization must keep the same exprId or parent references to the
+    // as-of column would orphan.
+    asofAttr: AttributeReference) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
 
@@ -51,10 +46,22 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoinPlan {
+  def apply(left: LogicalPlan, right: LogicalPlan,
+      key: String, ts: String, tiebreak: String,
+      rightVal: String, asofName: String): AsOfJoinPlan = {
+    val rvType: DataType = right.output.find(_.name == rightVal)
+      .map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.DoubleType)
+    AsOfJoinPlan(left, right, key, ts, tiebreak, rightVal, asofName,
+      AttributeReference(asofName, rvType, nullable = true)())
+  }
+}
+
 object AsOfJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case node @ AsOfJoinPlan(left, right, key, ts, tiebreak, rightVal, _) =>
+    case node @ AsOfJoinPlan(left, right, key, ts, tiebreak, rightVal, _, _) =>
       def attrOf(p: LogicalPlan, name: String): Attribute =
         p.output.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(
