@@ -177,6 +177,69 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // TF-IDF term ranking with INTEGER-EXACT scoring: idf is scaled to
+    // N·10^6 div df (integer division — identical on both engines, no
+    // libm ln() cross-engine drift), score = tf × idf. Top-3 terms per
+    // doc. Plan: two grouped passes (term stats, doc-term tf) + one join
+    // on token + per-doc top-k window — each shuffle keyed, no skew (df
+    // is bounded by N).
+    Q(
+      "tx_tfidf",
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf)
+        |       GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+        |  FROM tf JOIN df USING (token), n)
+        |SELECT doc_id, token, score, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * expr("(n_docs * 1000000) div df")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("score"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // Deterministic stratified downsampling (dataset curation): keep every
+    // 5th document per language stratum by doc_id order — systematic
+    // sampling, reproducible across engines and runs (rand()-based
+    // sampleBy is not), with the per-stratum before/after profile.
+    Q(
+      "tx_stratified_sample",
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  COUNT(*) FILTER (WHERE rn % 5 = 1) AS n_sampled,
+        |  MIN(CASE WHEN rn % 5 = 1 THEN doc_id END) AS first_sampled
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      T.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("rn") % 5 === 1, 1)).as("n_sampled"),
+          min(when(col("rn") % 5 === 1, col("doc_id"))).as("first_sampled"))
+        .orderBy(col("lang"))
+    },
+
     // Document fingerprinting: md5 of normalized text (full 128-bit) plus a
     // 64-bit hex prefix — the key space exact dedup shuffles on.
     Q(
