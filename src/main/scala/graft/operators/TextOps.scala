@@ -71,6 +71,62 @@ object TextOps {
   private val shinglesSql =
     "list_distinct(list_transform(range(1, greatest(len(l)-2,0)+1), i -> l[i]||' '||l[i+1]||' '||l[i+2]))"
 
+  /** shared winnow-pair machinery (dd_winnow candidates; dd_cluster edges):
+    * fingerprint sets per doc, df-capped fingerprint groups, in-row pair
+    * expansion, pairs sharing >= 2 fingerprints. */
+  private val WinnowPairsCte: String = {
+    val w = 16
+    val consts = (0 until w).map(j =>
+      BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+    val terms = consts.zipWithIndex.map { case (c, j) =>
+      s"CAST(ascii(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $c"
+    }.mkString(" + ")
+    s"""hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) < $w THEN NULL ELSE
+       |      list_transform(range(1, length(text) - ${w - 2}),
+       |        i -> ($terms) % ${RollingHash.M})
+       |    END AS hashes
+       |  FROM documents),
+       |wn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN hashes IS NULL THEN NULL
+       |      WHEN len(hashes) <= 32 THEN [list_min(hashes)]
+       |      ELSE list_sort(list_distinct(list_transform(range(1, len(hashes) - 30),
+       |        j -> list_min(hashes[CAST(j AS INTEGER):CAST(j + 31 AS INTEGER)]))))
+       |    END AS fps
+       |  FROM hs),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn WHERE fps IS NOT NULL),
+       |grouped AS (SELECT fp, list_sort(list(doc_id)) AS docs FROM f
+       |            GROUP BY fp HAVING count(*) <= 20),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM (SELECT fp, unnest(docs) AS doc_id FROM grouped) a
+       |  JOIN (SELECT fp, unnest(docs) AS doc_id FROM grouped) b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** pairs sharing >= 2 winnow fingerprints (no ordering — callers add). */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val f = T.documents(s, d)
+      .select(col("doc_id"),
+        toCol(WinnowExpr(toExpr(col("text")), 16, 32)).as("fps"))
+      .filter(col("fps").isNotNull)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val grouped = f.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 20)
+      .persist()
+    grouped
+      .select(explode(expr(
+        "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── Text analysis ─────────────────────────────────────────────────────
@@ -292,57 +348,71 @@ object TextOps {
     // fingerprint. The oracle recomputes the same set declaratively with
     // list slicing.
     Q(
-      "dd_winnow", {
-        val w = 16
-        val consts = (0 until w).map(j =>
-          BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
-        val terms = consts.zipWithIndex.map { case (c, j) =>
-          s"CAST(ascii(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $c"
-        }.mkString(" + ")
-        s"""WITH hs AS (
-           |  SELECT doc_id,
-           |    CASE WHEN length(text) < $w THEN NULL ELSE
-           |      list_transform(range(1, length(text) - ${w - 2}),
-           |        i -> ($terms) % ${RollingHash.M})
-           |    END AS hashes
-           |  FROM documents),
-           |wn AS (
-           |  SELECT doc_id,
-           |    CASE WHEN hashes IS NULL THEN NULL
-           |      WHEN len(hashes) <= 32 THEN [list_min(hashes)]
-           |      ELSE list_sort(list_distinct(list_transform(range(1, len(hashes) - 30),
-           |        j -> list_min(hashes[CAST(j AS INTEGER):CAST(j + 31 AS INTEGER)]))))
-           |    END AS fps
-           |  FROM hs),
-           |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn WHERE fps IS NOT NULL),
-           |grouped AS (SELECT fp, list_sort(list(doc_id)) AS docs FROM f
-           |            GROUP BY fp HAVING count(*) <= 20),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-           |  FROM (SELECT fp, unnest(docs) AS doc_id FROM grouped) a
-           |  JOIN (SELECT fp, unnest(docs) AS doc_id FROM grouped) b
-           |    ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }) { (s, d) =>
-      val f = T.documents(s, d)
-        .select(col("doc_id"),
-          toCol(WinnowExpr(toExpr(col("text")), 16, 32)).as("fps"))
-        .filter(col("fps").isNotNull)
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
-      val grouped = f.groupBy(col("fp"))
-        .agg(collect_list(col("doc_id")).as("docs"))
-        .filter(size(col("docs")) <= 20)
+      "dd_winnow",
+      s"""WITH $WinnowPairsCte
+         |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      winnowPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Near-dup CLUSTERING — the end product of the dedup pipeline: the
+    // winnow pair graph collapsed into connected components, cluster id =
+    // min doc_id (the canonical document). Spark side: distributed
+    // min-label propagation driven to FIXPOINT (each step is one edge
+    // join + one scalar convergence count to the driver — no data
+    // collects; the labels frame is localCheckpoint'ed per step so
+    // lineage stays flat; the same loop is the standard large-scale
+    // connected-components shape). Oracle: recursive-CTE transitive
+    // closure, min reachable node.
+    Q(
+      "dd_cluster",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |p2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |edges AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT l.doc_id, l.cluster_id, c.n_members
+         |FROM lab l JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM lab
+         |                 GROUP BY cluster_id) c USING (cluster_id)
+         |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val p = winnowPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .persist()
-      grouped
-        .select(explode(expr(
-          "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
-          .as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so an unchanged label SUM between
+      // iterations proves the fixpoint — one scalar aggregate per step
+      // instead of a join-based diff.
+      var prevSum = Long.MinValue
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 30) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("doc_id", "nid"), col("doc_b") === col("nid"))
+          .groupBy(col("doc_a")).agg(min(col("label")).as("nbrmin"))
+        // lazy checkpoint: the convergence aggregate below is the action
+        // that materializes it — one job per iteration, lineage still cut
+        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
+          .select(labels("doc_id").as("doc_id"),
+            least(labels("label"), coalesce(col("nbrmin"), labels("label"))).as("label"))
+          .localCheckpoint(false)
+        val row = next.agg(sum(col("label"))).collect()(0)
+        val s = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no nodes
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .join(sizes.select(col("label").as("cluster_id"), col("n_members")), Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"))
+        .orderBy(col("doc_id"))
     },
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
