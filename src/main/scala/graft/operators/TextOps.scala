@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.types._
@@ -413,6 +414,67 @@ object TextOps {
         .join(sizes.select(col("label").as("cluster_id"), col("n_members")), Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("n_members"))
         .orderBy(col("doc_id"))
+    },
+
+    // End-to-end curation funnel — the composite a training-data pipeline
+    // actually runs: exact dedup (keep min doc_id per normalized
+    // fingerprint) → near-dup drop (greedy: the larger doc_id of every
+    // winnow pair is dropped — the practical shortcut to full clustering;
+    // dd_cluster is the exact variant) → quality gate (composite score ≥
+    // 0.5) — reported as a per-language survival funnel.
+    Q(
+      "tx_curation",
+      s"""WITH $WinnowPairsCte,
+         |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_shared >= 2),
+         |exact_keep AS (SELECT doc_id FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1),
+         |quality AS (
+         |  SELECT doc_id,
+         |    0.4*(CAST(len(list_distinct(l)) AS DOUBLE)/len(l))
+         |    + 0.4*(1.0 - CAST(len(list_filter(l, t -> list_contains($stopListSql, t))) AS DOUBLE)/len(l))
+         |    + 0.2*least(CAST(len(l) AS DOUBLE)/100.0, 1.0) AS q
+         |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
+         |SELECT d.lang,
+         |  COUNT(*) AS n_in,
+         |  COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL) AS n_after_exact,
+         |  COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL AND dr.doc_id IS NULL) AS n_after_neardup,
+         |  COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL AND dr.doc_id IS NULL AND q.q >= 0.5) AS n_final
+         |FROM documents d
+         |LEFT JOIN exact_keep e USING (doc_id)
+         |LEFT JOIN dropped dr USING (doc_id)
+         |JOIN quality q USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val dropped = winnowPairs(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      val wExact = Window.partitionBy(md5(norm(col("text")))).orderBy(col("doc_id"))
+      val exactKeep = docs
+        .withColumn("rn", row_number().over(wExact)).filter(col("rn") === 1)
+        .select(col("doc_id")).withColumn("is_exact_keep", lit(true))
+      val quality = docs
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          (lit(0.4) * (size(array_distinct(col("l"))).cast(DoubleType) / size(col("l")))
+            + lit(0.4) * (lit(1.0) -
+              expr(s"size(filter(l, t -> array_contains($stopList, t)))").cast(DoubleType)
+                / size(col("l")))
+            + lit(0.2) * least(size(col("l")).cast(DoubleType) / 100.0, lit(1.0))).as("q"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(exactKeep, Seq("doc_id"), "left")
+        .join(dropped, Seq("doc_id"), "left")
+        .join(quality, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_in"),
+          count(when(col("is_exact_keep"), 1)).as("n_after_exact"),
+          count(when(col("is_exact_keep") && col("is_dropped").isNull, 1)).as("n_after_neardup"),
+          count(when(col("is_exact_keep") && col("is_dropped").isNull && col("q") >= 0.5, 1))
+            .as("n_final"))
+        .orderBy(col("lang"))
     },
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one

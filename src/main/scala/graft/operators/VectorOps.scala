@@ -254,6 +254,51 @@ object VectorOps {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // L2 normalization (embedding preprocessing): components divided by
+    // the vector norm, with the norm built from the exact integer
+    // quantization (order-independent) and the per-component division a
+    // single deterministic IEEE op. First 4 dims sampled for compactness.
+    Q(
+      "ss_normalize",
+      s"""$FlatCte
+         |SELECT f.vec_id, f.i, CAST(f.v AS DOUBLE)/sqrt(n.nrm) AS nv
+         |FROM flat f JOIN norms n USING (vec_id)
+         |WHERE f.i <= 4 AND n.nrm > 0
+         |ORDER BY f.vec_id, f.i""".stripMargin) { (s, d) =>
+      quantized(s, d, withBucket = false)
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), col("nrm"), posexplode(col("qarr")).as(Seq("i0", "v")))
+        .withColumn("i", (col("i0") + 1).cast(LongType))
+        .filter(col("i") <= 4)
+        .select(col("vec_id"), col("i"),
+          (col("v").cast(DoubleType) / sqrt(col("nrm").cast(DoubleType))).as("nv"))
+        .orderBy(col("vec_id"), col("i"))
+    },
+
+    // int8 quantization (serving/storage prep): per-vector scale =
+    // max |component|, q8 = trunc(v·127 / maxabs) — pure integer
+    // arithmetic end-to-end (both engines truncate toward zero), the
+    // standard symmetric-range scheme without any float rounding-mode
+    // hazard.
+    Q(
+      "ss_quant_int8",
+      s"""$FlatCte,
+         |mx AS (SELECT vec_id, MAX(abs(v)) AS maxabs FROM flat GROUP BY vec_id)
+         |SELECT f.vec_id, f.i, (f.v * 127) // mx.maxabs AS q8
+         |FROM flat f JOIN mx USING (vec_id)
+         |WHERE f.i <= 4 AND mx.maxabs > 0
+         |ORDER BY f.vec_id, f.i""".stripMargin) { (s, d) =>
+      val flat = quantized(s, d, withBucket = false)
+        .select(col("vec_id"), posexplode(col("qarr")).as(Seq("i0", "v")))
+        .withColumn("i", (col("i0") + 1).cast(LongType))
+      val mx = flat.groupBy(col("vec_id")).agg(max(abs(col("v"))).as("maxabs"))
+        .filter(col("maxabs") > 0)
+      flat.filter(col("i") <= 4)
+        .join(mx, Seq("vec_id"))
+        .select(col("vec_id"), col("i"), expr("(v * 127) div maxabs").as("q8"))
+        .orderBy(col("vec_id"), col("i"))
+    },
+
     // Centroid aggregation per label (the building block of IVF coarse
     // quantization): exact integer component sums, then double means — the
     // kind of vector agg a 100 TB IVF index build runs per partition list.
