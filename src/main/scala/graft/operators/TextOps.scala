@@ -389,19 +389,21 @@ object TextOps {
       // labels only ever decrease, so an unchanged label SUM between
       // iterations proves the fixpoint — one scalar aggregate per step
       // instead of a join-based diff.
+      // one propagation step = min over (self ∪ neighbor labels): a single
+      // join + one grouped min — no second join back onto labels
+      def step(lbl: DataFrame): DataFrame =
+        lbl.union(
+            edges.join(lbl.withColumnRenamed("doc_id", "nid"), col("doc_b") === col("nid"))
+              .select(col("doc_a").as("doc_id"), col("label")))
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
       var prevSum = Long.MinValue
       var iter = 0
       var converged = false
-      while (!converged && iter < 30) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("doc_id", "nid"), col("doc_b") === col("nid"))
-          .groupBy(col("doc_a")).agg(min(col("label")).as("nbrmin"))
-        // lazy checkpoint: the convergence aggregate below is the action
-        // that materializes it — one job per iteration, lineage still cut
-        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
-          .select(labels("doc_id").as("doc_id"),
-            least(labels("label"), coalesce(col("nbrmin"), labels("label"))).as("label"))
-          .localCheckpoint(false)
+      while (!converged && iter < 15) {
+        // two hops per convergence check: halves the driver actions; the
+        // lazy checkpoint is materialized by the aggregate below, so each
+        // double-step costs one job and lineage stays cut
+        val next = step(step(labels)).localCheckpoint(false)
         val row = next.agg(sum(col("label"))).collect()(0)
         val s = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no nodes
         converged = s == prevSum
