@@ -447,6 +447,25 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // Skew-salted join through the library operator: results must be a
+    // drop-in replacement for the plain equi-join (the oracle IS the
+    // plain join), while the big side scatters across salt sub-partitions
+    // (graft.core.Skew scaladoc; SkewSpec covers the scatter property).
+    Q(
+      "s14_salted_join",
+      """SELECT s.s_name, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin) { (s, d) =>
+      val li = T.lineitem(s, d)
+        .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+      val supp = T.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      graft.core.Skew.saltedJoin(li, supp, "s_suppkey", factor = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), o6(sum(d6(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("s_name"))
+    },
+
     // W5 tumbling event-time window (T9 note: the engine exposes window()
     // for the extension ops even though the reference never windows):
     // daily event counts via Spark's window() operator — epoch-aligned

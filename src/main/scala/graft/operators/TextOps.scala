@@ -619,6 +619,34 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }.copy(bench = true),
 
+    // The MinHash signature again, through the TYPED AGGREGATOR path
+    // (graft.functions.MinHashAgg — X5): constant-space sketch buffer with
+    // commutative merge, bit-equal to dd_minhash_lsh's wide aggregation;
+    // the oracle assembles the same signature as a list.
+    Q(
+      "dd_minhash_agg", {
+        val mins = (0 until MhK)
+          .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP)").mkString(", ")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id, unnest($shinglesSql) AS shingle
+           |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+           |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh)
+           |SELECT doc_id, [$mins] AS sig
+           |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+        .select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
+        .as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
+        .toDF("doc_id", "sig")
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup: 48-bit signature from frequency-weighted token-hash
     // bits (md5-derived 60-bit token ids); near-dup iff hamming <= 3.
     // Plan shape: the 48 signed bit-sums are ONE wide aggregation per doc
