@@ -80,15 +80,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.as[String].collect().toSet === Set("a", "b", "c"))
   }
 
-  test("T7 foreachBatch upsert is idempotent under batch replay") {
+  test("T7 DocumentSink upsert is idempotent under batch replay") {
     val dir = Files.createTempDirectory("graft-state").toString + "/state"
+    val sink: graft.streaming.DocumentSink =
+      new graft.streaming.ParquetDocumentSink(spark, dir)
     val b1 = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
-    Pipelines.upsertBatch(spark, dir, b1, Seq("k"))
+    sink.upsert(b1, Seq("k"))
     val b2 = Seq((2L, "Y"), (3L, "z")).toDF("k", "v")
-    Pipelines.upsertBatch(spark, dir, b2, Seq("k"))
-    Pipelines.upsertBatch(spark, dir, b2, Seq("k")) // replay
+    sink.upsert(b2, Seq("k"))
+    sink.upsert(b2, Seq("k")) // replay
     val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
     assert(got === Set((1L, "x"), (2L, "Y"), (3L, "z")))
+  }
+
+  test("T1 trigger cadence mirrors the reference's poll intervals") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Triggers
+    assert(Triggers.Blocks === Trigger.ProcessingTime("3 seconds"))
+    assert(Triggers.Events === Trigger.ProcessingTime("4 seconds"))
+    assert(Triggers.Reprocess === Trigger.ProcessingTime("60 seconds"))
   }
 
   test("T8 liveness watchdog flags a stalled head under a virtual clock") {
