@@ -157,6 +157,27 @@ object Scalars {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // F24 (parse direction): the reference consumes BSON documents; here
+    // the JSON payload column is parsed two ways — path extraction
+    // (get_json_object) and schema-full parse (from_json → typed struct) —
+    // then bucketed. Both are codegen'd built-ins; no UDF.
+    Q(
+      "f_json_suite",
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val parsed = from_json(col("props"),
+        StructType(Seq(StructField("k", LongType))))
+      T.events(s, d).select(
+          col("event_id"),
+          parsed.getField("k").as("k_val"),
+          (get_json_object(col("props"), "$.k").cast(LongType) % 10).as("k_bucket"),
+          get_json_object(col("props"), "$.missing").cast(LongType).as("absent"))
+        .orderBy(col("event_id"))
+    },
+
     // F4 commission markup fallback (mocexchange.py:56-68): rbtc leg =
     // commission + coalesce(reserveTokenMarkup, btcMarkup); usd leg picks
     // rbtc×reservePrice when rbtc > 0, else moc×mocPrice. Wei values are
