@@ -58,6 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("no accidental cartesian/nested-loop joins in the heavy extension queries") {
+    Seq("ss_topk_ivf", "j10_range_bucketed", "tx_curation", "dd_minhash_lsh").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+  }
+
   test("X1 hex decode participates in whole-stage codegen") {
     val p = plan("x1_decode_log")
     assert(p.contains("hex_to_long"), "custom expression missing from plan")
