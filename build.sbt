@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the AVX-512 arraycopy JIT stubs (jshort_disjoint_arraycopy_avx3)
+  // intermittently SIGSEGV on this host; cap vector stubs at AVX2
+  "-XX:UseAVX=2",
 )

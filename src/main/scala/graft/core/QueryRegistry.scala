@@ -13,6 +13,7 @@ object QueryRegistry {
       graft.operators.Snapshot.queries ++
       graft.operators.Api.queries ++
       graft.operators.EventUnion.queries ++
+      graft.operators.EventCatalog.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.VectorOps.queries

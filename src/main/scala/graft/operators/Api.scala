@@ -152,6 +152,91 @@ object Api {
         .select(substring(md5(col("event_id").cast(StringType)), 1, 12).as("transfer_id"),
           concat(lit("0xA"), col("user_id").cast(StringType)).as("address"),
           lit("PEG_OUT").as("type"), col("value"), col("ts"))
+    },
+
+    // The /transactions/list RESPONSE ENVELOPE (bp_user_operations.py:88-92):
+    // {transactions: <page>, count: len(page), total: count_documents(filter)}
+    // as ONE row. The page is assembled orderless-safe: collect_list of
+    // (desc-sort-key, record) structs → sort_array → slice(offset+1, limit)
+    // — no unpartitioned window, one aggregation; `envelope_json` is the
+    // F24 JSON rendering of the scalar envelope fields.
+    Q(
+      "api_envelope",
+      s"""WITH $TxViewCte,
+         |f AS (
+         |  SELECT event_id, event, ts,
+         |    CAST(event_id AS VARCHAR) || ':' || event || ':'
+         |      || strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS rec
+         |  FROM tx
+         |  WHERE lower(address) = '0xa7' AND event NOT IN ($ExcludedSql)),
+         |page AS (
+         |  SELECT rec, ts, event_id FROM f
+         |  ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 2)
+         |SELECT
+         |  (SELECT count(*) FROM page) AS count,
+         |  (SELECT count(*) FROM f) AS total,
+         |  (SELECT string_agg(rec, '|' ORDER BY ts DESC, event_id DESC) FROM page)
+         |    AS transactions,
+         |  '{"count":' || CAST((SELECT count(*) FROM page) AS VARCHAR) || ',"total":'
+         |    || CAST((SELECT count(*) FROM f) AS VARCHAR) || '}' AS envelope_json""".stripMargin) { (s, d) =>
+      val f = txView(s, d)
+        .filter(lower(col("address")) === "0xa7" && !col("event").isin(Excluded: _*))
+        .select(struct(
+          (-col("event_id")).as("k2"), // tiebreak inside equal-µs timestamps
+          col("event_id"), col("event"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("iso"),
+          (-unix_micros(col("ts"))).as("k1")).as("r"))
+      f.agg(count(lit(1)).as("total"), collect_list(col("r")).as("rs"))
+        .select(col("total"),
+          expr("""slice(array_sort(rs, (a, b) ->
+                    CASE WHEN a.k1 < b.k1 THEN -1 WHEN a.k1 > b.k1 THEN 1
+                         WHEN a.k2 < b.k2 THEN -1 WHEN a.k2 > b.k2 THEN 1
+                         ELSE 0 END), 3, 20)""").as("page"))
+        .select(
+          size(col("page")).cast(LongType).as("count"),
+          col("total"),
+          expr("concat_ws('|', transform(page, p -> " +
+            "concat(CAST(p.event_id AS STRING), ':', p.event, ':', p.iso)))")
+            .as("transactions"),
+          concat(lit("{\"count\":"), size(col("page")).cast(StringType),
+            lit(",\"total\":"), col("total").cast(StringType), lit("}"))
+            .as("envelope_json"))
+    },
+
+    // GET /prices/var (bp_prices.py:20-67): latest price row, the 24h-back
+    // cut, and the reference's floor-to-midnight QUIRK — `replace(hour=0,
+    // minute=0)` zeroes hour and minute but KEEPS seconds/microseconds —
+    // then the newest row inside [floor, cut) and the variation.
+    Q(
+      "api_prices",
+      """WITH cur AS (
+        |  SELECT event_id AS cur_id, value AS cur_price, ts AS cur_ts
+        |  FROM events ORDER BY event_id DESC LIMIT 1),
+        |d1 AS (SELECT *, cur_ts - INTERVAL 24 HOUR AS delta_ts FROM cur),
+        |d2 AS (SELECT *, make_timestamp(epoch_us(date_trunc('day', delta_ts))
+        |  + epoch_us(delta_ts) - epoch_us(date_trunc('minute', delta_ts))) AS floor_ts
+        |  FROM d1)
+        |SELECT d2.cur_id, d2.cur_price, d2.floor_ts,
+        |  e.event_id AS delta_id, e.value AS delta_price,
+        |  (d2.cur_price - e.value) / e.value AS variation
+        |FROM events e, d2
+        |WHERE e.ts >= d2.floor_ts AND e.ts < d2.delta_ts
+        |ORDER BY e.event_id DESC LIMIT 1""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val cur = ev.orderBy(col("event_id").desc).limit(1)
+        .select(col("event_id").as("cur_id"), col("value").as("cur_price"),
+          col("ts").as("cur_ts"))
+        .withColumn("delta_ts", col("cur_ts") - expr("INTERVAL 24 HOURS"))
+        .withColumn("floor_ts", timestamp_micros(
+          unix_micros(date_trunc("DAY", col("delta_ts")))
+            + (unix_micros(col("delta_ts"))
+              - unix_micros(date_trunc("MINUTE", col("delta_ts"))))))
+      ev.crossJoin(broadcast(cur))
+        .filter(col("ts") >= col("floor_ts") && col("ts") < col("delta_ts"))
+        .orderBy(col("event_id").desc).limit(1)
+        .select(col("cur_id"), col("cur_price"), col("floor_ts"),
+          col("event_id").as("delta_id"), col("value").as("delta_price"),
+          ((col("cur_price") - col("value")) / col("value")).as("variation"))
     }
   )
 }

@@ -303,6 +303,80 @@ object EventPipeline {
           decode(substring(col("data"), 1, 16)).as("amount"),
           decode(concat(lit("0x"), substring(col("data"), 17, 16))).as("account"))
         .orderBy(col("event_id"))
+    },
+
+    // X1 in FULL: typed `decode_log(topics, data) → struct` against the
+    // keccak-derived topic0 registry (scan_events_txs.py:144 _decode_logs
+    // → per-event payload structs). Three distinct payload schemas are
+    // synthesized as real ABI encodings (indexed fields in topics,
+    // static words in data) and decoded back; the oracle recomputes the
+    // expected field values directly from the source columns, so any
+    // encode/decode asymmetry fails the hash compare.
+    Q(
+      "x1b_decode_abi",
+      """SELECT event_id, 'Transfer' AS ev,
+        |  '0x' || lpad(lower(hex(user_id)), 40, '0') AS a1,
+        |  '0x' || lpad(lower(hex(user_id + 1)), 40, '0') AS a2,
+        |  CAST(event_id * 1000 + 1 AS VARCHAR) AS a3
+        |FROM events WHERE event_type = 'view'
+        |UNION ALL
+        |SELECT event_id, 'RiskProMint',
+        |  '0x' || lpad(lower(hex(user_id)), 40, '0'),
+        |  CAST(event_id * 7 AS VARCHAR),
+        |  CAST(event_id * 5 AS VARCHAR)
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, 'SettlementRedeemStableToken',
+        |  CAST(event_id % 50 AS VARCHAR),
+        |  CAST(event_id * 3 AS VARCHAR),
+        |  '40000'
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY ev, event_id""".stripMargin) { (s, d) =>
+      import graft.plans.{DecodeLogExpr, LogSchemaRegistry}
+      def decodeLog(ev: String, topics: Column, data: Column): Column =
+        toCol(DecodeLogExpr(ev, toExpr(topics), toExpr(data)))
+      def t0(ev: String): Column = lit("0x" + LogSchemaRegistry.byName(ev).topic0)
+      def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+      val ev = T.events(s, d)
+
+      val transfer = ev.filter(col("event_type") === "view")
+        .select(col("event_id"),
+          array(t0("Transfer"), word(col("user_id")), word(col("user_id") + 1)).as("topics"),
+          word(col("event_id") * 1000 + 1).as("data"))
+        .withColumn("dec", decodeLog("Transfer", col("topics"), col("data")))
+        .select(col("event_id"), lit("Transfer").as("ev"),
+          col("dec.from").as("a1"), col("dec.to").as("a2"),
+          col("dec.value").cast(StringType).as("a3"))
+
+      // all nine RiskProMint fields ride in data (none indexed); only the
+      // first three are projected, exercising struct-field pruning-by-hand
+      val mint = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          array(t0("RiskProMint")).as("topics"),
+          concat(word(col("user_id")), word(col("event_id") * 7),
+            word(col("event_id") * 5), word(col("event_id") % 100),
+            word(lit(40000L)), word(lit(0L)), word(lit(100L)),
+            word(lit(1L)), word(lit(2L))).as("data"))
+        .withColumn("dec", decodeLog("RiskProMint", col("topics"), col("data")))
+        .select(col("event_id"), lit("RiskProMint").as("ev"),
+          col("dec.account").as("a1"),
+          col("dec.amount").cast(StringType).as("a2"),
+          col("dec.reserveTotal").cast(StringType).as("a3"))
+
+      val settle = ev.filter(col("event_type") === "click")
+        .select(col("event_id"),
+          array(t0("SettlementRedeemStableToken")).as("topics"),
+          concat(word(col("event_id") % 50), word(col("event_id") * 3),
+            word(lit(40000L))).as("data"))
+        .withColumn("dec",
+          decodeLog("SettlementRedeemStableToken", col("topics"), col("data")))
+        .select(col("event_id"), lit("SettlementRedeemStableToken").as("ev"),
+          col("dec.queueSize").cast(StringType).as("a1"),
+          col("dec.accumCommissions").cast(StringType).as("a2"),
+          col("dec.reservePrice").cast(StringType).as("a3"))
+
+      transfer.unionAll(mint).unionAll(settle)
+        .orderBy(col("ev"), col("event_id"))
     }
   )
 }

@@ -128,8 +128,8 @@ object Multimodal {
     Q(
       "mm_feature_extract",
       """SELECT doc_id,
-        |  list_transform(range(0,4),
-        |    i -> CAST('0x'||substr(md5(text), CAST(1+4*i AS INTEGER), 4) AS BIGINT)) AS features
+        |  array_to_string(list_transform(range(0,4),
+        |    i -> CAST('0x'||substr(md5(text), CAST(1+4*i AS INTEGER), 4) AS BIGINT)), ',') AS features
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       T.documents(s, d)
@@ -140,6 +140,8 @@ object Multimodal {
             r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
         }
         .toDF()
+        .select(col("doc_id"),
+          array_join(col("features").cast("array<string>"), ",").as("features"))
         .orderBy(col("doc_id"))
     }
   )

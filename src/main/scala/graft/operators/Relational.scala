@@ -389,18 +389,36 @@ object Relational {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
 
-    // A6 running count (historical.py:248-260 cursor counter).
+    // A6 running count (historical.py:248-260 cursor counter). Global
+    // row_number WITHOUT the single-partition window: two-pass rank.
+    // Pass 1 ranks within coarse day buckets (parallel across buckets);
+    // pass 2 broadcasts the per-bucket cumulative offsets (one row per
+    // day — tiny) and adds. Bucket order is a prefix of (ts, event_id)
+    // order, so bucket-major + local rank equals the global rank.
     Q(
       "a6_running_count",
       """SELECT event_id, ts,
         |  ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY rn""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      T.events(s, d)
+      val base = T.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("bkt", date_trunc("DAY", col("ts")))
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("ts"), col("event_id"))
+      // cumulative offsets over the per-bucket counts: a range self-join on
+      // the tiny (one row per day) counts table — quadratic in days, zero
+      // windows, so nothing ever funnels into a single partition.
+      val counts = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      val offsets = counts
+        .join(counts.select(col("bkt").as("bkt2"), col("cnt").as("cnt2")),
+          col("bkt2") < col("bkt"), "left")
+        .groupBy(col("bkt")).agg(coalesce(sum(col("cnt2")), lit(0L)).as("offset"))
+      base
+        .withColumn("local_rn", row_number().over(wLocal))
+        .join(broadcast(offsets), Seq("bkt"))
+        .select(col("event_id"), col("ts"),
+          (col("offset") + col("local_rn")).cast("int").as("rn"))
         .orderBy(col("rn"))
     },
 

@@ -89,9 +89,13 @@ object Scalars {
         |       ELSE LEAST((head - event_id) * 10, 100) END AS confirming_percent
         |FROM (SELECT event_id, MAX(event_id) OVER () AS head FROM events)
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      val wAll = Window.partitionBy()
-      T.events(s, d)
-        .withColumn("head", max(col("event_id")).over(wAll))
+      // chain head is a scalar: one-row aggregate broadcast to every row —
+      // never an unpartitioned window (that funnels the table through one
+      // partition). Same shape as EventPipeline/Sinks head computation.
+      val ev = T.events(s, d)
+      val head = ev.agg(max(col("event_id")).as("head"))
+      ev
+        .crossJoin(broadcast(head))
         .select(col("event_id"),
           when(col("head") - col("event_id") > 10, "confirmed").otherwise("confirming").as("status"),
           when(col("head") - col("event_id") > 10, lit(100L))

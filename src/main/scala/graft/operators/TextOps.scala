@@ -128,6 +128,82 @@ object TextOps {
       .filter(col("n_shared") >= 2)
   }
 
+  /** Connected components over an undirected pair graph `(doc_a, doc_b)`:
+    * returns one `(doc_id, label)` row per node, label = min node id of
+    * the component.
+    *
+    * Min-label propagation with POINTER JUMPING: each round first takes
+    * the min over self ∪ neighbor labels (one edge join + grouped min),
+    * then shortcuts `label := label(label)` (one self-join — every label
+    * is itself a node id, so the lookup always hits). The shortcut halves
+    * the remaining distance to the component min every round, so the loop
+    * converges in O(log diameter) rounds — `maxRounds = 40` covers any
+    * graph with diameter up to ~2^40 — and each round is two shuffles
+    * regardless of graph size. Labels only ever decrease, so an unchanged
+    * label SUM between rounds proves the fixpoint (one scalar aggregate
+    * per round; no data collects to the driver). If the cap is ever hit
+    * the call FAILS rather than returning silently wrong labels.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+    // lineage cut that carries NO constraints: round-trip through the RDD
+    // (localCheckpoint's LogicalRDD captures origin-plan constraints, and
+    // Catalyst's Union constraint rewrite chokes on them under the
+    // self-join below). The RDD is persisted so both downstream consumers
+    // compute it once.
+    val cutRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def cut(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist()
+      cutRdds += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = cut(nodes.select(col("doc_id"), col("doc_id").as("label")))
+    def step(lbl: DataFrame): DataFrame = {
+      val prop = cut(
+        lbl.union(
+            edges.join(lbl.withColumnRenamed("doc_id", "nid"), col("doc_b") === col("nid"))
+              .select(col("doc_a").as("doc_id"), col("label")))
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+      // pointer jump: follow the label one hop (label is a node id, so the
+      // inner self-join matches exactly once per row)
+      prop.as("pp").join(
+          prop.select(col("doc_id").as("ld"), col("label").as("ll")),
+          col("pp.label") === col("ld"))
+        .select(col("pp.doc_id").as("doc_id"), col("ll").as("label"))
+    }
+    var prevSum = Long.MinValue
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // the cut is materialized by the aggregate below, so each round costs
+      // one job and lineage stays flat
+      val next = cut(step(labels))
+      val row = next.agg(sum(col("label"))).collect()(0)
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no nodes
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged) {
+      cutRdds.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "refusing to emit possibly-wrong labels")
+    }
+    // release every intermediate round; the final labels stay cached until
+    // the caller's action completes (Spark recomputes from the flat cut if
+    // evicted, so correctness is unaffected)
+    cutRdds.dropRight(1).foreach(_.unpersist(blocking = false))
+    labels
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── Text analysis ─────────────────────────────────────────────────────
@@ -358,13 +434,11 @@ object TextOps {
 
     // Near-dup CLUSTERING — the end product of the dedup pipeline: the
     // winnow pair graph collapsed into connected components, cluster id =
-    // min doc_id (the canonical document). Spark side: distributed
-    // min-label propagation driven to FIXPOINT (each step is one edge
-    // join + one scalar convergence count to the driver — no data
-    // collects; the labels frame is localCheckpoint'ed per step so
-    // lineage stays flat; the same loop is the standard large-scale
-    // connected-components shape). Oracle: recursive-CTE transitive
-    // closure, min reachable node.
+    // min doc_id (the canonical document). Spark side: the
+    // `connectedComponents` helper below — min-label propagation with
+    // POINTER JUMPING, O(log diameter) rounds, loud failure instead of
+    // silent wrong labels if the round cap is ever hit. Oracle:
+    // recursive-CTE transitive closure, min reachable node.
     Q(
       "dd_cluster",
       s"""WITH RECURSIVE $WinnowPairsCte,
@@ -380,37 +454,7 @@ object TextOps {
          |FROM lab l JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM lab
          |                 GROUP BY cluster_id) c USING (cluster_id)
          |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
-      val p = winnowPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .persist()
-      val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint()
-      // labels only ever decrease, so an unchanged label SUM between
-      // iterations proves the fixpoint — one scalar aggregate per step
-      // instead of a join-based diff.
-      // one propagation step = min over (self ∪ neighbor labels): a single
-      // join + one grouped min — no second join back onto labels
-      def step(lbl: DataFrame): DataFrame =
-        lbl.union(
-            edges.join(lbl.withColumnRenamed("doc_id", "nid"), col("doc_b") === col("nid"))
-              .select(col("doc_a").as("doc_id"), col("label")))
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-      var prevSum = Long.MinValue
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 15) {
-        // two hops per convergence check: halves the driver actions; the
-        // lazy checkpoint is materialized by the aggregate below, so each
-        // double-step costs one job and lineage stays cut
-        val next = step(step(labels)).localCheckpoint(false)
-        val row = next.agg(sum(col("label"))).collect()(0)
-        val s = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no nodes
-        converged = s == prevSum
-        prevSum = s
-        labels = next
-        iter += 1
-      }
+      val labels = connectedComponents(winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
       labels.select(col("doc_id"), col("label").as("cluster_id"))
         .join(sizes.select(col("label").as("cluster_id"), col("n_members")), Seq("cluster_id"))
@@ -622,7 +666,10 @@ object TextOps {
     // The MinHash signature again, through the TYPED AGGREGATOR path
     // (graft.functions.MinHashAgg — X5): constant-space sketch buffer with
     // commutative merge, bit-equal to dd_minhash_lsh's wide aggregation;
-    // the oracle assembles the same signature as a list.
+    // the oracle assembles the same signature as a list. The signature is
+    // rendered as a canonical comma-joined string so value comparison is
+    // total-order friendly (array cells are not hashable/sortable in every
+    // downstream comparator).
     Q(
       "dd_minhash_agg", {
         val mins = (0 until MhK)
@@ -632,7 +679,7 @@ object TextOps {
            |    SELECT doc_id, unnest($shinglesSql) AS shingle
            |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
            |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh)
-           |SELECT doc_id, [$mins] AS sig
+           |SELECT doc_id, array_to_string([$mins], ',') AS sig
            |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       import s.implicits._
@@ -644,6 +691,8 @@ object TextOps {
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
         .toDF("doc_id", "sig")
+        .select(col("doc_id"),
+          array_join(col("sig").cast("array<string>"), ",").as("sig"))
         .orderBy(col("doc_id"))
     },
 

@@ -47,7 +47,19 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Cast(e,
         org.apache.spark.sql.types.DecimalType(38, 0)))),
     one("trunc_wei")(TruncWeiExpr(_)),
-    two("exact_mul")(ExactMulExpr(_, _)))
+    two("exact_mul")(ExactMulExpr(_, _)),
+    (FunctionIdentifier("decode_log"),
+      new ExpressionInfo(classOf[DecodeLogExpr].getName, "decode_log"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, "decode_log expects (event_name, topics, data)")
+        val event = args.head match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"decode_log event name must be a string literal, got $other")
+        }
+        require(LogSchemaRegistry.byName.contains(event), s"unknown event $event")
+        DecodeLogExpr(event, args(1), args(2))
+      }))
 
   /** register on an already-built session. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>

@@ -90,3 +90,17 @@ final class ParquetDocumentSink(spark: SparkSession, stateDir: String)
   override def upsert(batch: DataFrame, keys: Seq[String]): Unit =
     Pipelines.upsertBatch(spark, stateDir, batch, keys)
 }
+
+/** A [[DocumentSink]] bound to one catalog collection
+  * ([[graft.core.Schemas]]): every batch is conformed to the declared
+  * schema (missing field = loud failure, extra columns dropped, declared
+  * order + types) and upserted by the collection's OWN natural key — the
+  * unique index mongo_manager.py declares — so callers can't key a
+  * collection wrongly. The reference gets this pairing implicitly from
+  * each writer's update filter; here it is one object per collection. */
+final class CollectionSink(inner: DocumentSink, c: graft.core.Collection) {
+  require(c.keys.nonEmpty, s"${c.name} is a single-document collection; " +
+    "upsert it with an explicit constant key column")
+  def write(batch: DataFrame): Unit =
+    inner.upsert(graft.core.Schemas.conform(batch, c), c.keys)
+}

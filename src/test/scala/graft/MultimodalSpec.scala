@@ -26,7 +26,8 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val feats = QueryRegistry.byName("mm_feature_extract").fn(spark, sf)
     assert(feats.count() === docs)
-    assert(feats.select(size(col("features"))).distinct().collect()
+    // features is rendered as a canonical comma-joined string; still 4-wide
+    assert(feats.select(size(split(col("features"), ","))).distinct().collect()
       .map(_.getInt(0)).toSeq === Seq(4))
   }
 

@@ -74,4 +74,13 @@ class PlanSpec extends AnyFunSuite {
     assert(codegenLine.exists(_.contains("*(")),
       s"decode Project not inside a codegen span: $codegenLine")
   }
+
+  test("X1 typed ABI decode participates in whole-stage codegen") {
+    val p = plan("x1b_decode_abi")
+    assert(p.contains("decode_log"), "decode_log expression missing from plan")
+    val codegenLine = p.linesIterator
+      .find(l => l.contains("decode_log") && l.contains("Project"))
+    assert(codegenLine.exists(_.contains("*(")),
+      s"decode Project not inside a codegen span: $codegenLine")
+  }
 }

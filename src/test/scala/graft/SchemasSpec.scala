@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Schemas
+import graft.plans.LogSchemaRegistry
+import graft.streaming.{CollectionSink, ParquetDocumentSink}
+
+/** The document-store catalog must mirror the reference exactly: all 16
+  * collections, natural keys = the reference's unique indexes, 21 event
+  * payload schemas, and the conform() sink gate aligning (or loudly
+  * rejecting) derivation output.
+  */
+class SchemasSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("catalog covers the reference's 16 collections") {
+    assert(Schemas.all.map(_.name).toSet === Set(
+      "MocState", "MocState_history", "MocState_status", "Price",
+      "UserState", "UserState_update", "users", "BitProHoldersInterest",
+      "SettlementState", "InRateIncome", "Transaction", "Notification",
+      "moc_indexer", "moc_indexer_history", "raw_transactions",
+      "FastBtcBridge"))
+    assert(Schemas.all.size === 16)
+  }
+
+  test("natural keys match the reference's unique indexes") {
+    // mongo_manager.py create_index(..., unique=True) per collection
+    assert(Schemas.transaction.keys === Seq("transactionHash", "address", "event"))
+    assert(Schemas.notification.keys === Seq("transactionHash", "logIndex", "event"))
+    assert(Schemas.fastBtcBridge.keys === Seq("transferId"))
+    assert(Schemas.settlementState.keys === Seq("startBlockNumber"))
+    assert(Schemas.price.keys === Seq("blockHeight"))
+    assert(Schemas.mocStateHistory.keys === Seq("blockHeight"))
+    // single-document checkpoints have no natural key (update_one({}))
+    assert(Schemas.mocIndexer.keys.isEmpty)
+  }
+
+  test("raw_transactions mirrors the $jsonSchema validator field-for-field") {
+    val s = Schemas.rawTransactions.schema
+    // mongo_manager.py:200-255: required [hash, blockNumber], bsonType map
+    for (n <- Seq("hash", "from", "to", "value", "gasPrice", "input",
+        "logs", "status")) assert(s(n).dataType === StringType, n)
+    for (n <- Seq("blockNumber", "gas", "gas_used", "confirmations"))
+      assert(s(n).dataType === LongType, n)
+    for (n <- Seq("receipt", "processed")) assert(s(n).dataType === BooleanType, n)
+    assert(s("timestamp").dataType === TimestampType)
+  }
+
+  test("all 21 event payload schemas resolve through the catalog") {
+    assert(LogSchemaRegistry.events.size === 21)
+    LogSchemaRegistry.events.foreach { e =>
+      assert(Schemas.payloadOf(e.name) === e.structType)
+    }
+    // spot-shape: the exchange-op payloads carry the ×6 commission block
+    val mint = Schemas.payloadOf("RiskProMint").fieldNames
+    for (n <- Seq("commission", "reservePrice", "mocCommissionValue",
+        "mocPrice", "btcMarkup", "mocMarkup")) assert(mint.contains(n), n)
+  }
+
+  test("conform aligns order and types, drops extras, rejects missing") {
+    val batch = Seq(("a1", 7L, "0xdead", 1)).toDF(
+      "extra_col", "blockHeight", "account", "block_height_small")
+      .withColumn("block_height", col("block_height_small").cast(StringType))
+      .select(col("account"), col("block_height"), col("extra_col"))
+    val out = Schemas.conform(batch, Schemas.userStateUpdate)
+    assert(out.columns.toSeq === Seq("account", "block_height"))
+    assert(out.schema("block_height").dataType === LongType) // cast applied
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("0xdead", 1L)))
+
+    val err = intercept[IllegalArgumentException] {
+      Schemas.conform(batch.drop("block_height"), Schemas.userStateUpdate)
+    }
+    assert(err.getMessage.contains("block_height"))
+  }
+
+  test("CollectionSink conforms then upserts by the collection's own key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-collsink").toString
+    val sink = new CollectionSink(
+      new ParquetDocumentSink(spark, s"$dir/UserState_update"),
+      Schemas.userStateUpdate)
+    def batch(rows: (String, Long)*) = rows.toDF("account", "block_height")
+      .withColumn("noise", lit("dropme"))
+    sink.write(batch(("0xa", 10L), ("0xb", 11L)))
+    sink.write(batch(("0xb", 12L), ("0xc", 13L))) // 0xb patched, 0xc inserted
+    val state = spark.read.parquet(s"$dir/UserState_update")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(state === Seq(("0xa", 10L), ("0xb", 12L), ("0xc", 13L)))
+
+    // a batch missing a declared field must die before the store
+    assertThrows[IllegalArgumentException] {
+      sink.write(Seq("0xz").toDF("account"))
+    }
+    // single-doc checkpoint collections can't be keyed implicitly
+    assertThrows[IllegalArgumentException] {
+      new CollectionSink(
+        new ParquetDocumentSink(spark, s"$dir/moc_indexer"), Schemas.mocIndexer)
+    }
+  }
+}
