@@ -18,7 +18,7 @@ object Api {
 
   /** the synthesized Transaction-collection view the endpoints query:
     * mixed-case address, display event name, token, ISO date. */
-  private def txView(s: SparkSession, d: String): DataFrame =
+  private[graft] def txView(s: SparkSession, d: String): DataFrame =
     T.events(s, d).select(
       col("event_id"),
       concat(lit("0xA"), col("user_id").cast(StringType)).as("address"),
@@ -42,7 +42,7 @@ object Api {
       |    value, ts
       |  FROM events)""".stripMargin
 
-  private val Excluded = Seq("TransferFromMoC", "QueueDOC")
+  private[graft] val Excluded = Seq("TransferFromMoC", "QueueDOC")
   private val ExcludedSql = Excluded.map(e => s"'$e'").mkString(", ")
 
   /** O1 pagination clamp (lib_tools.py:55-61): requested page sizes snap

@@ -133,75 +133,86 @@ object TextOps {
     * the component.
     *
     * Min-label propagation with POINTER JUMPING: each round first takes
-    * the min over self ∪ neighbor labels (one edge join + grouped min),
-    * then shortcuts `label := label(label)` (one self-join — every label
-    * is itself a node id, so the lookup always hits). The shortcut halves
-    * the remaining distance to the component min every round, so the loop
-    * converges in O(log diameter) rounds — `maxRounds = 40` covers any
-    * graph with diameter up to ~2^40 — and each round is two shuffles
-    * regardless of graph size. Labels only ever decrease, so an unchanged
-    * label SUM between rounds proves the fixpoint (one scalar aggregate
-    * per round; no data collects to the driver). If the cap is ever hit
-    * the call FAILS rather than returning silently wrong labels.
+    * the min over self ∪ neighbor labels, then shortcuts
+    * `label := label(label)` (every label is itself a node id, so the
+    * lookup always hits). The shortcut halves the remaining distance to
+    * the component min every round, so the loop converges in
+    * O(log diameter) rounds — `maxRounds = 40` covers any diameter up to
+    * ~2^40. Labels only ever decrease, so an unchanged label SUM between
+    * rounds proves the fixpoint (one scalar aggregate per round; no data
+    * collects to the driver). If the cap is ever hit the call FAILS
+    * rather than returning silently wrong labels.
+    *
+    * The loop itself runs on co-partitioned pair RDDs, not DataFrames —
+    * the one shape where that is the right call (same reason GraphX is
+    * RDD-based): a fixed `HashPartitioner` shared by the edge set and the
+    * label table makes the per-round edge⋈label join NARROW (zero
+    * shuffle), leaves only the label-sized reduceByKey/re-key shuffles,
+    * and skips Catalyst re-planning per round. Parallelism is
+    * size-adaptive — one partition per ~1M directed edges up to the
+    * cluster's default parallelism — so a small candidate graph doesn't
+    * pay hundreds of empty-task launches per round and a 100 TB pair
+    * graph still fans out fully.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
     val spark = pairs.sparkSession
-    // lineage cut that carries NO constraints: round-trip through the RDD
-    // (localCheckpoint's LogicalRDD captures origin-plan constraints, and
-    // Catalyst's Union constraint rewrite chokes on them under the
-    // self-join below). The RDD is persisted so both downstream consumers
-    // compute it once.
-    val cutRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
-    def cut(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
-      rdd.persist()
-      cutRdds += rdd
-      spark.createDataFrame(rdd, df.schema)
-    }
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val sc = spark.sparkContext
+    // persist the directed pairs BEFORE mirroring: the pair graph is
+    // usually the output of an expensive candidate join, and the edge
+    // mirror below would otherwise compute it twice
+    val directed = pairs
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .persist()
-    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = cut(nodes.select(col("doc_id"), col("doc_id").as("label")))
-    def step(lbl: DataFrame): DataFrame = {
-      val prop = cut(
-        lbl.union(
-            edges.join(lbl.withColumnRenamed("doc_id", "nid"), col("doc_b") === col("nid"))
-              .select(col("doc_a").as("doc_id"), col("label")))
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
-      // pointer jump: follow the label one hop (label is a node id, so the
-      // inner self-join matches exactly once per row)
-      prop.as("pp").join(
-          prop.select(col("doc_id").as("ld"), col("label").as("ll")),
-          col("pp.label") === col("ld"))
-        .select(col("pp.doc_id").as("doc_id"), col("ll").as("label"))
-    }
+    val m = directed.count()
+    val nPart = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      2 * m / 1000000L + 1)).toInt
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    val edges = directed
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist()
+    var labels = edges.keys.distinct(nPart).map(v => (v, v))
+      .partitionBy(part).persist()
+    val spent = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    spent += labels
     var prevSum = Long.MinValue
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // the cut is materialized by the aggregate below, so each round costs
-      // one job and lineage stays flat
-      val next = cut(step(labels))
-      val row = next.agg(sum(col("label"))).collect()(0)
-      val s = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no nodes
+      // (u,v) ⋈ (u, lu) is narrow (shared partitioner); u's label becomes
+      // a candidate for v, min'd with the previous labels in one shuffle
+      val prop = edges.join(labels)
+        .map { case (_, (v, lu)) => (v, lu) }
+        .union(labels)
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // pointer jump: re-key by label (one label-sized shuffle) and look
+      // the label's own label up in place
+      val next = prop.map { case (n, l) => (l, n) }
+        .join(prop)
+        .map { case (_, (n, ll)) => (n, ll) }
+        .persist()
+      spent += next
+      // materializing action + fixpoint probe in one pass (wrapping Long
+      // sum: labels strictly decrease until converged, so equality with
+      // the previous round's sum is the fixpoint)
+      val s = next.aggregate(0L)((acc, kv) => acc + kv._2, _ + _)
       converged = s == prevSum
       prevSum = s
       labels = next
       round += 1
     }
+    directed.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     if (!converged) {
-      cutRdds.foreach(_.unpersist(blocking = false))
+      spent.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +
           "refusing to emit possibly-wrong labels")
     }
     // release every intermediate round; the final labels stay cached until
-    // the caller's action completes (Spark recomputes from the flat cut if
-    // evicted, so correctness is unaffected)
-    cutRdds.dropRight(1).foreach(_.unpersist(blocking = false))
-    labels
+    // the caller's action completes (recomputable from lineage if evicted)
+    spent.dropRight(1).foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(labels).toDF("doc_id", "label")
   }
 
   val queries: Seq[Q] = Seq(

@@ -1,0 +1,190 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.core.{Tables => T}
+import graft.operators.Api
+
+/** The webservice process — SURVEY.md §3.3 / webservice/app.py:30-51 — as
+  * a thin HTTP shell over the SAME DataFrame programs the `api_*` queries
+  * oracle-check. Four routes (bp_user_operations.py:9-140,
+  * bp_fastbtc_bridge.py:9-53, bp_prices.py:9-77):
+  *
+  *   GET /api/v1/webapp/transactions/list?address=&token=&limit=&skip=
+  *     → `{"transactions": [...], "count": N, "total": M}`
+  *   GET /api/v1/webapp/transactions/last?address=&token=
+  *     → the newest matching record
+  *   GET /api/v1/webapp/fastbtc/pegout?address=&limit=&skip=
+  *     → `{"pegout_requests": [...]}`
+  *   GET /api/v1/webapp/prices/var
+  *     → `{"current": {...}, "delta": {...}}` (24h back, floored to
+  *       midnight keeping seconds — the bp_prices.py:44-47 quirk)
+  *
+  * Faithful endpoint semantics: case-insensitive SUBSTRING address match
+  * (the reference filters with `$regex ... $options: i`), the excluded-
+  * event anti-filter, page-size whitelist (limit ∉ {20,40} resets to 20,
+  * lib_tools.py:55-61), address validation = 0x + hex + minimum length
+  * (lib_tools.py:28-31), 400 on invalid address. The JDK's built-in
+  * HttpServer keeps the shell dependency-free; pages are driver-side
+  * collects of TakeOrderedAndProject results — bounded at `limit` rows by
+  * construction, so the serving tier never materializes table-scale data.
+  */
+final class ApiServer(
+    spark: SparkSession, dataDir: String,
+    minAddressLen: Int = 25) {
+
+  private var server: HttpServer = _
+
+  // ── endpoint programs (parameterized versions of the api_* queries) ──
+
+  /** case-insensitive substring address predicate (the Mongo `$regex`). */
+  private def addrMatch(address: String) =
+    col("address").rlike("(?i)" + Pattern.quote(address))
+
+  private def txFiltered(address: String, token: Option[String]): DataFrame = {
+    val base = Api.txView(spark, dataDir)
+      .filter(addrMatch(address) && !col("event").isin(Api.Excluded: _*))
+    token.fold(base)(t => base.filter(col("token_involved") === t))
+  }
+
+  private def render(df: DataFrame): DataFrame =
+    df.withColumn("created_at",
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")).drop("ts")
+
+  /** bp_user_operations.py:9-93 — page + count + total envelope. */
+  def transactionsList(address: String, token: Option[String],
+      limit: Int, skip: Int): String = {
+    val f = txFiltered(address, token)
+    val page = render(f.orderBy(col("ts").desc, col("event_id").desc)
+      .offset(skip).limit(limit)).toJSON.collect()
+    val total = f.count()
+    s"""{"transactions":[${page.mkString(",")}],"count":${page.length},"total":$total}"""
+  }
+
+  /** bp_user_operations.py:96-140 — newest matching record (or `{}`). */
+  def transactionsLast(address: String, token: Option[String]): String =
+    render(txFiltered(address, token)
+      .orderBy(col("ts").desc, col("event_id").desc).limit(1))
+      .toJSON.collect().headOption.getOrElse("{}")
+
+  /** bp_fastbtc_bridge.py:9-53 — PEG_OUT transfers for the address. */
+  def pegoutRequests(address: String, limit: Int, skip: Int): String = {
+    val recs = T.events(spark, dataDir)
+      .filter(col("event_type") === "error")
+      .select(substring(md5(col("event_id").cast(StringType)), 1, 12).as("transfer_id"),
+        concat(lit("0xA"), col("user_id").cast(StringType)).as("address"),
+        lit("PEG_OUT").as("type"), col("value"),
+        col("ts"), col("event_id"))
+      .filter(addrMatch(address))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .offset(skip).limit(limit)
+    val page = render(recs.drop("event_id")).toJSON.collect()
+    s"""{"pegout_requests":[${page.mkString(",")}]}"""
+  }
+
+  /** bp_prices.py:9-77 — current snapshot + the newest row in
+    * [midnight-floored 24h-back cut, 24h-back cut). */
+  def priceVariation(): String = {
+    val ev = T.events(spark, dataDir)
+    val cur = ev.orderBy(col("event_id").desc).limit(1)
+      .select(col("event_id").as("cur_id"), col("value").as("cur_price"),
+        col("ts").as("cur_ts"))
+      .withColumn("delta_ts", col("cur_ts") - expr("INTERVAL 24 HOURS"))
+      .withColumn("floor_ts", timestamp_micros(
+        unix_micros(date_trunc("DAY", col("delta_ts")))
+          + (unix_micros(col("delta_ts"))
+            - unix_micros(date_trunc("MINUTE", col("delta_ts"))))))
+    val current = cur.select(col("cur_id").as("event_id"),
+      col("cur_price").as("price"),
+      date_format(col("cur_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("created_at"))
+      .toJSON.collect().headOption.getOrElse("{}")
+    val delta = ev.crossJoin(broadcast(cur))
+      .filter(col("ts") >= col("floor_ts") && col("ts") < col("delta_ts"))
+      .orderBy(col("event_id").desc).limit(1)
+      .select(col("event_id"), col("value").as("price"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("created_at"))
+      .toJSON.collect().headOption.getOrElse("{}")
+    s"""{"current":$current,"delta":$delta}"""
+  }
+
+  // ── HTTP shell ────────────────────────────────────────────────────────
+
+  /** lib_tools.py:28-31 */
+  private def checkAddress(a: String): Boolean =
+    a != null && a.length >= minAddressLen &&
+      a.take(2).equalsIgnoreCase("0x") &&
+      a.drop(2).forall(c => Character.digit(c, 16) >= 0)
+
+  /** lib_tools.py:55-61: limit outside the whitelist resets to default. */
+  private def pageLimit(params: Map[String, String]): Int = {
+    val l = params.get("limit").flatMap(_.toIntOption)
+      .getOrElse(Api.AllowedPageSizes.head)
+    if (Api.AllowedPageSizes.contains(l)) l else Api.AllowedPageSizes.head
+  }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).toSeq.flatMap(_.split('&')).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case _ => None
+      }
+    }.toMap
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      mime: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", mime)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** route requiring a valid `address` param (400 otherwise, like every
+    * address endpoint in the reference). */
+  private def addressRoute(path: String)(
+      handler: (Map[String, String], String) => String): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      val params = parseQuery(ex.getRequestURI.getRawQuery)
+      params.get("address").filter(checkAddress) match {
+        case None => respond(ex, 400, "Invalid Address", "text/plain")
+        case Some(addr) =>
+          try respond(ex, 200, handler(params, addr))
+          catch { case e: Exception =>
+            respond(ex, 500, "Server error", "text/plain") }
+      }
+    })
+
+  /** bind (port 0 = ephemeral) and serve; returns the bound port. */
+  def start(port: Int = 0): Int = {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    addressRoute("/api/v1/webapp/transactions/list") { (p, addr) =>
+      transactionsList(addr, p.get("token"), pageLimit(p),
+        p.get("skip").flatMap(_.toIntOption).getOrElse(0))
+    }
+    addressRoute("/api/v1/webapp/transactions/last") { (p, addr) =>
+      transactionsLast(addr, p.get("token"))
+    }
+    addressRoute("/api/v1/webapp/fastbtc/pegout") { (p, addr) =>
+      pegoutRequests(addr, pageLimit(p),
+        p.get("skip").flatMap(_.toIntOption).getOrElse(0))
+    }
+    server.createContext("/api/v1/webapp/prices/var", (ex: HttpExchange) => {
+      try respond(ex, 200, priceVariation())
+      catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
+    })
+    server.setExecutor(null) // serve on the dispatch thread; Spark does the work
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) { server.stop(0); server = null }
+}

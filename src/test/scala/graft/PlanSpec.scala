@@ -75,6 +75,29 @@ class PlanSpec extends AnyFunSuite {
       s"decode Project not inside a codegen span: $codegenLine")
   }
 
+  test("tx_exchange_ops is a single-pass column program (no join, one scan)") {
+    val p = plan("tx_exchange_ops")
+    assert(!p.contains("Join"), "the CASE-dispatch pipeline must not join")
+    // count scans in the FINAL plan only (AQE's toString repeats the tree
+    // under "== Initial Plan ==")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1, "more than one scan")
+  }
+
+  test("global rank and scalar head avoid single-partition windows") {
+    // a6: every Window is partitioned by the day bucket (two-pass rank)
+    val p6 = plan("a6_running_count")
+    val winLines = p6.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, "a6 lost its windowed local rank")
+    assert(winLines.forall(_.contains("bkt")),
+      s"unpartitioned window in a6: $winLines")
+    // f12: the chain head is a broadcast scalar, not a window at all
+    val pf = plan("f12_status_confirmations")
+    assert(!pf.contains("Window ["), "f12 should broadcast the head, not window")
+    assert(pf.contains("BroadcastNestedLoopJoin") || pf.contains("BroadcastExchange"),
+      "f12 head should ride a broadcast")
+  }
+
   test("X1 typed ABI decode participates in whole-stage codegen") {
     val p = plan("x1b_decode_abi")
     assert(p.contains("decode_log"), "decode_log expression missing from plan")

@@ -1,0 +1,113 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serving.ApiServer
+
+/** Drives the HTTP serving shell end-to-end against sf0.001: real sockets,
+  * real request parsing, the same DataFrame programs the api_* queries
+  * oracle-check underneath.
+  */
+class ServingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def get(port: Int, pathAndQuery: String): (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(60000)
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (status, body)
+  }
+
+  private def withServer(minAddrLen: Int)(f: Int => Unit): Unit = {
+    val srv = new ApiServer(spark, sf, minAddressLen = minAddrLen)
+    val port = srv.start()
+    try f(port) finally srv.stop()
+  }
+
+  test("transactions/list returns the {transactions, count, total} envelope") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port,
+        "/api/v1/webapp/transactions/list?address=0xA7&limit=20&skip=0")
+      assert(status === 200)
+      assert(body.startsWith("""{"transactions":["""))
+      val count = """"count":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+      val total = """"total":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+      assert(count > 0 && count <= 20)
+      assert(total >= count)
+      // excluded events are filtered like the reference's EXCLUDED_EVENTS
+      assert(!body.contains("TransferFromMoC") && !body.contains("QueueDOC"))
+      // substring address semantics: 0xA7 also matches 0xA7x addresses
+      assert(body.contains(""""address":"0xA7"""))
+    }
+  }
+
+  test("pagination: out-of-whitelist limit resets to 20; skip shifts the page") {
+    withServer(minAddrLen = 3) { port =>
+      val (_, bad) = get(port,
+        "/api/v1/webapp/transactions/list?address=0xA&limit=33")
+      val badCount = """"count":(\d+)""".r.findFirstMatchIn(bad).get.group(1).toInt
+      assert(badCount === 20, "limit=33 must clamp to the default 20")
+
+      val (_, p0) = get(port, "/api/v1/webapp/transactions/list?address=0xA&limit=20&skip=0")
+      val (_, p1) = get(port, "/api/v1/webapp/transactions/list?address=0xA&limit=20&skip=20")
+      def ids(s: String) = """"event_id":(\d+)""".r.findAllMatchIn(s).map(_.group(1)).toSet
+      assert(ids(p0).nonEmpty && ids(p1).nonEmpty)
+      assert(ids(p0).intersect(ids(p1)).isEmpty, "pages must not overlap")
+    }
+  }
+
+  test("transactions/last honors the token filter and newest-first order") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port,
+        "/api/v1/webapp/transactions/last?address=0xA&token=RISKPRO")
+      assert(status === 200)
+      assert(body.contains(""""token_involved":"RISKPRO""""))
+      assert(body.contains(""""created_at":"""))
+    }
+  }
+
+  test("fastbtc/pegout returns pegout_requests for the address") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port, "/api/v1/webapp/fastbtc/pegout?address=0xA")
+      assert(status === 200)
+      assert(body.startsWith("""{"pegout_requests":["""))
+      assert(body.contains(""""type":"PEG_OUT""""))
+    }
+  }
+
+  test("prices/var returns current and 24h-delta records") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port, "/api/v1/webapp/prices/var")
+      assert(status === 200)
+      assert(body.startsWith("""{"current":{"""))
+      assert(body.contains(""""delta":{"""))
+    }
+  }
+
+  test("invalid addresses are rejected with 400 (lib_tools checkAddress)") {
+    // faithful reference validation: min length 25, 0x prefix, hex body
+    withServer(minAddrLen = 25) { port =>
+      for (bad <- Seq("0xA7", "deadbeefdeadbeefdeadbeefdeadbeef",
+          "0xZZZZZZZZZZZZZZZZZZZZZZZZZZZZ")) {
+        val (status, _) = get(port,
+          s"/api/v1/webapp/transactions/list?address=$bad")
+        assert(status === 400, s"address $bad must be rejected")
+      }
+      val ok = "0x" + "a" * 40
+      val (status, body) = get(port,
+        s"/api/v1/webapp/transactions/list?address=$ok")
+      assert(status === 200)
+      assert(body.contains(""""total":0"""), "no synthetic address is 42 chars")
+    }
+  }
+}
