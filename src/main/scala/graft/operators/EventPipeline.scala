@@ -377,6 +377,80 @@ object EventPipeline {
 
       transfer.unionAll(mint).unionAll(settle)
         .orderBy(col("ev"), col("event_id"))
+    },
+
+    // The §3.2 ingest flow END TO END in one query: the raw_transactions
+    // document's `logs` field is a JSON STRING (Schemas.rawTransactions —
+    // mongo_manager.py:246's bsonType string; scan_raw_txs.py:46 stores
+    // the receipt's log array serialized), so the derivation side must
+    // from_json → explode → dispatch on topic0 → typed decode, exactly
+    // scan_events_txs.py:117-156. Here a 2-log receipt (an ERC-20
+    // Transfer + an InrateDailyPay) is serialized through to_json and
+    // re-parsed, so the oracle's hash compare proves the whole
+    // serialize→parse→dispatch→decode chain round-trips.
+    Q(
+      "x1c_raw_log_pipeline",
+      """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS hash, 0 AS log_index,
+        |  'Transfer' AS event,
+        |  '0x' || lpad(lower(hex(user_id)), 40, '0') AS f1,
+        |  '0x' || lpad(lower(hex(user_id + 1)), 40, '0') AS f2,
+        |  CAST(event_id * 1000 + 1 AS VARCHAR) AS f3
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, md5(CAST(event_id AS VARCHAR)), 1, 'InrateDailyPay',
+        |  CAST(event_id * 11 AS VARCHAR), CAST(event_id % 30 AS VARCHAR), '12345'
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id, log_index""".stripMargin) { (s, d) =>
+      import graft.plans.{DecodeLogExpr, LogSchemaRegistry}
+      def decodeLog(ev: String, topics: Column, data: Column): Column =
+        toCol(DecodeLogExpr(ev, toExpr(topics), toExpr(data)))
+      def t0(ev: String): Column = lit("0x" + LogSchemaRegistry.byName(ev).topic0)
+      def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+
+      // ingest side: the receipt's log array rendered into the raw
+      // document's JSON-string field
+      val raw = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          md5(col("event_id").cast(StringType)).as("hash"),
+          to_json(array(
+            struct(lit(0).as("log_index"),
+              array(t0("Transfer"), word(col("user_id")),
+                word(col("user_id") + 1)).as("topics"),
+              word(col("event_id") * 1000 + 1).as("data")),
+            struct(lit(1).as("log_index"),
+              array(t0("InrateDailyPay")).as("topics"),
+              concat(word(col("event_id") * 11), word(col("event_id") % 30),
+                word(lit(12345L))).as("data")))).as("logs"))
+
+      // derivation side: parse the string, explode, dispatch by topic0
+      val logSchema = ArrayType(StructType(Seq(
+        StructField("log_index", IntegerType),
+        StructField("topics", ArrayType(StringType)),
+        StructField("data", StringType))))
+      val logs = raw
+        .select(col("event_id"), col("hash"),
+          explode(from_json(col("logs"), logSchema)).as("lg"))
+        .select(col("event_id"), col("hash"),
+          col("lg.log_index").as("log_index"),
+          col("lg.topics").as("topics"), col("lg.data").as("data"))
+
+      val transfers = logs
+        .filter(element_at(col("topics"), 1) === t0("Transfer"))
+        .withColumn("dec", decodeLog("Transfer", col("topics"), col("data")))
+        .select(col("event_id"), col("hash"), col("log_index"),
+          lit("Transfer").as("event"),
+          col("dec.from").as("f1"), col("dec.to").as("f2"),
+          col("dec.value").cast(StringType).as("f3"))
+      val payouts = logs
+        .filter(element_at(col("topics"), 1) === t0("InrateDailyPay"))
+        .withColumn("dec", decodeLog("InrateDailyPay", col("topics"), col("data")))
+        .select(col("event_id"), col("hash"), col("log_index"),
+          lit("InrateDailyPay").as("event"),
+          col("dec.amount").cast(StringType).as("f1"),
+          col("dec.daysToSettlement").cast(StringType).as("f2"),
+          col("dec.nReserveBucketC0").cast(StringType).as("f3"))
+
+      transfers.unionAll(payouts).orderBy(col("event_id"), col("log_index"))
     }
   )
 }

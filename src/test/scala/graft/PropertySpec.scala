@@ -105,6 +105,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches a union-find model on random graphs") {
+    // random sparse graphs incl. self-loops and duplicate edges — shapes a
+    // real near-dup pair table produces
+    val genGraph = for {
+      n <- Gen.chooseNum(2, 80)
+      m <- Gen.chooseNum(1, 120)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+    } yield edges
+    sampled(genGraph, 8).foreach { edges =>
+      // model: driver-side union-find with min-label normalization
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = graft.operators.TextOps
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
   test("pagination pages are disjoint, ordered, and within the limit") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"), col("o_orderdate"))
