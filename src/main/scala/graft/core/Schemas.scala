@@ -20,9 +20,15 @@ import org.apache.spark.sql.types._
   * (order + types), failing loudly on a missing field instead of writing a
   * malformed document.
   */
-final case class Collection(name: String, keys: Seq[String], schema: StructType) {
+final case class Collection(name: String, keys: Seq[String], schema: StructType,
+    required: Seq[String] = Nil) {
   require(keys.forall(schema.fieldNames.contains),
     s"collection $name: key not in schema")
+  require(required.forall(schema.fieldNames.contains),
+    s"collection $name: required field not in schema")
+  /** fields a document may not omit: the natural key plus any field the
+    * store's validator demands (only raw_transactions declares one). */
+  val requiredFields: Seq[String] = (keys ++ required).distinct
 }
 
 object Schemas {
@@ -172,7 +178,8 @@ object Schemas {
       f("value", S), f("gas", L), f("gasPrice", S), f("input", S),
       f("receipt", B), f("processed", B), f("gas_used", L),
       f("confirmations", L), f("timestamp", TS), f("logs", S),
-      f("status", S), f("createdAt", TS), f("lastUpdatedAt", TS))))
+      f("status", S), f("createdAt", TS), f("lastUpdatedAt", TS))),
+    required = Seq("hash", "blockNumber"))
 
   /** fastbtcbridge.py:21-34 PEG_OUT transfers, unique on transferId
     * (mongo_manager.py:265-276); status patched in place (:56-72). */
@@ -210,5 +217,23 @@ object Schemas {
       s"cannot conform to ${c.name}: missing ${missing.mkString(", ")}")
     df.select(c.schema.fields.toIndexedSeq.map(fd =>
       col(s"`${fd.name}`").cast(fd.dataType).as(fd.name)): _*)
+  }
+
+  /** Mongo-faithful variant: documents are SPARSE — each reference writer
+    * sets only its own fields (a RiskProMint row never carries `bucket`,
+    * a Transfer leg never carries commissions). A missing OPTIONAL field
+    * becomes a typed null; a missing natural-key / validator-required
+    * field is still an error. This is the write-path gate for per-event
+    * writers; [[conform]] stays the strict full-document gate. */
+  def conformSparse(df: DataFrame, c: Collection): DataFrame = {
+    val have = df.columns.toSet
+    val missingReq = c.requiredFields.filterNot(have)
+    require(missingReq.isEmpty,
+      s"cannot conform to ${c.name}: missing required ${missingReq.mkString(", ")}")
+    df.select(c.schema.fields.toIndexedSeq.map { fd =>
+      val base = if (have(fd.name)) col(s"`${fd.name}`")
+        else org.apache.spark.sql.functions.lit(null)
+      base.cast(fd.dataType).as(fd.name)
+    }: _*)
   }
 }

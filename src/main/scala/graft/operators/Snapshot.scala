@@ -78,6 +78,78 @@ object Snapshot {
         .orderBy(col("user_id"))
     },
 
+    // S5 at FULL document depth: the MocState doc per height bucket with
+    // the reference's two derivation quirks — bprox2PriceInUsd computed
+    // FROM already-assembled fields (moc_state.py:208-211:
+    // bprox2PriceInRbtc * bitcoinPrice // reservePrecision, exact integer
+    // math through the wei expressions) and the 12-slot
+    // commissionRatesTypes fee map (moc_state.py:232-265) rendered as a
+    // JSON object (F24). One grouped pass, map-side combine, narrow JSON
+    // projection — the Schemas.mocState document shape as a derivation.
+    Q(
+      "s15_mocstate_doc", {
+        val rateKeys = Seq(
+          "MINT_BPRO_FEES_RBTC", "REDEEM_BPRO_FEES_RBTC",
+          "MINT_DOC_FEES_RBTC", "REDEEM_DOC_FEES_RBTC",
+          "MINT_BTCX_FEES_RBTC", "REDEEM_BTCX_FEES_RBTC",
+          "MINT_BPRO_FEES_MOC", "REDEEM_BPRO_FEES_MOC",
+          "MINT_DOC_FEES_MOC", "REDEEM_DOC_FEES_MOC",
+          "MINT_BTCX_FEES_MOC", "REDEEM_BTCX_FEES_MOC")
+        val jsonArgs = rateKeys.zipWithIndex.map { case (k, i) =>
+          s"'$k', CAST(CAST(block_height % 100 + $i AS HUGEINT) * 1000000000000 AS VARCHAR)"
+        }.mkString(", ")
+        s"""WITH g AS (
+           |  SELECT event_id // 100 AS block_height,
+           |    max(user_id) AS mu, count(*) AS cnt
+           |  FROM events GROUP BY 1),
+           |doc AS (
+           |  SELECT block_height,
+           |    CAST(10 + mu % 10 AS HUGEINT) * 1000000000000000000 AS btc,
+           |    CAST(1 + mu % 5 AS HUGEINT) * 1000000000000000000 AS bprox2,
+           |    cnt
+           |  FROM g)
+           |SELECT block_height,
+           |  CAST(btc AS VARCHAR) AS bitcoin_price,
+           |  CAST(bprox2 AS VARCHAR) AS bprox2_price_rbtc,
+           |  CAST(bprox2 * (btc // 1000000000000000000) AS VARCHAR) AS bprox2_price_usd,
+           |  100 - block_height % 100 AS blocks_to_settlement,
+           |  cnt % 4 AS state,
+           |  block_height % 7 = 0 AS paused,
+           |  CAST(json_object($jsonArgs) AS VARCHAR) AS commission_rates
+           |FROM doc ORDER BY block_height""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.Wei
+      val dec = DecimalType(38, 0)
+      val W = lit(new java.math.BigDecimal("1000000000000000000"))
+      val rateKeys = Seq(
+        "MINT_BPRO_FEES_RBTC", "REDEEM_BPRO_FEES_RBTC",
+        "MINT_DOC_FEES_RBTC", "REDEEM_DOC_FEES_RBTC",
+        "MINT_BTCX_FEES_RBTC", "REDEEM_BTCX_FEES_RBTC",
+        "MINT_BPRO_FEES_MOC", "REDEEM_BPRO_FEES_MOC",
+        "MINT_DOC_FEES_MOC", "REDEEM_DOC_FEES_MOC",
+        "MINT_BTCX_FEES_MOC", "REDEEM_BTCX_FEES_MOC")
+      val g = T.events(s, d)
+        .groupBy(expr("event_id div 100").as("block_height"))
+        .agg(max(col("user_id")).as("mu"), count(lit(1)).as("cnt"))
+      val btc = ((col("mu") % 10 + 10).cast(dec).multiply(W)).cast(dec)
+      val bprox2 = ((col("mu") % 5 + 1).cast(dec).multiply(W)).cast(dec)
+      val mapArgs = rateKeys.zipWithIndex.flatMap { case (k, i) =>
+        Seq(lit(k),
+          ((col("block_height") % 100 + i).cast(dec) * 1000000000000L)
+            .cast(dec).cast(StringType))
+      }
+      g.select(
+          col("block_height"),
+          btc.cast(StringType).as("bitcoin_price"),
+          bprox2.cast(StringType).as("bprox2_price_rbtc"),
+          Wei.toWeiStr(Wei.usdAmount(bprox2, btc)).as("bprox2_price_usd"),
+          (lit(100) - col("block_height") % 100).as("blocks_to_settlement"),
+          (col("cnt") % 4).as("state"),
+          (col("block_height") % 7 === 0).as("paused"),
+          to_json(map(mapArgs: _*)).as("commission_rates"))
+        .orderBy(col("block_height"))
+    },
+
     // A5 TVL / protocol report scalars (historical.py:106-121): single-row
     // multi-aggregate with the Decimal round-trip pinning the doubles and a
     // display scale-down (F21) as one deterministic IEEE op at the end.

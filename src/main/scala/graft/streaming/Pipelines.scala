@@ -93,8 +93,9 @@ final class ParquetDocumentSink(spark: SparkSession, stateDir: String)
 
 /** A [[DocumentSink]] bound to one catalog collection
   * ([[graft.core.Schemas]]): every batch is conformed to the declared
-  * schema (missing field = loud failure, extra columns dropped, declared
-  * order + types) and upserted by the collection's OWN natural key — the
+  * schema (sparse-document semantics — missing optional fields become
+  * typed nulls, a missing key/required field fails loudly, extra columns
+  * are dropped) and upserted by the collection's OWN natural key — the
   * unique index mongo_manager.py declares — so callers can't key a
   * collection wrongly. The reference gets this pairing implicitly from
   * each writer's update filter; here it is one object per collection. */
@@ -102,5 +103,5 @@ final class CollectionSink(inner: DocumentSink, c: graft.core.Collection) {
   require(c.keys.nonEmpty, s"${c.name} is a single-document collection; " +
     "upsert it with an explicit constant key column")
   def write(batch: DataFrame): Unit =
-    inner.upsert(graft.core.Schemas.conform(batch, c), c.keys)
+    inner.upsert(graft.core.Schemas.conformSparse(batch, c), c.keys)
 }

@@ -54,4 +54,44 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(state(2L) === (("h_redeem", "7000000000000")))
     assert(state(3L) === (("h_mint", "8000000000000")))
   }
+
+  test("stream → sparse per-event docs → CollectionSink keyed like the store") {
+    import graft.core.Schemas
+    import graft.streaming.{CollectionSink, ParquetDocumentSink}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-e2e-coll").toString + "/Transaction"
+    val ckpt = Files.createTempDirectory("graft-e2e-coll-ckpt").toString
+    val sink = new CollectionSink(new ParquetDocumentSink(spark, dir), Schemas.transaction)
+
+    // a per-event writer's sparse output: only its own fields, camelCase
+    // per the Transaction collection schema
+    val in = MemoryStream[RawLog]
+    val docs = in.toDF().select(
+      md5(col("event_id").cast("string")).as("transactionHash"),
+      col("addr").as("address"),
+      col("event_name").as("event"),
+      (col("amount") * 1000000000000L).cast("string").as("amount"),
+      lit(true).as("processLogs"),
+      col("event_id")) // extra column: conformSparse must drop it
+
+    val q = Pipelines.sinkTo(docs, Schemas.transaction.keys, ckpt,
+      (batch, _) => sink.write(batch)).start()
+    try {
+      in.addData(
+        RawLog(1L, "0xa1", "RiskProMint", 5L),
+        RawLog(2L, "0xa2", "StableTokenRedeem", 7L))
+      q.processAllAvailable()
+      in.addData(RawLog(1L, "0xa1", "RiskProMint", 9L)) // same natural key → patch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(dir)
+    // full collection schema materialized; unset optionals are nulls
+    assert(out.columns.toSeq === Schemas.transaction.schema.fieldNames.toSeq)
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("address"), r.getAs[String]("event")) -> r).toMap
+    assert(rows.size === 2, "one doc per (tx, address, event) natural key")
+    assert(rows(("0xa1", "RiskProMint")).getAs[String]("amount") === "9000000000000")
+    assert(rows(("0xa1", "RiskProMint")).getAs[Any]("bucket") == null)
+  }
 }

@@ -78,6 +78,25 @@ class SchemasSpec extends AnyFunSuite {
     assert(err.getMessage.contains("block_height"))
   }
 
+  test("conformSparse pads missing optional fields, rejects missing keys") {
+    // sparse Mongo-style document: only the writer's own fields present
+    val sparse = Seq(("abc123", "0xdead", "RiskProMint", "5"))
+      .toDF("transactionHash", "address", "event", "amount")
+    val out = Schemas.conformSparse(sparse, Schemas.transaction)
+    assert(out.columns.toSeq === Schemas.transaction.schema.fieldNames.toSeq)
+    val row = out.collect()(0)
+    assert(row.getAs[String]("amount") === "5")
+    assert(row.isNullAt(out.columns.indexOf("bucket")), "missing optional → null")
+    // a missing natural-key field still dies in the pipeline
+    assertThrows[IllegalArgumentException] {
+      Schemas.conformSparse(sparse.drop("event"), Schemas.transaction)
+    }
+    // the raw_transactions validator's required fields behave like keys
+    assertThrows[IllegalArgumentException] {
+      Schemas.conformSparse(Seq("h1").toDF("hash"), Schemas.rawTransactions)
+    }
+  }
+
   test("CollectionSink conforms then upserts by the collection's own key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-collsink").toString
     val sink = new CollectionSink(
@@ -91,9 +110,10 @@ class SchemasSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(state === Seq(("0xa", 10L), ("0xb", 12L), ("0xc", 13L)))
 
-    // a batch missing a declared field must die before the store
+    // a batch missing the natural KEY must die before the store (a
+    // missing optional field is fine — sparse documents)
     assertThrows[IllegalArgumentException] {
-      sink.write(Seq("0xz").toDF("account"))
+      sink.write(Seq(99L).toDF("block_height"))
     }
     // single-doc checkpoint collections can't be keyed implicitly
     assertThrows[IllegalArgumentException] {
