@@ -15,6 +15,7 @@ object QueryRegistry {
       graft.operators.EventUnion.queries ++
       graft.operators.EventCatalog.queries ++
       graft.operators.TextOps.queries ++
+      graft.operators.QualityOps.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.VectorOps.queries
 

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Training-data curation signals beyond TextOps' dedup family: repetition
+  * quality metrics (the Gopher-rules shape), PII detection/redaction,
+  * benchmark decontamination, and chunk/sequence packing for pretraining.
+  *
+  * Scale design (100 TB):
+  *  - repetition: per-document metrics are narrow maps over the token
+  *    array; the top-bigram mode is computed by explode → partial-agged
+  *    groupBy((doc_id, bigram)) → groupBy(doc_id) — two map-side-combining
+  *    shuffles keyed by doc_id, never an O(n²) per-row lambda (a 100k-token
+  *    document would make the per-row nested-loop shape quadratic);
+  *  - PII: pure narrow map (regexp count + chained redaction), no shuffle;
+  *  - decontamination: the benchmark side is tiny by construction (a
+  *    held-out eval set), so its distinct shingle hashes BROADCAST and the
+  *    corpus side never shuffles — the join is a broadcast hash join keyed
+  *    on a 60-bit md5-derived shingle id, then one partial-agged
+  *    groupBy(doc_id);
+  *  - packing: the global token-offset cumsum uses the same two-pass shape
+  *    as `a6_running_count` (per-(lang, range-bucket) local window + a
+  *    broadcast per-bucket offset table) so no window ever funnels a whole
+  *    language through one partition.
+  */
+object QualityOps {
+
+  /** 60-bit deterministic string id (md5 prefix), identical in DuckDB via
+    * CAST('0x'||substr(md5(s),1,15) AS BIGINT). */
+  private def sid60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  private def sid60Sql(e: String): String =
+    s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
+
+  /** word n-gram list over the split token array `l` (empty when the doc is
+    * shorter than n tokens). 1-indexed slice on both engines. */
+  private def gramsSpark(n: Int): String =
+    s"CASE WHEN size(l) >= $n THEN transform(sequence(1, size(l)-${n - 1}), i -> concat_ws(' ', slice(l, i, $n))) ELSE cast(array() as array<string>) END"
+  private def gramsSql(n: Int): String = {
+    val cat = (0 until n).map(j => s"l[i+$j]").mkString("||' '||")
+    s"list_transform(range(1, greatest(len(l)-${n - 1},0)+1), i -> $cat)"
+  }
+
+  // ── decontamination parameters: 4-word shingles, benchmark = the
+  //    deterministic doc_id % 97 slice (stands in for a held-out eval set).
+  private val DcN = 4
+  private val DcBenchMod = 97
+
+  // ── packing parameters: 512-token sequences, 256-doc range buckets for
+  //    the two-pass cumsum.
+  private val PackSeqLen = 512
+  private val PackBucket = 256
+
+  // PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB).
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def queries: Seq[Q] = Seq(
+
+    // Repetition quality signals (the Gopher-rules family): duplicate-word
+    // fraction, duplicate-5-gram fraction (both narrow per-row array math),
+    // and the most-frequent-bigram occurrence fraction via explode +
+    // two-level aggregation — the shape that stays linear when a document
+    // has 100k tokens.
+    Q(
+      "tx_repetition",
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |    len(l) AS n_tokens,
+         |    1.0 - CAST(len(list_distinct(l)) AS DOUBLE)/len(l) AS dup_word_frac,
+         |    CASE WHEN len(l) >= 5
+         |      THEN 1.0 - CAST(len(list_distinct(${gramsSql(5)})) AS DOUBLE)/(len(l)-4)
+         |      ELSE 0.0 END AS dup_5gram_frac
+         |  FROM d),
+         |bg AS (SELECT doc_id, unnest(${gramsSql(2)}) AS g FROM d),
+         |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |topbg AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS top_bigram_frac
+         |          FROM bgc GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_tokens, p.dup_word_frac, p.dup_5gram_frac,
+         |  coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+         |FROM perdoc p LEFT JOIN topbg t ON p.doc_id = t.doc_id
+         |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+      val perdoc = docs.select(
+        col("doc_id"),
+        size(col("l")).cast(LongType).as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("l"))).cast(DoubleType) / size(col("l")))
+          .as("dup_word_frac"),
+        when(size(col("l")) >= 5,
+          lit(1.0) - size(array_distinct(expr(gramsSpark(5)))).cast(DoubleType)
+            / (size(col("l")) - 4))
+          .otherwise(lit(0.0)).as("dup_5gram_frac"))
+      val bgc = docs
+        .select(col("doc_id"), explode(expr(gramsSpark(2))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val topbg = bgc.groupBy(col("doc_id"))
+        .agg((max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"))
+      perdoc.join(topbg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+          col("dup_5gram_frac"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrub: count + redact emails / NANP phones / IPv4s. The corpus
+    // text is PII-free, so both sides append the SAME deterministic PII
+    // suffixes (keyed on doc_id) before scanning — the operator under test
+    // is the regex count + ordered redaction chain, proven by the md5 of
+    // the redacted text. Narrow map; no shuffle.
+    Q(
+      "tx_pii",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text
+         |      || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         |      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 or ping 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+         |      AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailPat')) AS n_email,
+         |  len(regexp_extract_all(t, '$PhonePat')) AS n_phone,
+         |  len(regexp_extract_all(t, '$IpPat')) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'), '$IpPat', '<IP>', 'g')) AS red_md5
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast(StringType),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-123-4567 or ping 10.0.0."),
+              (col("doc_id") % 200).cast(StringType))).otherwise(lit(""))
+        ).as("t"))
+      aug.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailPat)).cast(LongType).as("n_email"),
+        regexp_count(col("t"), lit(PhonePat)).cast(LongType).as("n_phone"),
+        regexp_count(col("t"), lit(IpPat)).cast(LongType).as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination: flag corpus documents sharing any 4-word
+    // shingle with the (deterministic doc_id % 97) benchmark slice — the
+    // eval-overlap filter every pretraining pipeline runs. The benchmark
+    // side is tiny by construction → broadcast; the corpus side is a
+    // narrow shingle map, the join a broadcast semi keyed on a 60-bit
+    // shingle id, then one groupBy(doc_id).
+    Q(
+      "dd_decontaminate",
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${gramsSql(DcN)})) AS g FROM d),
+         |shh AS (SELECT doc_id, ${sid60Sql("g")} AS h FROM sh),
+         |bench AS (SELECT doc_id AS bench_id, h FROM shh WHERE doc_id % $DcBenchMod = 0)
+         |SELECT s.doc_id,
+         |  count(DISTINCT s.h) AS n_shared_grams,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM shh s JOIN bench b ON s.h = b.h
+         |WHERE s.doc_id % $DcBenchMod <> 0
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val shh = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(gramsSpark(DcN)))).as("g"))
+        .select(col("doc_id"), sid60(col("g")).as("h"))
+      val bench = shh.filter(col("doc_id") % DcBenchMod === 0)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      shh.filter(col("doc_id") % DcBenchMod =!= 0)
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Chunk + sequence packing (pretraining concat-and-chop): lay each
+    // language's documents end to end in doc_id order and chop the token
+    // stream into 512-token sequences; report the sequence span each
+    // document lands in. The global per-language offset is the two-pass
+    // cumsum (local window per (lang, 256-doc range bucket) + broadcast
+    // bucket offsets) — no single-partition window, no skew funnel when
+    // one language dominates the corpus.
+    Q(
+      "tx_chunk_pack",
+      s"""SELECT doc_id, lang, n_tok,
+         |  CAST((cum - n_tok) // $PackSeqLen AS BIGINT) AS first_seq,
+         |  CAST((cum - 1) // $PackSeqLen AS BIGINT) AS last_seq,
+         |  CAST((cum - 1) // $PackSeqLen - (cum - n_tok) // $PackSeqLen + 1 AS BIGINT) AS n_seqs
+         |FROM (
+         |  SELECT doc_id, lang, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |  FROM (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok FROM documents))
+         |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val base = T.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        (col("doc_id") / PackBucket).cast(LongType).as("bkt"))
+      val wLocal = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      // per-(lang, bucket) totals → cumulative offsets via a range self-join
+      // on the tiny totals table (one row per bucket), like a6_running_count
+      val totals = base.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_tok")).as("tot"))
+      val offsets = totals
+        .join(totals.select(col("lang").as("lang2"), col("bkt").as("bkt2"),
+            col("tot").as("tot2")),
+          col("lang2") === col("lang") && col("bkt2") < col("bkt"), "left")
+        .groupBy(col("lang"), col("bkt"))
+        .agg(coalesce(sum(col("tot2")), lit(0L)).as("offset"))
+      base
+        .withColumn("cum_local", sum(col("n_tok")).over(wLocal))
+        .join(broadcast(offsets), Seq("lang", "bkt"))
+        .withColumn("cum", col("offset") + col("cum_local"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr(s"(cum - n_tok) div $PackSeqLen").as("first_seq"),
+          expr(s"(cum - 1) div $PackSeqLen").as("last_seq"),
+          expr(s"(cum - 1) div $PackSeqLen - (cum - n_tok) div $PackSeqLen + 1")
+            .as("n_seqs"))
+        .orderBy(col("lang"), col("doc_id"))
+    }
+  )
+}
