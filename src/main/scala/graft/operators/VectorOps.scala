@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
 import graft.core.{Q, Tables => T}
+import graft.plans.IntDotExpr
 
 /** Embedding-vector operators — SURVEY.md §7.4 extension surface: cosine
   * similarity search (brute-force baseline + LSH-bucketed scale path) and
@@ -42,13 +45,14 @@ object VectorOps {
   private def quantArr(emb: String): Column =
     expr(s"transform($emb, x -> cast(floor(cast(x as double) * 10000000.0D) as bigint))")
 
-  /** integer squared norm of a pre-quantized array. */
+  /** integer squared norm of a pre-quantized array (codegen'd custom
+    * expression — see graft.plans.IntDotExpr for why not aggregate()). */
   private def normOf(qarr: String): Column =
-    expr(s"aggregate($qarr, cast(0 as bigint), (acc, x) -> acc + x * x)")
+    toCol(IntDotExpr(toExpr(expr(qarr)), toExpr(expr(qarr))))
 
   /** integer dot product of two pre-quantized arrays. */
   private def dotOf(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), cast(0 as bigint), (acc, v) -> acc + v)")
+    toCol(IntDotExpr(toExpr(expr(a)), toExpr(expr(b))))
 
   /** 8-bit sign-bucket: bit i set iff embedding[i] >= 0 (i = 1..8,
     * 1-indexed) — an axis-aligned random-hyperplane LSH code. */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** SQL surface for the engine's custom Catalyst expressions: `hex_to_long`,
-  * `rolling_min_hash`, `wei_to_dec`, `trunc_wei`, `exact_mul` become
+  * `rolling_min_hash`, `wei_to_dec`, `trunc_wei`, `exact_mul`, `int_dot` become
   * callable from `spark.sql(...)` — a user of the reference switching to
   * this library keeps a pure-SQL workflow for the custom scalar layer.
   *
@@ -48,6 +48,7 @@ object GraftFunctions {
         org.apache.spark.sql.types.DecimalType(38, 0)))),
     one("trunc_wei")(TruncWeiExpr(_)),
     two("exact_mul")(ExactMulExpr(_, _)),
+    two("int_dot")(IntDotExpr(_, _)),
     (FunctionIdentifier("decode_log"),
       new ExpressionInfo(classOf[DecodeLogExpr].getName, "decode_log"),
       { args: Seq[Expression] =>

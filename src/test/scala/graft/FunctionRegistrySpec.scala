@@ -18,6 +18,17 @@ class FunctionRegistrySpec extends AnyFunSuite {
     assert(r.getLong(0) === 26L && r.getLong(1) === 255L && r.isNullAt(2))
   }
 
+  test("int_dot from SQL: dot product, norm self-product, null array, length mismatch") {
+    val r = spark.sql(
+      """SELECT int_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        |  int_dot(array(3L, -4L), array(3L, -4L)) AS nrm,
+        |  int_dot(cast(null as array<bigint>), array(1L)) AS n,
+        |  int_dot(array(2L, 10L), array(7L)) AS short""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) === 32L && r.getLong(1) === 25L && r.isNullAt(2)
+      && r.getLong(3) === 14L)
+  }
+
   test("rolling_min_hash from SQL equals the expression path") {
     val viaSql = spark.sql("SELECT rolling_min_hash('the quick brown fox jumps', 16) AS h")
       .collect()(0).getLong(0)

@@ -106,4 +106,13 @@ class PlanSpec extends AnyFunSuite {
     assert(codegenLine.exists(_.contains("*(")),
       s"decode Project not inside a codegen span: $codegenLine")
   }
+
+  test("int_dot multiply-accumulate stays inside whole-stage codegen") {
+    val p = plan("ss_topk_brute")
+    assert(p.contains("int_dot"), "int_dot expression missing from plan")
+    val codegenLine = p.linesIterator
+      .find(l => l.contains("int_dot") && l.contains("Project"))
+    assert(codegenLine.exists(_.contains("*(")),
+      s"int_dot Project not inside a codegen span: $codegenLine")
+  }
 }
