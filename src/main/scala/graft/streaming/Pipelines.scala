@@ -28,6 +28,19 @@ object Pipelines {
   def dirtySet(updates: DataFrame, keyCol: String): DataFrame =
     updates.select(col(keyCol)).dropDuplicates(Seq(keyCol))
 
+  /** S8 in streaming form: drop re-delivered rows (at-least-once sources
+    * re-emit a raw log on poller overlap or restart; the reference absorbs
+    * them with Mongo insert-if-absent, scan_raw_txs.py:51-54) BEFORE any
+    * stateful stage, keyed by the natural event identity. State is
+    * BOUNDED: `dropDuplicatesWithinWatermark` evicts seen-keys older than
+    * the watermark, so the dedup map never grows with the chain — a plain
+    * `dropDuplicates` on an unbounded stream would leak one entry per
+    * event forever (the 100 TB failure mode). */
+  def dedupStream(stream: DataFrame, eventTimeCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** T7/S6: one idempotent micro-batch application — MERGE the batch into
     * the parquet-backed state table by natural key (updates win), with a
     * write-to-temp + swap so the target is never half-written. Replaying

@@ -71,6 +71,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S8-stream: watermarked dedup drops re-delivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val deduped = Pipelines.dedupStream(
+      in.toDF().toDF("txHash", "logIndex", "eventTime"),
+      "eventTime", "10 minutes", Seq("txHash", "logIndex"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData(("a", 0L, ts(100)), ("a", 1L, ts(100)), ("a", 0L, ts(100)))
+      q.processAllAvailable()
+      // poller overlap: batch 2 re-delivers (a,0) and (a,1) inside the delay
+      in.addData(("a", 0L, ts(160)), ("a", 1L, ts(160)), ("b", 0L, ts(160)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select(col("txHash"), col("logIndex"))
+        .as[(String, Long)].collect().toSeq
+      assert(got.sorted === Seq(("a", 0L), ("a", 1L), ("b", 0L)))
+    } finally q.stop()
+  }
+
   // ── dirty-set + upsert sink ──
 
   test("T6 dirty set collapses to one row per touched key") {
