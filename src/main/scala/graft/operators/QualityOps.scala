@@ -186,6 +186,65 @@ object QualityOps {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus length-distribution report: per-language token-count
+    // percentiles (EXACT linear-interpolated percentile, not approx — the
+    // report a curation run prints before choosing length cutoffs). One
+    // partial-agged groupBy; the per-group sort for the exact percentile is
+    // bounded by group size (fine for a per-language report; use
+    // approx_percentile when the grouping key is high-cardinality).
+    Q(
+      "tx_length_stats",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  quantile_cont(n_tok, 0.5) AS p50,
+        |  quantile_cont(n_tok, 0.9) AS p90,
+        |  quantile_cont(n_tok, 0.99) AS p99
+        |FROM (SELECT lang, len(string_split(text,' ')) AS n_tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          expr("percentile(n_tok, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          element_at(col("p"), 1).as("p50"),
+          element_at(col("p"), 2).as("p90"),
+          element_at(col("p"), 3).as("p99"))
+        .orderBy(col("lang"))
+    },
+
+    // Token-rarity score — the cheap stand-in for CCNet-style LM-perplexity
+    // filtering: rare-token-heavy documents score high. Weight per token =
+    // floor(1e12 / corpus frequency) (integer-exact, so the cross-engine
+    // compare is bitwise; a float 1/f would accumulate in engine-specific
+    // order), doc score = mean weight. Deliberately NOT a global
+    // frequency-rank: dense_rank over the whole vocabulary would funnel
+    // 10^8 tokens through one partition at corpus scale — the inverse
+    // frequency needs only the per-token count, one partial-agged shuffle.
+    Q(
+      "tx_rarity",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+        |w AS (SELECT t.doc_id, 1000000000000 // f.f AS wt FROM tok t JOIN freq f ON t.token = f.token)
+        |SELECT doc_id,
+        |  CAST(sum(wt) AS BIGINT) AS rarity_sum,
+        |  count(*) AS n_tok,
+        |  CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) / count(*) AS rarity
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+      tok.join(freq, Seq("token"))
+        .select(col("doc_id"), expr("1000000000000 div f").as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wt")).as("rarity_sum"), count(lit(1)).as("n_tok"))
+        .withColumn("rarity",
+          col("rarity_sum").cast(DoubleType) / col("n_tok"))
+        .select(col("doc_id"), col("rarity_sum"), col("n_tok"), col("rarity"))
+        .orderBy(col("doc_id"))
+    },
+
     // Chunk + sequence packing (pretraining concat-and-chop): lay each
     // language's documents end to end in doc_id order and chop the token
     // stream into 512-token sequences; report the sequence span each
