@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
 import graft.core.{Q, Tables => T}
+import graft.plans.{Bpe, BpeEncodeExpr}
 
 /** Training-data curation signals beyond TextOps' dedup family: repetition
   * quality metrics (the Gopher-rules shape), PII detection/redaction,
@@ -242,6 +245,59 @@ object QualityOps {
         .withColumn("rarity",
           col("rarity_sum").cast(DoubleType) / col("n_tok"))
         .select(col("doc_id"), col("rarity_sum"), col("n_tok"), col("rarity"))
+        .orderBy(col("doc_id"))
+    },
+
+    // One BPE learning round: adjacent-character pair frequencies over the
+    // word stream, top-32 — the aggregation each iteration of tokenizer
+    // training runs (the full loop re-encodes between rounds; the pinned
+    // result of running it to 32 merges is graft.plans.Bpe.CorpusMerges).
+    // One partial-agged shuffle on the pair; top-k via TakeOrdered.
+    Q(
+      "tx_bpe_learn",
+      """SELECT pair, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(wd)), i -> substr(wd, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM (SELECT unnest(string_split(text,' ')) AS wd FROM documents)
+        |  WHERE len(wd) >= 2)
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 32""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("wd"))
+        .filter(length(col("wd")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(32)
+    },
+
+    // Real BPE tokenization via the custom expression (true greedy merge
+    // loop, graft.plans.BpeEncodeExpr); the oracle replays the SAME pinned
+    // merge list as 32 boundary-safe chained replaces over <c>-wrapped
+    // characters — provably the same semantics (see BpeExpressions
+    // scaladoc). Narrow map: the whole tokenization is one codegen'd
+    // projection, no shuffle.
+    Q(
+      "tx_bpe_encode", {
+        // '<a><b>' → '<ab>', folded in rank order
+        val chain = Bpe.CorpusMerges.foldLeft(
+          "regexp_replace(w, '(.)', '<\\1>', 'g')") { case (acc, (a, b)) =>
+          s"replace($acc, '<$a><$b>', '<$a$b>')"
+        }
+        s"""SELECT doc_id, len(toks) AS n_bpe, array_to_string(toks[1:8], '|') AS head8
+           |FROM (
+           |  SELECT doc_id,
+           |    string_split(trim(BOTH '<>' FROM list_aggregate(
+           |      list_transform(list_filter(string_split(text,' '), w -> w <> ''),
+           |        w -> $chain),
+           |      'string_agg', '')), '><') AS toks
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val toks = toCol(BpeEncodeExpr(toExpr(col("text"))))
+      T.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_bpe"),
+          array_join(slice(toks, 1, 8), "|").as("head8"))
         .orderBy(col("doc_id"))
     },
 

@@ -49,6 +49,7 @@ object GraftFunctions {
     one("trunc_wei")(TruncWeiExpr(_)),
     two("exact_mul")(ExactMulExpr(_, _)),
     two("int_dot")(IntDotExpr(_, _)),
+    one("bpe_encode")(BpeEncodeExpr(_)),
     (FunctionIdentifier("decode_log"),
       new ExpressionInfo(classOf[DecodeLogExpr].getName, "decode_log"),
       { args: Seq[Expression] =>
