@@ -303,6 +303,58 @@ object VectorOps {
         .orderBy(col("vec_id"), col("i"))
     },
 
+    // One Lloyd's (k-means) assignment step — the iteration a semantic-dedup
+    // or IVF index build runs: centroid per current label (integer component
+    // sums → floor-quantized mean), then every vector re-assigned to its
+    // nearest centroid. All distances in exact int64 via
+    // dist² = |q|² − 2·q·c + |c|² (int_dot on all three terms, codegen'd);
+    // the K centroid arrays BROADCAST, so the corpus side stays a narrow
+    // map + one window partitioned by vec_id — never a K×N shuffle of
+    // embedding payloads.
+    Q(
+      "ss_kmeans_assign",
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |dim AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM q),
+        |cent0 AS (
+        |  SELECT label, d, CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS c
+        |  FROM dim GROUP BY label, d),
+        |cent AS (SELECT label AS clabel, list(c ORDER BY d) AS ce FROM cent0 GROUP BY label),
+        |pairs AS (
+        |  SELECT q.vec_id, q.label, c.clabel,
+        |    CAST(list_sum(list_transform(range(1, len(qe)+1),
+        |      i -> (qe[i]-ce[i])*(qe[i]-ce[i]))) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN cent c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        |      FROM pairs)
+        |SELECT vec_id, label, clabel AS assigned, dist, (clabel <> label) AS moved
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val q = T.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          quantArr("embedding").as("qe"))
+        .withColumn("qq", normOf("qe"))
+      val cent = q
+        .select(col("label"), posexplode(col("qe")).as(Seq("d0", "v")))
+        .groupBy(col("label"), col("d0"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("sv").cast(DoubleType) / col("n")).cast(LongType))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(d0, c))), x -> x.c)").as("ce"))
+        .select(col("label").as("clabel"), col("ce"))
+        .withColumn("cc", normOf("ce"))
+      val pairs = q.crossJoin(broadcast(cent))
+        .withColumn("dist", col("qq") - lit(2L) * dotOf("qe", "ce") + col("cc"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("clabel").as("assigned"),
+          col("dist"), (col("clabel") =!= col("label")).as("moved"))
+        .orderBy(col("vec_id"))
+    },
+
     // Centroid aggregation per label (the building block of IVF coarse
     // quantization): exact integer component sums, then double means — the
     // kind of vector agg a 100 TB IVF index build runs per partition list.

@@ -42,6 +42,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int_dot matches the BigInt model on generated vectors (incl. magnitude extremes)") {
+    val genComp = Gen.oneOf(
+      Gen.chooseNum(-1000L, 1000L),
+      Gen.chooseNum(-10000000000L, 10000000000L)) // quantArr magnitudes
+    val genVec = Gen.listOfN(16, genComp)
+    val pairs = sampled(Gen.zip(genVec, genVec), 200)
+    val df = pairs.toDF("a", "b")
+      .select(expr("int_dot(a, b)").as("got"))
+    val got = df.collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      // the expression accumulates in Long (wrapping like every engine's
+      // int64 dot); the model reduces each product mod 2^64 the same way
+      val model = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(g === model, s"a=$a b=$b")
+    }
+  }
+
   test("Merge.upsert is idempotent and key-unique on generated tables") {
     val genRow = Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000L))
     (0 until 5).foreach { i =>
