@@ -33,6 +33,10 @@ import graft.plans.{Bpe, BpeEncodeExpr}
   */
 object QualityOps {
 
+  /** normalized text (lower, trim, collapse whitespace) — same canonical
+    * form as TextOps' dedup family. */
+  private def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
   /** 60-bit deterministic string id (md5 prefix), identical in DuckDB via
     * CAST('0x'||substr(md5(s),1,15) AS BIGINT). */
   private def sid60(c: Column): Column =
@@ -245,6 +249,36 @@ object QualityOps {
         .withColumn("rarity",
           col("rarity_sum").cast(DoubleType) / col("n_tok"))
         .select(col("doc_id"), col("rarity_sum"), col("n_tok"), col("rarity"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental dedup — the production shape: a NEW batch (here the
+    // deterministic top-10%-of-doc_id slice) checked against the existing
+    // corpus's fingerprint index, without re-clustering the corpus. Exact
+    // fingerprint semi-join: new docs whose normalized-text md5 already
+    // exists in the index are drops, the rest are admits. One shuffle on
+    // the uniform 128-bit fingerprint; at 100 TB the index side is a
+    // pre-bucketed fingerprint table so the probe is a co-located join.
+    Q(
+      "dd_incremental",
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    doc_id >= (SELECT CAST(max(doc_id)*0.9 AS BIGINT) FROM documents) AS is_new
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new)
+        |SELECT f.doc_id, f.fp,
+        |  (i.fp IS NOT NULL) AS is_dup
+        |FROM (SELECT * FROM fp WHERE is_new) f LEFT JOIN idx i ON f.fp = i.fp
+        |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val fp = T.documents(s, d)
+        .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
+      val cut = fp.agg((max(col("doc_id")) * 0.9).cast(LongType).as("cut"))
+      val withCut = fp.crossJoin(broadcast(cut))
+      val idx = withCut.filter(col("doc_id") < col("cut")).select(col("fp")).distinct()
+      withCut.filter(col("doc_id") >= col("cut"))
+        .join(idx.withColumn("hit", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("hit"), lit(false)).as("is_dup"))
         .orderBy(col("doc_id"))
     },
 
