@@ -107,6 +107,20 @@ class PlanSpec extends AnyFunSuite {
       s"decode Project not inside a codegen span: $codegenLine")
   }
 
+  test("curation-signal operators keep their scale shapes") {
+    // decontamination: the benchmark side broadcasts, never shuffles the corpus
+    val pd = plan("dd_decontaminate")
+    assert(pd.contains("BroadcastHashJoin"), "bench side must broadcast")
+    // packing: every window is partitioned by the (lang, bucket) pair
+    val pp = plan("tx_chunk_pack")
+    val winLines = pp.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("bkt")),
+      s"unpartitioned window in tx_chunk_pack: $winLines")
+    // kmeans: K centroid arrays broadcast; the N-side never shuffles whole
+    val pk = plan("ss_kmeans_assign")
+    assert(pk.contains("BroadcastExchange"), "centroids must broadcast")
+  }
+
   test("int_dot multiply-accumulate stays inside whole-stage codegen") {
     val p = plan("ss_topk_brute")
     assert(p.contains("int_dot"), "int_dot expression missing from plan")
