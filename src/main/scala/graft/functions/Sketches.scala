@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -42,4 +44,44 @@ object MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Bounded top-k typed Aggregator: keeps the k SMALLEST `(ord, id)` pairs
+  * (ascending lexicographic), so the buffer crossing the shuffle is at most
+  * k entries per (group, partition) — a true map-side partial top-k.
+  *
+  * This is the scale-correct replacement for
+  * `row_number().over(Window.partitionBy(g).orderBy(...))  WHERE rn <= k`:
+  * the window shape shuffles the ENTIRE pair stream (N×K rows of
+  * embedding-scale payloads at 100 TB) to rank it, while this aggregator
+  * partial-aggregates each map partition down to k entries before any data
+  * moves. Descending ranks (top-k by similarity) pass the negated score as
+  * `ord` — IEEE negation is exact, so the round trip loses nothing.
+  *
+  * The buffer is a sorted Vector bounded at k: insert is O(k) (k here is
+  * 2-5), merge is O(k²) worst case, both constant-space in group size.
+  */
+final case class BoundedTopK[A: TypeTag: Ordering](k: Int)
+    extends Aggregator[(A, Long), Seq[(A, Long)], Seq[(A, Long)]] {
+  private val ord: Ordering[(A, Long)] =
+    Ordering.Tuple2(implicitly[Ordering[A]], implicitly[Ordering[Long]])
+
+  override def zero: Seq[(A, Long)] = Vector.empty
+
+  private def ins(b: Seq[(A, Long)], x: (A, Long)): Seq[(A, Long)] =
+    if (b.length >= k && ord.gteq(x, b.last)) b
+    else {
+      val (lo, hi) = b.span(ord.lt(_, x))
+      ((lo :+ x) ++ hi).take(k)
+    }
+
+  override def reduce(b: Seq[(A, Long)], x: (A, Long)): Seq[(A, Long)] = ins(b, x)
+  override def merge(a: Seq[(A, Long)], b: Seq[(A, Long)]): Seq[(A, Long)] =
+    b.foldLeft(a)(ins)
+  override def finish(b: Seq[(A, Long)]): Seq[(A, Long)] = b
+
+  override def bufferEncoder: Encoder[Seq[(A, Long)]] =
+    ExpressionEncoder[Seq[(A, Long)]]()
+  override def outputEncoder: Encoder[Seq[(A, Long)]] =
+    ExpressionEncoder[Seq[(A, Long)]]()
 }

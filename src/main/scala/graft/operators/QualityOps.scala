@@ -263,7 +263,7 @@ object QualityOps {
       "dd_incremental",
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |    doc_id >= (SELECT CAST(max(doc_id)*0.9 AS BIGINT) FROM documents) AS is_new
+        |    doc_id >= (SELECT (max(doc_id)*9)//10 FROM documents) AS is_new
         |  FROM documents),
         |idx AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new)
         |SELECT f.doc_id, f.fp,
@@ -272,7 +272,10 @@ object QualityOps {
         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
       val fp = T.documents(s, d)
         .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
-      val cut = fp.agg((max(col("doc_id")) * 0.9).cast(LongType).as("cut"))
+      // pure integer math: (max*9) div 10 on BOTH engines — a float 0.9
+      // cut would round-to-nearest in DuckDB but truncate in Spark,
+      // flipping the boundary document whenever frac(max*0.9) >= 0.5.
+      val cut = fp.agg(expr("(max(doc_id)*9) div 10").as("cut"))
       val withCut = fp.crossJoin(broadcast(cut))
       val idx = withCut.filter(col("doc_id") < col("cut")).select(col("fp")).distinct()
       withCut.filter(col("doc_id") >= col("cut"))
@@ -317,14 +320,20 @@ object QualityOps {
           "regexp_replace(w, '(.)', '<\\1>', 'g')") { case (acc, (a, b)) =>
           s"replace($acc, '<$a><$b>', '<$a$b>')"
         }
+        // empty/whitespace-only docs: list_aggregate([]) is NULL in DuckDB
+        // while the Spark expression returns an empty array — the CASE
+        // pins both engines to n_bpe=0, head8=''.
         s"""SELECT doc_id, len(toks) AS n_bpe, array_to_string(toks[1:8], '|') AS head8
            |FROM (
            |  SELECT doc_id,
-           |    string_split(trim(BOTH '<>' FROM list_aggregate(
+           |    CASE WHEN agg IS NULL THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split(trim(BOTH '<>' FROM agg), '><') END AS toks
+           |  FROM (
+           |    SELECT doc_id, list_aggregate(
            |      list_transform(list_filter(string_split(text,' '), w -> w <> ''),
            |        w -> $chain),
-           |      'string_agg', '')), '><') AS toks
-           |  FROM documents)
+           |      'string_agg', '') AS agg
+           |    FROM documents))
            |ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       val toks = toCol(BpeEncodeExpr(toExpr(col("text"))))

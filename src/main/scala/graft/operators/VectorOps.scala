@@ -2,12 +2,12 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
 import graft.core.{Q, Tables => T}
+import graft.functions.BoundedTopK
 import graft.plans.IntDotExpr
 
 /** Embedding-vector operators — SURVEY.md §7.4 extension surface: cosine
@@ -72,6 +72,23 @@ object VectorOps {
     else base
   }
 
+  /** per-query top-k as a bounded aggregation (graft.functions.BoundedTopK):
+    * input (−cos, n_id) so ascending order = cos desc, n_id asc; the map
+    * side partial-aggregates each partition to ≤k entries before the
+    * shuffle — the N×K pair stream never crosses the wire (a window rank
+    * would shuffle all of it). IEEE negation is exact, so −(−cos) == cos
+    * bit for bit and the oracle hash still matches. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(BoundedTopK[Double](k))
+    pairs
+      .groupBy(col("q_id"))
+      .agg(topk(-col("cos"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), col("t._2").as("n_id"), (-col("t._1")).as("cos"),
+        (col("r0") + 1).cast(LongType).as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** DuckDB-side flattened quantized view + norms, shared by the oracles. */
   private val FlatCte =
     """WITH flat AS (
@@ -110,10 +127,7 @@ object VectorOps {
           dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
         .withColumn("cos", col("dot").cast(DoubleType)
           / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-        .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast(LongType).as("rnk"))
-        .orderBy(col("q_id"), col("rnk"))
+      rankTopK(pairs, 5)
     }.copy(bench = true),
 
     // LSH-bucketed top-k: same queries/k, but candidates restricted to the
@@ -149,10 +163,7 @@ object VectorOps {
           dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
         .withColumn("cos", col("dot").cast(DoubleType)
           / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-        .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast(LongType).as("rnk"))
-        .orderBy(col("q_id"), col("rnk"))
+      rankTopK(pairs, 5)
     },
 
     // Embedding near-duplicate pairs: sign-bucket LSH candidates, exact
@@ -235,12 +246,18 @@ object VectorOps {
       val dist = flat.join(broadcast(cent), Seq("i"))
         .groupBy(col("vec_id"), col("cl"))
         .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))
-      val ranked = dist.withColumn("rn", row_number().over(wAssign)).persist()
-      val assign = ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("cl").as("cell"))
-      val probe = ranked.filter(col("vec_id") < 16 && col("rn") <= 2)
-        .select(col("vec_id").as("q_id"), col("cl").as("cell"))
+        .persist()
+      // nearest cell / nprobe cells by bounded aggregation, not a window
+      // rank over the N×K (vec_id, cell) stream: min_by partial-aggregates
+      // map-side; the top-2 probe keeps d2 as Long (squared integer
+      // distances overflow a Double's 53-bit mantissa).
+      val assign = dist.groupBy(col("vec_id"))
+        .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cell"))
+      val top2 = udaf(BoundedTopK[Long](2))
+      val probe = dist.filter(col("vec_id") < 16)
+        .groupBy(col("vec_id"))
+        .agg(top2(col("d2"), col("cl")).as("cells"))
+        .select(col("vec_id").as("q_id"), explode(col("cells")("_2")).as("cell"))
       val cand = probe.join(assign, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id")).distinct()
@@ -252,10 +269,7 @@ object VectorOps {
           dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
         .withColumn("cos", col("dot").cast(DoubleType)
           / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-        .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast(LongType).as("rnk"))
-        .orderBy(col("q_id"), col("rnk"))
+      rankTopK(scored, 5)
     },
 
     // L2 normalization (embedding preprocessing): components divided by
@@ -309,8 +323,8 @@ object VectorOps {
     // nearest centroid. All distances in exact int64 via
     // dist² = |q|² − 2·q·c + |c|² (int_dot on all three terms, codegen'd);
     // the K centroid arrays BROADCAST, so the corpus side stays a narrow
-    // map + one window partitioned by vec_id — never a K×N shuffle of
-    // embedding payloads.
+    // map + a min_by argmin aggregation — never a K×N shuffle of
+    // embedding payloads, not even to rank them.
     Q(
       "ss_kmeans_assign",
       """WITH q AS (
@@ -346,12 +360,16 @@ object VectorOps {
         .withColumn("cc", normOf("ce"))
       val pairs = q.crossJoin(broadcast(cent))
         .withColumn("dist", col("qq") - lit(2L) * dotOf("qe", "ce") + col("cc"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+      // argmin by min_by aggregation (tie-broken on clabel), not a window:
+      // the N×K pair stream partial-aggregates to one row per vector before
+      // the shuffle — K× less shuffle volume than ranking the pairs.
       pairs
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("clabel").as("assigned"),
-          col("dist"), (col("clabel") =!= col("label")).as("moved"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min_by(struct(col("clabel"), col("dist")),
+          struct(col("dist"), col("clabel"))).as("best"))
+        .select(col("vec_id"), col("label"), col("best.clabel").as("assigned"),
+          col("best.dist").as("dist"),
+          (col("best.clabel") =!= col("label")).as("moved"))
         .orderBy(col("vec_id"))
     },
 

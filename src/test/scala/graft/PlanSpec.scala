@@ -121,6 +121,15 @@ class PlanSpec extends AnyFunSuite {
     assert(pk.contains("BroadcastExchange"), "centroids must broadcast")
   }
 
+  test("vector argmin/top-k partial-aggregates — no window over the N×K pair stream") {
+    Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_kmeans_assign").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Window ["), s"$n still ranks the pair stream with a window")
+      assert("(Object)?(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,
+        s"$n does not partial-aggregate the pair stream")
+    }
+  }
+
   test("int_dot multiply-accumulate stays inside whole-stage codegen") {
     val p = plan("ss_topk_brute")
     assert(p.contains("int_dot"), "int_dot expression missing from plan")
