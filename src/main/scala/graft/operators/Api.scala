@@ -45,6 +45,16 @@ object Api {
   private[graft] val Excluded = Seq("TransferFromMoC", "QueueDOC")
   private val ExcludedSql = Excluded.map(e => s"'$e'").mkString(", ")
 
+  /** P6 — THE address-match predicate, case-insensitive SUBSTRING (the
+    * reference's unanchored Mongo `$regex`, bp_user_operations.py:34),
+    * expressed without regex at all: `contains(lower(col), lower(needle))`
+    * is injection-safe by construction and stays inside whole-stage
+    * codegen. Single implementation — the `p6_ci_match` oracle row pins
+    * the semantics (mixed case + partial needle) and ApiServer delegates
+    * here. */
+  def ciMatch(c: org.apache.spark.sql.Column, needle: String): org.apache.spark.sql.Column =
+    contains(lower(c), lower(lit(needle)))
+
   /** O1 pagination clamp (lib_tools.py:55-61): requested page sizes snap
     * to the allowed set — default 20, max 40, anything else rounded down
     * to the nearest allowed value. */

@@ -307,6 +307,46 @@ object QualityOps {
         .limit(32)
     },
 
+    // The FULL distributed BPE training loop (Bpe.train): 32 rounds of
+    // count-pairs → global argmax → re-encode, each round one distributed
+    // job over the distinct-word table. The oracle replays round r's pair
+    // count with the PINNED prefix merges via the provably-equivalent
+    // chained-replace encoding (see BpeExpressions scaladoc) and takes the
+    // same argmax — so the row is green iff the derivation reproduces
+    // Bpe.CorpusMerges from the data, which BpeSpec asserts directly.
+    Q(
+      "tx_bpe_train", {
+        val rounds = (1 to 32).map { r =>
+          val chain = Bpe.CorpusMerges.take(r - 1).foldLeft(
+            "regexp_replace(word, '(.)', '<\\1>', 'g')") { case (acc, (a, b)) =>
+            s"replace($acc, '<$a><$b>', '<$a$b>')"
+          }
+          s"""sel$r AS (
+             |  SELECT CAST($r AS BIGINT) AS rank, a, b FROM (
+             |    SELECT p.a AS a, p.b AS b, sum(cnt) AS c FROM (
+             |      SELECT cnt, unnest(list_transform(range(1, len(t)),
+             |        i -> {'a': t[i], 'b': t[i+1]})) AS p
+             |      FROM (SELECT cnt, string_split(trim(BOTH '<>' FROM $chain), '><') AS t
+             |            FROM words)
+             |      WHERE len(t) >= 2)
+             |    GROUP BY 1, 2)
+             |  ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+        }
+        val union = (1 to 32).map(r => s"SELECT * FROM sel$r").mkString(" UNION ALL ")
+        s"""WITH words AS (
+           |  SELECT word, count(*) AS cnt FROM (
+           |    SELECT unnest(string_split(text,' ')) AS word FROM documents)
+           |  WHERE word <> '' GROUP BY word),
+           |${rounds.mkString(",\n")}
+           |SELECT rank, a, b FROM ($union) ORDER BY rank""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      Bpe.train(T.documents(s, d), 32).zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b")
+        .orderBy(col("rank"))
+    },
+
     // Real BPE tokenization via the custom expression (true greedy merge
     // loop, graft.plans.BpeEncodeExpr); the oracle replays the SAME pinned
     // merge list as 32 boundary-safe chained replaces over <c>-wrapped

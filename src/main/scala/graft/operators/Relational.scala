@@ -207,15 +207,18 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
-    // P6 case-insensitive equality (bp_user_operations.py:34 regex-i →
-    // preserved as lower() equality).
+    // P6 case-insensitive address match (bp_user_operations.py:34): the
+    // reference's unanchored Mongo `$regex` is SUBSTRING semantics —
+    // pinned here with a mixed-case PARTIAL needle ('UILDi' ∈ 'BUILDING'
+    // case-folded) through the single shared predicate Api.ciMatch, the
+    // same one the HTTP endpoints use.
     Q(
-      "p6_ci_equality",
+      "p6_ci_match",
       """SELECT c_custkey, c_name, c_mktsegment
-        |FROM customer WHERE lower(c_mktsegment) = 'building'
+        |FROM customer WHERE contains(lower(c_mktsegment), lower('UILDi'))
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       T.customer(s, d)
-        .filter(lower(col("c_mktsegment")) === "building")
+        .filter(Api.ciMatch(col("c_mktsegment"), "UILDi"))
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     },

@@ -674,6 +674,109 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }.copy(bench = true),
 
+    // Incremental NEAR-dup maintenance — the dedup path a daily 100 TB
+    // corpus refresh actually runs: a NEW batch (top-10%-of-doc_id slice,
+    // same integer cut as dd_incremental) probes the PERSISTED MinHash band
+    // index of the existing corpus, minhash-verifies the surviving
+    // candidates, and emits an admit/drop verdict per new document — the
+    // corpus is never re-clustered and never re-shuffled.
+    // Plan shape: the corpus pays exactly its one signature-build shuffle
+    // (in production the band/sig tables are persisted, so it pays zero);
+    // every join against it BROADCASTS the batch-derived side (band probe,
+    // candidate verify), so no corpus-side Exchange exists beyond the
+    // signature groupBy — gated in PlanSpec. Reference analog: the
+    // insert-if-absent guards (mocsettlement.py:29-52) generalized from
+    // exact keys to near-dup signatures.
+    Q(
+      "dd_incremental_lsh", {
+        val mhAgg = (0 until MhK)
+          .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP) AS mh$k")
+          .mkString(",\n        |    ")
+        def bandRows(src: String) = (0 until MhBands).map { b =>
+          val key = (0 until 4).map(i => s"mh${4 * b + i}").mkString("||','||")
+          s"SELECT doc_id, $b AS band, $key AS band_key FROM $src"
+        }.mkString("\n        |  UNION ALL ")
+        val matches = (0 until MhK)
+          .map(k => s"(CASE WHEN sa.mh$k=sb.mh$k THEN 1 ELSE 0 END)").mkString("+")
+        s"""WITH cutoff AS (SELECT (max(doc_id)*9)//10 AS cut FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id, unnest($shinglesSql) AS shingle
+           |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+           |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh),
+           |sig AS (SELECT doc_id,
+           |    $mhAgg
+           |  FROM ids GROUP BY doc_id),
+           |csig AS (SELECT s.* FROM sig s, cutoff c WHERE s.doc_id < c.cut),
+           |nsig AS (SELECT s.* FROM sig s, cutoff c WHERE s.doc_id >= c.cut),
+           |cbands AS (
+           |  ${bandRows("csig")}),
+           |nbands AS (
+           |  ${bandRows("nsig")}),
+           |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+           |         FROM nbands n JOIN cbands c
+           |           ON n.band = c.band AND n.band_key = c.band_key),
+           |ver AS (SELECT cd.new_id, cd.corpus_id, ($matches)/16.0 AS jac
+           |        FROM cand cd JOIN sig sa ON sa.doc_id = cd.new_id
+           |        JOIN sig sb ON sb.doc_id = cd.corpus_id),
+           |per AS (SELECT new_id, count(*) AS n_cand, max(jac) AS best_jac
+           |        FROM ver GROUP BY new_id)
+           |SELECT n.doc_id, coalesce(p.n_cand, 0) AS n_cand,
+           |  coalesce(p.best_jac, 0.0) AS best_jac,
+           |  coalesce(p.best_jac, 0.0) >= 0.5 AS is_neardup
+           |FROM nsig n LEFT JOIN per p ON p.new_id = n.doc_id
+           |ORDER BY n.doc_id""".stripMargin
+      }) { (s, d) =>
+      val sh = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+      val ids = sh.select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
+      val sig = ids.groupBy(col("doc_id")).agg(
+        min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
+        (1 until MhK).map(k =>
+          min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
+      val cutDf = T.documents(s, d).agg(expr("(max(doc_id)*9) div 10").as("cutv"))
+      // the signature table with the batch flag — persisted: it stands in
+      // for the PERSISTED index (corpus side) + the freshly-signed batch.
+      val sigC = sig.crossJoin(broadcast(cutDf))
+        .withColumn("is_new", col("doc_id") >= col("cutv")).drop("cutv")
+        .persist()
+      val corpusSig = sigC.filter(!col("is_new"))
+      val newSig = sigC.filter(col("is_new"))
+      val bandKeys = (0 until MhBands).map(b =>
+        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
+      def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      // probe: the batch's band keys BROADCAST against the corpus band
+      // table — the corpus streams through unshuffled.
+      val cand = bandsOf(corpusSig)
+        .join(broadcast(bandsOf(newSig).withColumnRenamed("doc_id", "new_id")),
+          Seq("band", "band_key"))
+        .select(col("new_id"), col("doc_id").as("corpus_id"))
+        .distinct()
+      // verify: candidates (batch-bounded, small) broadcast against the
+      // corpus signatures; then the batch signatures broadcast in.
+      val nMatch = (0 until MhK)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sa = newSig.select(col("doc_id").as("new_id") +:
+        (0 until MhK).map(k => col(s"mh$k").as(s"a$k")): _*)
+      val sb = corpusSig.select(col("doc_id").as("corpus_id") +:
+        (0 until MhK).map(k => col(s"mh$k").as(s"b$k")): _*)
+      val ver = sb.join(broadcast(cand), Seq("corpus_id"))
+        .join(broadcast(sa), Seq("new_id"))
+        .select(col("new_id"), (nMatch / lit(16.0)).as("jac"))
+      val per = ver.groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_cand"), max(col("jac")).as("best_jac"))
+      newSig.select(col("doc_id"))
+        .join(broadcast(per.withColumnRenamed("new_id", "doc_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+          (coalesce(col("best_jac"), lit(0.0)) >= 0.5).as("is_neardup"))
+        .orderBy(col("doc_id"))
+    },
+
     // The MinHash signature again, through the TYPED AGGREGATOR path
     // (graft.functions.MinHashAgg — X5): constant-space sketch buffer with
     // commutative merge, bit-equal to dd_minhash_lsh's wide aggregation;

@@ -98,6 +98,47 @@ object Bpe {
     ("custo", "mer"), ("f", "i"), ("fi", "l"))
 
   val Corpus: BpeVocab = new BpeVocab(CorpusMerges)
+
+  /** The DISTRIBUTED BPE training loop — count pairs → take the global
+    * max → re-encode → repeat — run for real instead of asserting its
+    * pinned result. Each round is one distributed job over the
+    * distinct-word frequency table (vastly smaller than the corpus: the
+    * standard corpus-scale BPE shape): encode every word with the merges
+    * learned so far (the same BpeEncodeExpr the tokenizer ships), explode
+    * adjacent token pairs weighted by word count, partial-agg the pair
+    * counts, and TakeOrdered the single argmax row to the driver
+    * (tie-break: count desc, then (a, b) lexicographic — for space-free
+    * tokens identical to the pinned derivation's "pair lexicographic").
+    * Only the ~bytes-sized winning pair crosses to the driver per round.
+    * [[CorpusMerges]] is exactly `train(documents@sf0.01, 32)` — asserted
+    * by BpeSpec and oracle-checked end to end by `tx_bpe_train`. */
+  def train(docs: org.apache.spark.sql.DataFrame, rounds: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val merges = ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < rounds && !exhausted) {
+      val vocab = new BpeVocab(merges.toList)
+      val best = words
+        .select(col("cnt"), toCol(BpeEncodeExpr(toExpr(col("word")), vocab)).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else merges += ((best(0).getString(0), best(0).getString(1)))
+    }
+    words.unpersist()
+    merges.toSeq
+  }
 }
 
 /** `bpe_encode(text)` → array<string> of BPE tokens. Input StringType. */

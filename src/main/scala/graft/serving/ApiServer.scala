@@ -2,7 +2,6 @@ package graft.serving
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.regex.Pattern
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -44,9 +43,10 @@ final class ApiServer(
 
   // ── endpoint programs (parameterized versions of the api_* queries) ──
 
-  /** case-insensitive substring address predicate (the Mongo `$regex`). */
+  /** case-insensitive substring address predicate — delegates to the one
+    * P6 implementation (Api.ciMatch, oracle-pinned by `p6_ci_match`). */
   private def addrMatch(address: String) =
-    col("address").rlike("(?i)" + Pattern.quote(address))
+    Api.ciMatch(col("address"), address)
 
   private def txFiltered(address: String, token: Option[String]): DataFrame = {
     val base = Api.txView(spark, dataDir)

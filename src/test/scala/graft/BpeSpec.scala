@@ -53,6 +53,13 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("the distributed training loop DERIVES the pinned corpus merges") {
+    val derived = Bpe.train(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet"), 32)
+    assert(derived === Bpe.CorpusMerges,
+      "Bpe.train must reproduce CorpusMerges from the sf0.01 corpus")
+  }
+
   test("bpe_encode is SQL-callable through the extension registration") {
     val got = spark.sql("SELECT bpe_encode('winter batch') AS t")
       .collect()(0).getSeq[String](0)

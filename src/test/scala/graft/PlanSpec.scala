@@ -121,6 +121,19 @@ class PlanSpec extends AnyFunSuite {
     assert(pk.contains("BroadcastExchange"), "centroids must broadcast")
   }
 
+  test("incremental LSH probe never shuffles the corpus for a join") {
+    val p = plan("dd_incremental_lsh")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "probe/verify joins must broadcast the batch-derived side")
+    assert(p.contains("BroadcastHashJoin"),
+      "band probe should be a broadcast hash join")
+    // corpus pays exactly its signature-build shuffle; the only other hash
+    // exchanges are batch-derived (candidate distinct + per-doc verdict agg)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(nShuffles <= 3, s"unexpected extra shuffle: $nShuffles hash exchanges")
+  }
+
   test("vector argmin/top-k partial-aggregates — no window over the N×K pair stream") {
     Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_kmeans_assign").foreach { n =>
       val p = plan(n)

@@ -51,6 +51,22 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  test("address match is case-insensitive substring (one P6 implementation)") {
+    withServer(minAddrLen = 3) { port =>
+      // mixed-case partial needle: the stored addresses are 0xA<digits>;
+      // 'Xa7' matches them case-folded, and only as a substring
+      val (status, body) = get(port,
+        "/api/v1/webapp/transactions/list?address=0Xa7&limit=20&skip=0")
+      assert(status === 200)
+      val total = """"total":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+      assert(total > 0, "case-folded partial address must match")
+      val (_, exact) = get(port,
+        "/api/v1/webapp/transactions/list?address=0xA7&limit=20&skip=0")
+      val totalExact = """"total":(\d+)""".r.findFirstMatchIn(exact).get.group(1).toInt
+      assert(total === totalExact, "case must not change the match set")
+    }
+  }
+
   test("pagination: out-of-whitelist limit resets to 20; skip shifts the page") {
     withServer(minAddrLen = 3) { port =>
       val (_, bad) = get(port,
