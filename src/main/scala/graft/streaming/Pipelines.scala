@@ -41,33 +41,63 @@ object Pipelines {
     stream.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** number of key-hash buckets the parquet state table is laid out in.
+    * At 100 TB state this is the knob that bounds per-batch write
+    * amplification: a micro-batch rewrites only the buckets it touches
+    * (≤ min(|batch keys|, buckets)), never the whole table. */
+  val StateBuckets = 32
+
   /** T7/S6: one idempotent micro-batch application — MERGE the batch into
-    * the parquet-backed state table by natural key (updates win), with a
-    * write-to-temp + swap so the target is never half-written. Replaying
-    * the same batch is a no-op on table contents, which is what makes
-    * at-least-once delivery effectively-once (the reference relies on the
-    * same property via Mongo natural-key upserts, scan_raw_txs.py:51-54).
+    * the parquet-backed state table by natural key (updates win). The
+    * state dir is hive-partitioned by a key-hash bucket
+    * (`__gbkt=<pmod(xxhash64(keys), n)>`), and each batch rewrites ONLY
+    * the buckets its keys land in, per-bucket tmp + swap: per-batch work
+    * is O(touched state), not O(state) — the shape that survives the
+    * state table growing toward 100 TB. Untouched buckets' files are not
+    * opened, written, or moved (byte-identical after the batch —
+    * StreamingSpec proves it). Replaying the same batch is a no-op on
+    * table contents, which is what makes at-least-once delivery
+    * effectively-once (the reference relies on the same property via
+    * Mongo natural-key upserts, scan_raw_txs.py:51-54).
+    *
+    * The per-bucket delete+rename swap is still not crash-atomic, but the
+    * blast radius is one bucket and the checkpoint replays the batch.
+    * Production targets a transactional table format (Delta MERGE) or
+    * Mongo upserts behind DocumentSink, where the swap problem doesn't
+    * exist; this parquet sink is the self-contained test-environment
+    * implementation. Bucket jobs run serially here; they are independent
+    * and can run concurrently on a real cluster.
     */
   def upsertBatch(spark: SparkSession, stateDir: String,
-      batch: DataFrame, keys: Seq[String]): Unit = {
+      batch: DataFrame, keys: Seq[String],
+      nBuckets: Int = StateBuckets): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val state = new Path(stateDir)
-    val tmp = new Path(stateDir + ".__tmp")
-    val fs = state.getFileSystem(conf)
-    val merged =
-      if (fs.exists(state)) Merge.upsert(spark.read.parquet(stateDir), batch, keys)
-      else batch
-    // materialize to tmp BEFORE touching the live dir (merged lazily reads
-    // it). The delete+rename swap is not crash-atomic — a failure between
-    // the two loses the live dir (the checkpoint replays the batch, but a
-    // reader could observe the gap). Production targets a transactional
-    // table format (Delta MERGE) or Mongo upserts behind DocumentSink,
-    // where the swap problem doesn't exist; this parquet sink is the
-    // self-contained test-environment implementation.
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(state, true)
-    fs.rename(tmp, state)
+    val fs = new Path(stateDir).getFileSystem(conf)
+    val bkt = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+    val batchB = batch.withColumn("__bkt", bkt).persist()
+    val touched = batchB.select(col("__bkt")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    touched.foreach { b =>
+      val bDir = new Path(s"$stateDir/__gbkt=$b")
+      val bTmp = new Path(s"$stateDir/.tmp-bucket-$b")
+      val bBatch = batchB.filter(col("__bkt") === b).drop("__bkt")
+      val merged =
+        if (fs.exists(bDir))
+          Merge.upsert(spark.read.parquet(bDir.toString), bBatch, keys)
+        else bBatch
+      // materialize to tmp BEFORE touching the live bucket (merged
+      // lazily reads it), then swap
+      merged.write.mode("overwrite").parquet(bTmp.toString)
+      fs.delete(bDir, true)
+      fs.rename(bTmp, bDir)
+    }
+    batchB.unpersist()
   }
+
+  /** read the bucket-partitioned state table back as its logical schema
+    * (the hive partition column is the sink's layout detail, not data). */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir).drop("__gbkt")
 
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
   def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],

@@ -46,7 +46,7 @@ class PipelineE2ESpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val state = spark.read.parquet(stateDir)
+    val state = Pipelines.readState(spark, stateDir)
       .as[(Long, String, String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(state.keySet === Set(1L, 2L, 3L))
@@ -85,7 +85,7 @@ class PipelineE2ESpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val out = spark.read.parquet(dir)
+    val out = Pipelines.readState(spark, dir)
     // full collection schema materialized; unset optionals are nulls
     assert(out.columns.toSeq === Schemas.transaction.schema.fieldNames.toSeq)
     val rows = out.collect().map(r =>

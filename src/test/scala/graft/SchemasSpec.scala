@@ -106,7 +106,7 @@ class SchemasSpec extends AnyFunSuite {
       .withColumn("noise", lit("dropme"))
     sink.write(batch(("0xa", 10L), ("0xb", 11L)))
     sink.write(batch(("0xb", 12L), ("0xc", 13L))) // 0xb patched, 0xc inserted
-    val state = spark.read.parquet(s"$dir/UserState_update")
+    val state = graft.streaming.Pipelines.readState(spark, s"$dir/UserState_update")
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(state === Seq(("0xa", 10L), ("0xb", 12L), ("0xc", 13L)))
 

@@ -111,8 +111,48 @@ class StreamingSpec extends AnyFunSuite {
     val b2 = Seq((2L, "Y"), (3L, "z")).toDF("k", "v")
     sink.upsert(b2, Seq("k"))
     sink.upsert(b2, Seq("k")) // replay
-    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val got = Pipelines.readState(spark, dir).as[(Long, String)].collect().toSet
     assert(got === Set((1L, "x"), (2L, "Y"), (3L, "z")))
+  }
+
+  test("bucketed upsert rewrites only touched buckets — untouched files byte-identical") {
+    val dir = Files.createTempDirectory("graft-bstate").toString + "/state"
+    val sink = new graft.streaming.ParquetDocumentSink(spark, dir)
+    // enough keys that many of the 32 buckets are populated
+    val b1 = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    sink.upsert(b1, Seq("k"))
+
+    def snapshot(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = java.nio.file.Paths.get(dir)
+      val files = java.nio.file.Files.walk(base).iterator()
+      Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
+        .filter(p => java.nio.file.Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          md.reset()
+          base.relativize(p).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+
+    val before = snapshot()
+    sink.upsert(Seq((1L, "V1")).toDF("k", "v"), Seq("k")) // one key → one bucket
+    val after = snapshot()
+
+    val touchedBkt = spark.range(1)
+      .select(pmod(xxhash64(lit(1L)), lit(Pipelines.StateBuckets.toLong)))
+      .collect()(0).getLong(0)
+    val untouchedBefore = before.filter(!_._1.startsWith(s"__gbkt=$touchedBkt/"))
+    val untouchedAfter = after.filter(!_._1.startsWith(s"__gbkt=$touchedBkt/"))
+    assert(untouchedBefore.nonEmpty, "test needs populated untouched buckets")
+    assert(untouchedAfter === untouchedBefore,
+      "files outside the touched bucket must be byte-identical")
+    assert(before.keySet.exists(_.startsWith(s"__gbkt=$touchedBkt/")),
+      "key 1's bucket must have existed before the batch")
+
+    val got = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(got(1L) === "V1" && got(2L) === "v2" && got.size === 200)
   }
 
   test("T1 trigger cadence mirrors the reference's poll intervals") {
