@@ -10,18 +10,20 @@ import graft.core.{Q, Tables => T}
   * typed metadata struct, and the decode / feature-extract / resize /
   * frame-sample stages run over them.
   *
-  * ── STUB NOTICE ──
-  * No codec libraries exist in this environment, so the *decode* step is a
-  * DETERMINISTIC FAKE: metadata (width/height/frame-count) is derived from
-  * the payload's md5 and byte length instead of a real container parse, and
-  * "features" are md5-derived integers instead of model embeddings. The
-  * fake is clearly factored (`fakeDims` / `Multimodal.md5Features`) so a
-  * real codec drops in behind the same signatures. Everything AROUND the
-  * stub is real and load-bearing: binary columns, metadata structs, the
-  * per-partition batch iteration (Dataset.mapPartitions — the Scala analog
-  * of mapInPandas: one iterator per partition, codec state initialized once
-  * per partition, not per row), frame explosion, and the pushdown-friendly
-  * projections.
+  * ── WHAT IS REAL vs STUBBED ──
+  * `mm_decode_meta` is a REAL container-header decode since round 4: the
+  * codegen'd `image_meta` expression (graft.plans.ImageMeta) parses actual
+  * PNG IHDR / BMP BITMAPINFOHEADER byte layouts from byte-faithful fixture
+  * binaries. No PIXEL codec libraries exist in this environment, so the
+  * remaining fakes are: frame-count/dims for the resize and frame-sample
+  * planning queries (`fakeDims`, md5-derived) and "features" as
+  * md5-derived integers instead of model embeddings (`md5Features`) — both
+  * clearly factored so a real codec/model drops in behind the same
+  * signatures. Everything around them is real and load-bearing: binary
+  * columns, metadata structs, the per-partition batch iteration
+  * (Dataset.mapPartitions — the Scala analog of mapInPandas: one iterator
+  * per partition, codec state initialized once per partition, not per
+  * row), frame explosion, and the pushdown-friendly projections.
   *
   * Scale: decode/feature stages are narrow maps (no shuffle); per-partition
   * codec initialization amortizes like an Arrow batch would; frame
@@ -52,30 +54,50 @@ object Multimodal {
       |  CAST('0x'||substr(md5(text),5,4) AS BIGINT) % 240 + 16 AS height,
       |  octet_length(encode(text)) % 90 + 1 AS n_frames""".stripMargin
 
+  /** input rows for the fixture-binary decode stage */
+  final case class MediaBlob(doc_id: Long, media: Array[Byte])
+
   val queries: Seq[Q] = Seq(
 
-    // Decode: binary payload → typed metadata struct (format, byte size,
-    // fake-parsed dims). The struct is assembled then re-projected — the
-    // schema a real pipeline would persist next to the blob.
+    // Decode: binary payload → typed metadata struct, from REAL container
+    // headers. Each document carries a byte-faithful PNG (even doc_id) or
+    // BMP (odd) header fixture with dims derived from doc_id
+    // (graft.plans.ImageMeta.{pngFixture,bmpFixture} — real signature,
+    // IHDR + CRC32 / BITMAPINFOHEADER layouts); the codegen'd
+    // `image_meta` expression parses the actual big-endian/little-endian
+    // width and height fields back out. The oracle pins generator∘parser
+    // = identity on dims, so a parser that misreads any header byte goes
+    // red. Narrow map end to end; a full pixel decode slots in behind the
+    // same expression with a per-partition codec.
     Q(
       "mm_decode_meta",
-      s"""SELECT doc_id, format, size_bytes, width, height, n_frames FROM (
-         |  SELECT doc_id, source AS format,
-         |    octet_length(encode(text)) AS size_bytes,
-         |    $FakeDimsSql
-         |  FROM documents)
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val media = T.documents(s, d)
-        .withColumn("media", col("text").cast(BinaryType))
-      val (w, h, nf) = fakeDims(md5(col("media")), length(col("media")))
-      media
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS BIGINT) AS size_bytes,
+        |  CAST(doc_id % 240 + 16 AS BIGINT) AS width,
+        |  CAST((doc_id * 7) % 240 + 16 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.plans.{ImageMeta, ImageMetaExpr}
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      T.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids => // per-partition init point for a real codec
+          ids.map { id =>
+            val w = (id % 240 + 16).toInt
+            val h = (id * 7 % 240 + 16).toInt
+            MediaBlob(id,
+              if (id % 2 == 0) ImageMeta.pngFixture(w, h)
+              else ImageMeta.bmpFixture(w, h))
+          }
+        }
+        .toDF()
         .select(col("doc_id"),
-          struct(col("source").as("format"),
-            length(col("media")).cast(LongType).as("size_bytes"),
-            w, h, nf).as("meta"))
-        .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.size_bytes").as("size_bytes"), col("meta.width").as("width"),
-          col("meta.height").as("height"), col("meta.n_frames").as("n_frames"))
+          toCol(ImageMetaExpr(toExpr(col("media")))).as("m"),
+          length(col("media")).cast(LongType).as("size_bytes"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("size_bytes"), col("m.width").as("width"),
+          col("m.height").as("height"))
         .orderBy(col("doc_id"))
     },
 

@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL image-container header parsing (replacing round-3's synthetic
+  * decode stub): width/height/format are read from the actual public byte
+  * layouts —
+  *
+  *  - PNG (RFC 2083 / W3C spec): 8-byte signature `89 50 4E 47 0D 0A 1A 0A`,
+  *    then the IHDR chunk (4-byte big-endian length = 13, ASCII "IHDR",
+  *    4-byte big-endian width at offset 16, height at offset 20, CRC32 over
+  *    type+data);
+  *  - BMP (Windows BITMAPINFOHEADER): ASCII "BM", 4-byte little-endian file
+  *    size at offset 2, pixel-data offset at 10, 40-byte info header whose
+  *    4-byte little-endian width sits at offset 18 and height at 22 (height
+  *    may be negative for top-down rows — dimensions report |height|).
+  *
+  * The decode runs as a codegen-participating Catalyst expression over the
+  * `binary` media column — a narrow map, no shuffle, no UDF — exactly the
+  * plumbing a 100 TB multimodal scan needs (a full pixel decode would slot
+  * in behind the same expression with a per-partition codec). The pixel
+  * payload itself is out of scope in this environment (no codec libs); the
+  * header fixtures [[ImageMeta.pngFixture]]/[[ImageMeta.bmpFixture]] write
+  * byte-faithful container headers (including the real IHDR CRC32), so the
+  * parser is exercised against the true formats end to end
+  * (`mm_decode_meta` oracle + ImageMetaSpec vectors).
+  */
+object ImageMeta extends Serializable {
+
+  /** a minimal byte-faithful PNG: signature + a correct IHDR chunk
+    * (bit depth 8, truecolor, CRC32 over type+data). 33 bytes. */
+  def pngFixture(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33) // big-endian by default
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32
+    crc.update(out.array(), 12, 17) // "IHDR" + 13 data bytes
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** a minimal byte-faithful BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    * (24bpp, pixel data would start at offset 54). 54 bytes. */
+  def bmpFixture(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + width * height * 3) // file size
+    out.putInt(0).putInt(54)            // reserved, pixel offset
+    out.putInt(40)                      // info header size
+    out.putInt(width).putInt(height)
+    out.putShort(1.toShort).putShort(24.toShort) // planes, bpp
+    // compression, image size, ppm×2, palette counts — zeros
+    out.array()
+  }
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** parse a PNG or BMP header → (format, width, height); null if the
+    * payload is neither (truncated counts as unrecognized). */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    if (b.length >= 24 && b.startsWith(PngSig)
+        && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      InternalRow(UTF8String.fromString("png"),
+        beInt(b, 16).toLong, beInt(b, 20).toLong)
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      InternalRow(UTF8String.fromString("bmp"),
+        leInt(b, 18).toLong, math.abs(leInt(b, 22)).toLong)
+    } else null
+  }
+}
+
+/** `image_meta(media)` → struct<format, width, height> from real PNG/BMP
+  * header bytes; null for unrecognized payloads. Codegen-participating. */
+case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_meta"
+
+  override def nullSafeEval(v: Any): Any =
+    ImageMeta.parse(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meta = ctx.addReferenceObj("imageMeta", ImageMeta, ImageMeta.getClass.getName)
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = $meta.parse(${c.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ImageMetaExpr =
+    copy(child = c)
+}

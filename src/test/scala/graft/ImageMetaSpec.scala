@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.{ImageMeta, ImageMetaExpr}
+
+/** Real PNG/BMP header parsing: byte-level vectors (including a
+  * hand-pinned spec-layout PNG), generator∘parser identity, rejection of
+  * non-image payloads, and the expression path through Spark. */
+class ImageMetaSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def row(b: Array[Byte]): (String, Long, Long) = {
+    val r = ImageMeta.parse(b)
+    (r.getString(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("parses a hand-assembled spec-layout PNG IHDR (big-endian dims)") {
+    // 8-byte signature, IHDR length 13, type, width=1, height=2, then
+    // depth/color/compression/filter/interlace + CRC (not checked)
+    val png = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x02,
+      0x08, 0x02, 0x00, 0x00, 0x00, 0x90, 0x77, 0x53, 0xde).map(_.toByte)
+    assert(row(png) === (("png", 1L, 2L)))
+  }
+
+  test("parses a hand-assembled BMP info header (little-endian dims)") {
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x20 // width 32 LE
+    bmp(22) = 0x01; bmp(23) = 0x01 // height 257 LE
+    assert(row(bmp) === (("bmp", 32L, 257L)))
+  }
+
+  test("top-down BMP (negative height) reports |height|") {
+    val bmp = ImageMeta.bmpFixture(10, 20)
+    // flip height to -20 little-endian
+    val neg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-20).array()
+    System.arraycopy(neg, 0, bmp, 22, 4)
+    assert(row(bmp) === (("bmp", 10L, 20L)))
+  }
+
+  test("generator∘parser is the identity on dims (both formats, extremes)") {
+    for ((w, h) <- Seq((1, 1), (16, 255), (255, 16), (4096, 2160))) {
+      assert(row(ImageMeta.pngFixture(w, h)) === (("png", w.toLong, h.toLong)))
+      assert(row(ImageMeta.bmpFixture(w, h)) === (("bmp", w.toLong, h.toLong)))
+    }
+  }
+
+  test("png fixture carries a correct IHDR CRC32") {
+    val b = ImageMeta.pngFixture(100, 200)
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 17)
+    val stored = java.nio.ByteBuffer.wrap(b, 29, 4).getInt
+    assert(stored === crc.getValue.toInt)
+  }
+
+  test("non-image and truncated payloads are rejected as null") {
+    assert(ImageMeta.parse("plain text".getBytes) === null)
+    assert(ImageMeta.parse(Array[Byte]()) === null)
+    assert(ImageMeta.parse(ImageMeta.pngFixture(5, 5).take(20)) === null)
+    assert(ImageMeta.parse("BM".getBytes) === null) // too short for dims
+  }
+
+  test("image_meta runs as an expression through Spark (codegen path)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ImageMeta.pngFixture(640, 480)),
+      (2L, ImageMeta.bmpFixture(320, 240)),
+      (3L, "not an image".getBytes)).toDF("id", "media")
+      .select(col("id"), toCol(ImageMetaExpr(toExpr(col("media")))).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSeq === Seq((1L, "png"), (2L, "bmp"), (3L, null)))
+    val dims = df.filter(col("id") === 1).collect()(0)
+    assert(dims.getLong(2) === 640L && dims.getLong(3) === 480L)
+  }
+}
