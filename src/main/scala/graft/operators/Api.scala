@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,6 +62,25 @@ object Api {
   val AllowedPageSizes: Seq[Int] = Seq(20, 40)
   def clampPageSize(requested: Int): Int =
     AllowedPageSizes.filter(_ <= requested).lastOption.getOrElse(AllowedPageSizes.head)
+
+  /** the console reports' running `Count` column as a GLOBAL rank over a
+    * unique numeric order column — the A6 two-pass shape: a local
+    * row_number per 256-wide `bkt` range bucket plus a broadcast
+    * cumulative-offset table, so no window ever funnels the whole report
+    * through one partition. */
+  private def runningCount(df: DataFrame, orderCol: String): DataFrame = {
+    val src = df.withColumn("bkt", (col(orderCol) / 256).cast(LongType))
+    val totals = src.groupBy(col("bkt")).agg(count(lit(1)).as("tot"))
+    val offsets = totals
+      .join(totals.select(col("bkt").as("bkt2"), col("tot").as("tot2")),
+        col("bkt2") < col("bkt"), "left")
+      .groupBy(col("bkt")).agg(coalesce(sum(col("tot2")), lit(0L)).as("off"))
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col(orderCol))
+    src.withColumn("rl", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("count", (col("off") + col("rl")).cast(LongType))
+      .drop("bkt", "rl", "off")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -247,6 +267,110 @@ object Api {
         .select(col("cur_id"), col("cur_price"), col("floor_ts"),
           col("event_id").as("delta_id"), col("value").as("delta_price"),
           ((col("cur_price") - col("value")) / col("value")).as("variation"))
+    },
+
+    // Console report: pay-TC-holders tabulation (report/historical.py:
+    // 238-260 via app_run_moc_pay_tc_holders_report.py): the
+    // BitProHoldersInterest stream (synthesized from signup events) sorted
+    // by blockHeight asc, with the running `Count` column (A6 two-pass
+    // rank, no single-partition window) and the wei amount scaled by
+    // CONTRACT_PRECISION = 10^18 (F21).
+    Q(
+      "api_report_holders",
+      """SELECT CAST(row_number() OVER (ORDER BY block_height) AS BIGINT) AS count,
+        |  block_height,
+        |  CAST(amount_wei AS DOUBLE)/1e18 AS amount,
+        |  created_at
+        |FROM (SELECT event_id AS block_height,
+        |        (event_id % 100000) * 1000000000000 AS amount_wei,
+        |        ts AS created_at
+        |      FROM events WHERE event_type = 'signup')
+        |ORDER BY count""".stripMargin) { (s, d) =>
+      val holders = T.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("block_height"),
+          ((col("event_id") % 100000) * lit(1000000000000L)).as("amount_wei"),
+          col("ts").as("created_at"))
+      runningCount(holders, "block_height")
+        .select(col("count"), col("block_height"),
+          (col("amount_wei").cast(DoubleType) / lit(1e18)).as("amount"),
+          col("created_at"))
+        .orderBy(col("count"))
+    },
+
+    // Console report: last transactions (report/historical.py:262-325 via
+    // app_run_report_last_transactions.py): head blockHeight from the
+    // latest state doc (A3 scalar head, broadcast — no window), cut =
+    // head − 2880·15 (the reference's HISTORIC_BLOCK_HEIGHT_AMOUNT, P9
+    // range), $in over the seven exchange ops (P1), OPERATIONS_TRANSLATE
+    // display names (F10/F20), amount / 10^18 (F21), and the running
+    // Count (A6 two-pass rank).
+    Q(
+      "api_report_lasttx", {
+        val ops = Seq("RiskProRedeem", "RiskProMint", "StableTokenMint",
+          "StableTokenRedeem", "FreeStableTokenRedeem", "RiskProxRedeem",
+          "RiskProxMint").map(o => s"'$o'").mkString(", ")
+        s"""WITH head AS (SELECT max(event_id) AS h FROM events),
+           |tx AS (
+           |  SELECT event_id AS block_no,
+           |    CASE event_type WHEN 'purchase' THEN 'RiskProMint'
+           |      WHEN 'view' THEN 'StableTokenMint' WHEN 'click' THEN 'Transfer'
+           |      WHEN 'signup' THEN 'FreeStableTokenRedeem'
+           |      WHEN 'error' THEN 'RiskProxRedeem'
+           |      ELSE 'StableTokenRedeem' END AS event,
+           |    substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS tx_hash,
+           |    '0xA' || CAST(user_id AS VARCHAR) AS address,
+           |    (event_id % 100000) * 1000000000000 AS amount_wei,
+           |    ts AS created_at
+           |  FROM events),
+           |f AS (SELECT t.* FROM tx t, head
+           |      WHERE t.event IN ($ops) AND t.block_no >= head.h - ${2880 * 15})
+           |SELECT CAST(row_number() OVER (ORDER BY block_no) AS BIGINT) AS count,
+           |  block_no, tx_hash, address,
+           |  CASE event WHEN 'RiskProRedeem' THEN 'RIFP Redeem'
+           |    WHEN 'RiskProMint' THEN 'RIFP Mint'
+           |    WHEN 'StableTokenMint' THEN 'RDOC Mint'
+           |    WHEN 'StableTokenRedeem' THEN 'RDOC Redeem'
+           |    WHEN 'FreeStableTokenRedeem' THEN 'RDOC Redeem'
+           |    WHEN 'RiskProxRedeem' THEN 'RIFX Redeem'
+           |    ELSE 'RIFX Mint' END AS operation,
+           |  CAST(amount_wei AS DOUBLE)/1e18 AS amount, created_at
+           |FROM f ORDER BY count""".stripMargin
+      }) { (s, d) =>
+      val ops = Seq("RiskProRedeem", "RiskProMint", "StableTokenMint",
+        "StableTokenRedeem", "FreeStableTokenRedeem", "RiskProxRedeem",
+        "RiskProxMint")
+      val translate: Column = Map(
+        "RiskProRedeem" -> "RIFP Redeem", "RiskProMint" -> "RIFP Mint",
+        "StableTokenMint" -> "RDOC Mint", "StableTokenRedeem" -> "RDOC Redeem",
+        "FreeStableTokenRedeem" -> "RDOC Redeem",
+        "RiskProxRedeem" -> "RIFX Redeem")
+        .foldLeft(null.asInstanceOf[Column]) { case (acc, (k, v)) =>
+          if (acc == null) when(col("event") === k, v) else acc.when(col("event") === k, v)
+        }.otherwise("RIFX Mint")
+      val ev = T.events(s, d)
+      val head = ev.agg(max(col("event_id")).as("h"))
+      val tx = ev.select(
+        col("event_id").as("block_no"),
+        when(col("event_type") === "purchase", "RiskProMint")
+          .when(col("event_type") === "view", "StableTokenMint")
+          .when(col("event_type") === "click", "Transfer")
+          .when(col("event_type") === "signup", "FreeStableTokenRedeem")
+          .when(col("event_type") === "error", "RiskProxRedeem")
+          .otherwise("StableTokenRedeem").as("event"),
+        substring(md5(col("event_id").cast(StringType)), 1, 16).as("tx_hash"),
+        concat(lit("0xA"), col("user_id").cast(StringType)).as("address"),
+        ((col("event_id") % 100000) * lit(1000000000000L)).as("amount_wei"),
+        col("ts").as("created_at"))
+      val f = tx.crossJoin(broadcast(head))
+        .filter(col("event").isin(ops: _*)
+          && col("block_no") >= col("h") - lit(2880L * 15))
+      runningCount(f, "block_no")
+        .select(col("count"), col("block_no"), col("tx_hash"), col("address"),
+          translate.as("operation"),
+          (col("amount_wei").cast(DoubleType) / lit(1e18)).as("amount"),
+          col("created_at"))
+        .orderBy(col("count"))
     }
   )
 }

@@ -96,6 +96,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!pf.contains("Window ["), "f12 should broadcast the head, not window")
     assert(pf.contains("BroadcastNestedLoopJoin") || pf.contains("BroadcastExchange"),
       "f12 head should ride a broadcast")
+    // the console reports' running Count uses the same two-pass shape
+    Seq("api_report_holders", "api_report_lasttx").foreach { n =>
+      val p = plan(n)
+      val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(wins.nonEmpty && wins.forall(_.contains("bkt")),
+        s"unpartitioned window in $n: $wins")
+    }
   }
 
   test("X1 typed ABI decode participates in whole-stage codegen") {
