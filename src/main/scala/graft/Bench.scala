@@ -13,7 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated name filter (scale-stress runs a subset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass: JIT/codegen compilation and parquet footer reads happen
     // once here so the timed passes measure steady-state query execution
     // (the first query otherwise absorbs several seconds of JVM warmup).
