@@ -71,15 +71,13 @@ object Api {
   private def runningCount(df: DataFrame, orderCol: String): DataFrame = {
     val src = df.withColumn("bkt", (col(orderCol) / 256).cast(LongType))
     val totals = src.groupBy(col("bkt")).agg(count(lit(1)).as("tot"))
-    val offsets = totals
-      .join(totals.select(col("bkt").as("bkt2"), col("tot").as("tot2")),
-        col("bkt2") < col("bkt"), "left")
-      .groupBy(col("bkt")).agg(coalesce(sum(col("tot2")), lit(0L)).as("off"))
+    val offsets = graft.core.Prefix.exclusiveCumsum(totals, Seq(), "bkt",
+      expr("bkt div 256"), "tot")
     val wLocal = Window.partitionBy(col("bkt")).orderBy(col(orderCol))
     src.withColumn("rl", row_number().over(wLocal))
       .join(broadcast(offsets), Seq("bkt"))
-      .withColumn("count", (col("off") + col("rl")).cast(LongType))
-      .drop("bkt", "rl", "off")
+      .withColumn("count", (col("offset") + col("rl")).cast(LongType))
+      .drop("bkt", "rl", "offset")
   }
 
   val queries: Seq[Q] = Seq(

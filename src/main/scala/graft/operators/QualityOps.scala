@@ -407,16 +407,13 @@ object QualityOps {
         size(split(col("text"), " ")).cast(LongType).as("n_tok"),
         (col("doc_id") / PackBucket).cast(LongType).as("bkt"))
       val wLocal = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
-      // per-(lang, bucket) totals → cumulative offsets via a range self-join
-      // on the tiny totals table (one row per bucket), like a6_running_count
+      // per-(lang, bucket) totals → cumulative offsets via the two-level
+      // prefix sum (core.Prefix) — O(B²/65536) instead of the naive range
+      // self-join, still no single-partition window
       val totals = base.groupBy(col("lang"), col("bkt"))
         .agg(sum(col("n_tok")).as("tot"))
-      val offsets = totals
-        .join(totals.select(col("lang").as("lang2"), col("bkt").as("bkt2"),
-            col("tot").as("tot2")),
-          col("lang2") === col("lang") && col("bkt2") < col("bkt"), "left")
-        .groupBy(col("lang"), col("bkt"))
-        .agg(coalesce(sum(col("tot2")), lit(0L)).as("offset"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(totals, Seq("lang"),
+        "bkt", expr("bkt div 256"), "tot")
       base
         .withColumn("cum_local", sum(col("n_tok")).over(wLocal))
         .join(broadcast(offsets), Seq("lang", "bkt"))

@@ -409,14 +409,13 @@ object Relational {
         .select(col("event_id"), col("ts"))
         .withColumn("bkt", date_trunc("DAY", col("ts")))
       val wLocal = Window.partitionBy(col("bkt")).orderBy(col("ts"), col("event_id"))
-      // cumulative offsets over the per-bucket counts: a range self-join on
-      // the tiny (one row per day) counts table — quadratic in days, zero
-      // windows, so nothing ever funnels into a single partition.
+      // cumulative offsets over the per-bucket counts via the two-level
+      // prefix sum (core.Prefix): bounded 256-row windows + a range join
+      // on superbucket totals only — O(B²/65536), no single-partition
+      // funnel even at millions of buckets.
       val counts = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
-      val offsets = counts
-        .join(counts.select(col("bkt").as("bkt2"), col("cnt").as("cnt2")),
-          col("bkt2") < col("bkt"), "left")
-        .groupBy(col("bkt")).agg(coalesce(sum(col("cnt2")), lit(0L)).as("offset"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(counts, Seq(), "bkt",
+        expr(s"unix_micros(bkt) div ${86400000000L * 256}"), "cnt")
       base
         .withColumn("local_rn", row_number().over(wLocal))
         .join(broadcast(offsets), Seq("bkt"))
