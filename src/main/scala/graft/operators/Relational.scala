@@ -361,6 +361,31 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // W1 at scale: top-K per key WITHOUT a window — the bounded typed
+    // aggregator (graft.functions.BoundedTopK, the same machinery as the
+    // vector rerank) partial-aggregates each map partition to ≤3 entries
+    // per group before the shuffle, where the window form shuffles the
+    // whole table to rank it. The production per-key-top-k shape at
+    // 100 TB; the window form (w1_top1_per_key) stays as the reference
+    // contrast.
+    Q(
+      "w1b_topk_per_key",
+      """SELECT event_type, event_id, value, rnk FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin) { (s, d) =>
+      val top3 = udaf(graft.functions.BoundedTopK[Double](3))
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(top3(-col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("event_type"), col("t._2").as("event_id"),
+          (-col("t._1")).as("value"), (col("r0") + 1).cast(LongType).as("rnk"))
+        .orderBy(col("event_type"), col("rnk"))
+    },
+
     // W2/O1 pagination: sort desc + offset/limit with clamp
     // (bp_user_operations.py:69, lib_tools.py:55-61).
     Q(

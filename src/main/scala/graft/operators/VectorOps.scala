@@ -246,17 +246,21 @@ object VectorOps {
       val dist = flat.join(broadcast(cent), Seq("i"))
         .groupBy(col("vec_id"), col("cl"))
         .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-        .persist()
-      // nearest cell / nprobe cells by bounded aggregation, not a window
-      // rank over the N×K (vec_id, cell) stream: min_by partial-aggregates
-      // map-side; the top-2 probe keeps d2 as Long (squared integer
-      // distances overflow a Double's 53-bit mantissa).
-      val assign = dist.groupBy(col("vec_id"))
-        .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cell"))
+      // nearest cell AND nprobe cells in ONE aggregation pass over the
+      // N×K (vec_id, cell) stream — no window rank, no persist of the
+      // pair stream: min_by/BoundedTopK both partial-aggregate map-side
+      // (the top-2 buffer is two (d2, cl) pairs per group); d2 stays Long
+      // (squared integer distances overflow a Double's 53-bit mantissa).
       val top2 = udaf(BoundedTopK[Long](2))
-      val probe = dist.filter(col("vec_id") < 16)
-        .groupBy(col("vec_id"))
-        .agg(top2(col("d2"), col("cl")).as("cells"))
+      // persisted: two consumers (assignments + probes) — but it is the
+      // SMALL post-aggregation table (one row per vector), not the N×K
+      // distance stream the old plan cached.
+      val cells = dist.groupBy(col("vec_id"))
+        .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cell"),
+          top2(col("d2"), col("cl")).as("cells"))
+        .persist()
+      val assign = cells.select(col("vec_id"), col("cell"))
+      val probe = cells.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), explode(col("cells")("_2")).as("cell"))
       val cand = probe.join(assign, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))

@@ -141,8 +141,9 @@ class PlanSpec extends AnyFunSuite {
     assert(nShuffles <= 3, s"unexpected extra shuffle: $nShuffles hash exchanges")
   }
 
-  test("vector argmin/top-k partial-aggregates — no window over the N×K pair stream") {
-    Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_kmeans_assign").foreach { n =>
+  test("argmin/top-k partial-aggregates — no window over the ranked stream") {
+    Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_kmeans_assign",
+        "w1b_topk_per_key").foreach { n =>
       val p = plan(n)
       assert(!p.contains("Window ["), s"$n still ranks the pair stream with a window")
       assert("(Object)?(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,
