@@ -72,6 +72,65 @@ object TextOps {
   private val shinglesSql =
     "list_distinct(list_transform(range(1, greatest(len(l)-2,0)+1), i -> l[i]||' '||l[i+1]||' '||l[i+2]))"
 
+  // ── reusable MinHash near-dup index API (dd_minhash_lsh,
+  //    dd_incremental_lsh, NearDupIndexSpec's persisted-index flow) ──
+
+  /** MinHash signature table (doc_id, mh0..mh15) for a `(doc_id, text)`
+    * document set — ONE wide aggregation, map-side combined. This is the
+    * table a production corpus persists as its near-dup index. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("l", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+      .select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
+      .groupBy(col("doc_id")).agg(
+        min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
+        (1 until MhK).map(k =>
+          min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
+
+  /** LSH band table (doc_id, band, band_key) of a signature table — the
+    * other half of the persisted index; row-local, no shuffle. */
+  def bandTable(sig: DataFrame): DataFrame = {
+    val bandKeys = (0 until MhBands).map(b =>
+      concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
+    sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** probe a persisted near-dup index with a new batch's signatures →
+    * one admit/drop verdict row per new document
+    * (doc_id, n_cand, best_jac, is_neardup). The batch-derived sides
+    * (band keys, candidates, batch signatures) BROADCAST; the corpus
+    * tables stream through without a shuffle — in production they are
+    * parquet reads of the persisted index (NearDupIndexSpec drives that
+    * flow end to end). */
+  def probeNearDupIndex(newSig: DataFrame, corpusSig: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
+    val cand = corpusBands
+      .join(broadcast(bandTable(newSig).withColumnRenamed("doc_id", "new_id")),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    val nMatch = (0 until MhK)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sa = newSig.select(col("doc_id").as("new_id") +:
+      (0 until MhK).map(k => col(s"mh$k").as(s"a$k")): _*)
+    val sb = corpusSig.select(col("doc_id").as("corpus_id") +:
+      (0 until MhK).map(k => col(s"mh$k").as(s"b$k")): _*)
+    val ver = sb.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(sa), Seq("new_id"))
+      .select(col("new_id"), (nMatch / lit(16.0)).as("jac"))
+    val per = ver.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_cand"), max(col("jac")).as("best_jac"))
+    newSig.select(col("doc_id"))
+      .join(broadcast(per.withColumnRenamed("new_id", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+        (coalesce(col("best_jac"), lit(0.0)) >= 0.5).as("is_neardup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** shared winnow-pair machinery (dd_winnow candidates; dd_cluster edges):
     * fingerprint sets per doc, df-capped fingerprint groups, in-row pair
     * expansion, pairs sharing >= 2 fingerprints. */
@@ -644,22 +703,12 @@ object TextOps {
            |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
-      val sh = T.documents(s, d)
-        .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
-      val ids = sh.select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
       // persisted: three consumers (band keys + both verify sides) would
       // otherwise recompute the shingle scan; the signature table is 17
       // ints per doc — negligible next to the corpus.
-      val sig = ids.groupBy(col("doc_id")).agg(
-        min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
-        (1 until MhK).map(k =>
-          min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
-        .persist()
-      val bandKeys = (0 until MhBands).map(b =>
-        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      val sig = minhashSignatures(
+        T.documents(s, d).select(col("doc_id"), col("text"))).persist()
+      val bands = bandTable(sig)
       val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -727,54 +776,17 @@ object TextOps {
            |FROM nsig n LEFT JOIN per p ON p.new_id = n.doc_id
            |ORDER BY n.doc_id""".stripMargin
       }) { (s, d) =>
-      val sh = T.documents(s, d)
-        .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
-      val ids = sh.select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
-      val sig = ids.groupBy(col("doc_id")).agg(
-        min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
-        (1 until MhK).map(k =>
-          min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
-      val cutDf = T.documents(s, d).agg(expr("(max(doc_id)*9) div 10").as("cutv"))
-      // the signature table with the batch flag — persisted: it stands in
-      // for the PERSISTED index (corpus side) + the freshly-signed batch.
-      val sigC = sig.crossJoin(broadcast(cutDf))
-        .withColumn("is_new", col("doc_id") >= col("cutv")).drop("cutv")
-        .persist()
-      val corpusSig = sigC.filter(!col("is_new"))
-      val newSig = sigC.filter(col("is_new"))
-      val bandKeys = (0 until MhBands).map(b =>
-        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
-      def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-      // probe: the batch's band keys BROADCAST against the corpus band
-      // table — the corpus streams through unshuffled.
-      val cand = bandsOf(corpusSig)
-        .join(broadcast(bandsOf(newSig).withColumnRenamed("doc_id", "new_id")),
-          Seq("band", "band_key"))
-        .select(col("new_id"), col("doc_id").as("corpus_id"))
-        .distinct()
-      // verify: candidates (batch-bounded, small) broadcast against the
-      // corpus signatures; then the batch signatures broadcast in.
-      val nMatch = (0 until MhK)
-        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
-        .reduce(_ + _)
-      val sa = newSig.select(col("doc_id").as("new_id") +:
-        (0 until MhK).map(k => col(s"mh$k").as(s"a$k")): _*)
-      val sb = corpusSig.select(col("doc_id").as("corpus_id") +:
-        (0 until MhK).map(k => col(s"mh$k").as(s"b$k")): _*)
-      val ver = sb.join(broadcast(cand), Seq("corpus_id"))
-        .join(broadcast(sa), Seq("new_id"))
-        .select(col("new_id"), (nMatch / lit(16.0)).as("jac"))
-      val per = ver.groupBy(col("new_id"))
-        .agg(count(lit(1)).as("n_cand"), max(col("jac")).as("best_jac"))
-      newSig.select(col("doc_id"))
-        .join(broadcast(per.withColumnRenamed("new_id", "doc_id")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
-          (coalesce(col("best_jac"), lit(0.0)) >= 0.5).as("is_neardup"))
-        .orderBy(col("doc_id"))
+      // the same build-index / probe API a production refresh runs as two
+      // jobs (NearDupIndexSpec drives the parquet-persisted flow); here
+      // the corpus/batch split is the in-query doc_id cut.
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val cutDf = docs.agg(expr("(max(doc_id)*9) div 10").as("cutv"))
+      val flagged = docs.crossJoin(broadcast(cutDf))
+      val corpusSig = minhashSignatures(
+        flagged.filter(col("doc_id") < col("cutv"))).persist()
+      val newSig = minhashSignatures(
+        flagged.filter(col("doc_id") >= col("cutv"))).persist()
+      probeNearDupIndex(newSig, corpusSig, bandTable(corpusSig))
     },
 
     // The MinHash signature again, through the TYPED AGGREGATOR path
