@@ -86,8 +86,10 @@ object Bpe {
   /** 32-merge vocabulary learned by standard iterative BPE over the
     * sf0.01 `documents` word-frequency table (deterministic tie-break:
     * count desc, then pair lexicographic) — pinned here the way a
-    * production tokenizer ships its merges file. `tx_bpe_learn` is the
-    * oracle-checked query form of one learning round. */
+    * production tokenizer ships its merges file, and DERIVED for real by
+    * [[train]] (BpeSpec asserts `train(documents@sf0.01, 32)` reproduces
+    * exactly this list; `tx_bpe_train` oracle-checks the loop end to
+    * end, `tx_bpe_learn` one counting round). */
   val CorpusMerges: Seq[(String, String)] = Seq(
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
     ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
