@@ -99,6 +99,53 @@ object Pipelines {
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir).drop("__gbkt")
 
+  /** Streaming near-dup admit gate — the continuous-ingest form of the
+    * daily `dd_incremental_lsh` refresh: every micro-batch of
+    * `(doc_id, text)` documents is MinHash-signed, probed against the
+    * parquet-persisted band index (TextOps.probeNearDupIndex — batch side
+    * broadcasts, index streams through unshuffled), admitted documents
+    * flow to `out`, and the admitted signatures/bands are APPENDED to the
+    * index so later batches dedup against everything admitted so far.
+    *
+    * Replay semantics: a re-delivered batch finds its own signatures
+    * already in the index, so every replayed document is flagged as a
+    * near-dup of itself and admits nothing twice — the index doubles as
+    * the effectively-once guard for the admit stream. (A crash between
+    * `out` and the index append can re-emit one batch downstream; the
+    * transactional fix is the same Delta/document-store swap described on
+    * [[upsertBatch]].) Documents are probed against the index, not
+    * against their own micro-batch — two near-dups arriving in ONE batch
+    * both admit (compose `dedupStream` upstream for exact keys, or run
+    * the batch through `dd_minhash_lsh`'s pair join when intra-batch
+    * near-dups matter at the chosen trigger interval).
+    */
+  def nearDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
+      out: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.operators.TextOps
+        val spark = batch.sparkSession
+        val sigDir = new Path(s"$indexDir/sig")
+        val bandDir = new Path(s"$indexDir/bands")
+        val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val docs = batch.toDF().persist()
+        val newSig = TextOps.minhashSignatures(docs).persist()
+        val admittedIds =
+          if (fs.exists(sigDir)) {
+            TextOps.probeNearDupIndex(newSig,
+                spark.read.parquet(sigDir.toString),
+                spark.read.parquet(bandDir.toString))
+              .filter(!col("is_neardup")).select(col("doc_id"))
+          } else newSig.select(col("doc_id"))
+        val admittedSig = newSig.join(admittedIds, Seq("doc_id")).persist()
+        out(docs.join(admittedIds, Seq("doc_id")))
+        admittedSig.write.mode("append").parquet(sigDir.toString)
+        TextOps.bandTable(admittedSig).write.mode("append").parquet(bandDir.toString)
+        admittedSig.unpersist(); newSig.unpersist(); docs.unpersist()
+        ()
+      }
+
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
   def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
