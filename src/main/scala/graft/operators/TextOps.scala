@@ -128,7 +128,124 @@ object TextOps {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
         (coalesce(col("best_jac"), lit(0.0)) >= 0.5).as("is_neardup"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Signature-carrying band index (bkey, doc_id, mh0..mh15) — the layout a
+    * 100 TB corpus PERSISTS for the large-batch probe path: one single-column
+    * join key (`bkey` embeds the band ordinal, so bucketing/joining needs no
+    * composite key) and the full signature in-row, so a probe verifies
+    * candidates WITHOUT a second join against the signature table. Row-local
+    * (4 rows/doc), no shuffle to build. Persist with [[writeBandIndex]] to
+    * make the corpus side of the probe exchange-free. */
+  def bandIndex(sig: DataFrame): DataFrame = {
+    val bandKeys = (0 until MhBands).map(b =>
+      concat_ws(",", lit(b) +: (0 until 4).map(i => col(s"mh${4 * b + i}")): _*))
+    sig.select(col("doc_id") +: (0 until MhK).map(k => col(s"mh$k")) :+
+      explode(array(bandKeys: _*)).as("bkey"): _*)
+  }
+
+  /** Persist a corpus band index BUCKETED by `bkey` (external table at
+    * `path`): a later probe's shuffle join on `bkey` then reads the corpus
+    * side straight out of its buckets — zero corpus exchange, only the new
+    * batch shuffles (NearDupIndexSpec gates the plan). This is the index
+    * layout the daily 100 TB refresh maintains. */
+  def writeBandIndex(sig: DataFrame, table: String, path: String,
+      nBuckets: Int = 32): Unit =
+    bandIndex(sig).write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, "bkey")
+      .saveAsTable(table)
+
+  /** Large-batch probe: same verdicts as [[probeNearDupIndex]], but the
+    * batch side is NEVER broadcast — the day the daily batch outgrows
+    * Spark's broadcast ceiling (~8 GB against a 100 TB corpus) this is the
+    * path that still runs. The batch's band index shuffle-joins the
+    * corpus's persisted [[bandIndex]] on `bkey` (corpus exchanged at most
+    * once — not at all when the index is bucketed via [[writeBandIndex]]);
+    * signatures ride in-row on both sides, so candidate verification is
+    * in-line arithmetic, no corpusSig join. Everything after the band join
+    * is candidate-sized (pair dedup, per-doc verdict agg) and shuffles on
+    * batch-derived keys only. Reference analog as for the broadcast path:
+    * the insert-if-absent guards (mocsettlement.py:29-52) generalized to
+    * near-dup signatures. */
+  def probeNearDupIndexShuffle(newSig: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    val nb = bandIndex(newSig)
+      .toDF("new_id" +: (0 until MhK).map(k => s"a$k") :+ "bkey": _*)
+    val cb = corpusIndex
+      .toDF("corpus_id" +: (0 until MhK).map(k => s"b$k") :+ "bkey": _*)
+    val nMatch = (0 until MhK)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    // hint("shuffle_hash") pins the join away from broadcast no matter what
+    // AQE estimates — the whole point of this path is batch > broadcastable
+    val pair = cb.join(nb.hint("shuffle_hash"), Seq("bkey"))
+      .select(col("new_id"), col("corpus_id"), (nMatch / lit(16.0)).as("jac"))
+      // a pair matching in several bands appears once per band; jac is
+      // functionally dependent on the pair, so first() dedups exactly
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(first(col("jac")).as("jac"))
+    val per = pair.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_cand"), max(col("jac")).as("best_jac"))
+      .withColumnRenamed("new_id", "doc_id")
+    newSig.select(col("doc_id"))
+      .join(per.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+        (coalesce(col("best_jac"), lit(0.0)) >= 0.5).as("is_neardup"))
+  }
+
+  /** shared corpus/batch doc_id split (top-10% slice = the "new batch") for
+    * the two incremental-LSH paths; both signature tables persisted — each
+    * feeds two consumers (bands + verify). */
+  private def incrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val cutDf = docs.agg(expr("(max(doc_id)*9) div 10").as("cutv"))
+    val flagged = docs.crossJoin(broadcast(cutDf))
+    (minhashSignatures(flagged.filter(col("doc_id") < col("cutv"))).persist(),
+      minhashSignatures(flagged.filter(col("doc_id") >= col("cutv"))).persist())
+  }
+
+  /** one oracle for both incremental-LSH paths (broadcast probe and
+    * large-batch shuffle probe) — identical verdicts required of both. */
+  private lazy val IncrementalLshSql: String = {
+    val mhAgg = (0 until MhK)
+      .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP) AS mh$k")
+      .mkString(",\n        |    ")
+    def bandRows(src: String) = (0 until MhBands).map { b =>
+      val key = (0 until 4).map(i => s"mh${4 * b + i}").mkString("||','||")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM $src"
+    }.mkString("\n        |  UNION ALL ")
+    val matches = (0 until MhK)
+      .map(k => s"(CASE WHEN sa.mh$k=sb.mh$k THEN 1 ELSE 0 END)").mkString("+")
+    s"""WITH cutoff AS (SELECT (max(doc_id)*9)//10 AS cut FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest($shinglesSql) AS shingle
+       |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+       |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mhAgg
+       |  FROM ids GROUP BY doc_id),
+       |csig AS (SELECT s.* FROM sig s, cutoff c WHERE s.doc_id < c.cut),
+       |nsig AS (SELECT s.* FROM sig s, cutoff c WHERE s.doc_id >= c.cut),
+       |cbands AS (
+       |  ${bandRows("csig")}),
+       |nbands AS (
+       |  ${bandRows("nsig")}),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |         FROM nbands n JOIN cbands c
+       |           ON n.band = c.band AND n.band_key = c.band_key),
+       |ver AS (SELECT cd.new_id, cd.corpus_id, ($matches)/16.0 AS jac
+       |        FROM cand cd JOIN sig sa ON sa.doc_id = cd.new_id
+       |        JOIN sig sb ON sb.doc_id = cd.corpus_id),
+       |per AS (SELECT new_id, count(*) AS n_cand, max(jac) AS best_jac
+       |        FROM ver GROUP BY new_id)
+       |SELECT n.doc_id, coalesce(p.n_cand, 0) AS n_cand,
+       |  coalesce(p.best_jac, 0.0) AS best_jac,
+       |  coalesce(p.best_jac, 0.0) >= 0.5 AS is_neardup
+       |FROM nsig n LEFT JOIN per p ON p.new_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
   }
 
   /** shared winnow-pair machinery (dd_winnow candidates; dd_cluster edges):
@@ -736,57 +853,24 @@ object TextOps {
     // signature groupBy — gated in PlanSpec. Reference analog: the
     // insert-if-absent guards (mocsettlement.py:29-52) generalized from
     // exact keys to near-dup signatures.
-    Q(
-      "dd_incremental_lsh", {
-        val mhAgg = (0 until MhK)
-          .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP) AS mh$k")
-          .mkString(",\n        |    ")
-        def bandRows(src: String) = (0 until MhBands).map { b =>
-          val key = (0 until 4).map(i => s"mh${4 * b + i}").mkString("||','||")
-          s"SELECT doc_id, $b AS band, $key AS band_key FROM $src"
-        }.mkString("\n        |  UNION ALL ")
-        val matches = (0 until MhK)
-          .map(k => s"(CASE WHEN sa.mh$k=sb.mh$k THEN 1 ELSE 0 END)").mkString("+")
-        s"""WITH cutoff AS (SELECT (max(doc_id)*9)//10 AS cut FROM documents),
-           |sh AS (
-           |  SELECT DISTINCT doc_id, shingle FROM (
-           |    SELECT doc_id, unnest($shinglesSql) AS shingle
-           |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
-           |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh),
-           |sig AS (SELECT doc_id,
-           |    $mhAgg
-           |  FROM ids GROUP BY doc_id),
-           |csig AS (SELECT s.* FROM sig s, cutoff c WHERE s.doc_id < c.cut),
-           |nsig AS (SELECT s.* FROM sig s, cutoff c WHERE s.doc_id >= c.cut),
-           |cbands AS (
-           |  ${bandRows("csig")}),
-           |nbands AS (
-           |  ${bandRows("nsig")}),
-           |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-           |         FROM nbands n JOIN cbands c
-           |           ON n.band = c.band AND n.band_key = c.band_key),
-           |ver AS (SELECT cd.new_id, cd.corpus_id, ($matches)/16.0 AS jac
-           |        FROM cand cd JOIN sig sa ON sa.doc_id = cd.new_id
-           |        JOIN sig sb ON sb.doc_id = cd.corpus_id),
-           |per AS (SELECT new_id, count(*) AS n_cand, max(jac) AS best_jac
-           |        FROM ver GROUP BY new_id)
-           |SELECT n.doc_id, coalesce(p.n_cand, 0) AS n_cand,
-           |  coalesce(p.best_jac, 0.0) AS best_jac,
-           |  coalesce(p.best_jac, 0.0) >= 0.5 AS is_neardup
-           |FROM nsig n LEFT JOIN per p ON p.new_id = n.doc_id
-           |ORDER BY n.doc_id""".stripMargin
-      }) { (s, d) =>
+    Q("dd_incremental_lsh", IncrementalLshSql) { (s, d) =>
       // the same build-index / probe API a production refresh runs as two
       // jobs (NearDupIndexSpec drives the parquet-persisted flow); here
       // the corpus/batch split is the in-query doc_id cut.
-      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val cutDf = docs.agg(expr("(max(doc_id)*9) div 10").as("cutv"))
-      val flagged = docs.crossJoin(broadcast(cutDf))
-      val corpusSig = minhashSignatures(
-        flagged.filter(col("doc_id") < col("cutv"))).persist()
-      val newSig = minhashSignatures(
-        flagged.filter(col("doc_id") >= col("cutv"))).persist()
+      val (corpusSig, newSig) = incrementalSplit(s, d)
       probeNearDupIndex(newSig, corpusSig, bandTable(corpusSig))
+    },
+
+    // The SAME incremental near-dup semantics through the LARGE-batch path
+    // (shuffle join on the signature-carrying band index, batch side never
+    // broadcast) against the SAME oracle — proving broadcast- and
+    // shuffle-path equality row for row. This is the plan that survives the
+    // daily batch outgrowing Spark's broadcast ceiling; PlanSpec gates that
+    // nothing batch-derived broadcasts and the corpus is exchanged at most
+    // once (zero with a writeBandIndex-bucketed index, NearDupIndexSpec).
+    Q("dd_incremental_lsh_big", IncrementalLshSql) { (s, d) =>
+      val (corpusSig, newSig) = incrementalSplit(s, d)
+      probeNearDupIndexShuffle(newSig, bandIndex(corpusSig))
     },
 
     // The MinHash signature again, through the TYPED AGGREGATOR path

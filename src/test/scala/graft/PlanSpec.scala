@@ -141,6 +141,18 @@ class PlanSpec extends AnyFunSuite {
     assert(nShuffles <= 3, s"unexpected extra shuffle: $nShuffles hash exchanges")
   }
 
+  test("large-batch LSH probe never broadcasts the batch side") {
+    val df = QueryRegistry.byName("dd_incremental_lsh_big").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only broadcast allowed is the 1-row scalar cut (nested-loop);
+    // every batch-derived table must cross the cluster as a shuffle
+    assert(!p.contains("BroadcastHashJoin"),
+      "batch-derived side broadcast in the large-batch path")
+    assert(p.contains("ShuffledHashJoin"),
+      "band probe should be a shuffled hash join")
+  }
+
   test("argmin/top-k partial-aggregates — no window over the ranked stream") {
     Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_kmeans_assign",
         "w1b_topk_per_key").foreach { n =>
