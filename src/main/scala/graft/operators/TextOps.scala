@@ -77,11 +77,26 @@ object TextOps {
 
   /** MinHash signature table (doc_id, mh0..mh15) for a `(doc_id, text)`
     * document set — ONE wide aggregation, map-side combined. This is the
-    * table a production corpus persists as its near-dup index. */
+    * table a production corpus persists as its near-dup index. Documents
+    * with fewer than 3 tokens yield no shingles and hence NO signature row
+    * (matching the DuckDB oracle); streaming callers that must cover every
+    * document use [[minhashSignaturesTotal]]. */
   def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFrom(docs, shinglesSpark)
+
+  /** TOTAL signature variant for the streaming admit gate: a document too
+    * short to shingle (<3 tokens) hashes its whole text as a single
+    * shingle, so EVERY document gets a signature row — short docs are never
+    * silently lost, identical short docs still collide on every band (the
+    * replay / exact-dup guard), and distinct short docs admit. */
+  def minhashSignaturesTotal(docs: DataFrame): DataFrame =
+    signaturesFrom(docs,
+      "array_distinct(CASE WHEN size(l) >= 3 THEN transform(sequence(1, size(l)-2), i -> concat_ws(' ', slice(l, i, 3))) ELSE array(coalesce(text, '')) END)")
+
+  private def signaturesFrom(docs: DataFrame, shingleExpr: String): DataFrame =
     docs
       .withColumn("l", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
       .select(col("doc_id"), (sid60(col("shingle")) % MhP).as("sidp"))
       .groupBy(col("doc_id")).agg(
         min((col("sidp") * (31 * 0 + 7) + (17 * 0 + 3)) % MhP).as("mh0"),
@@ -193,6 +208,29 @@ object TextOps {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
         (coalesce(col("best_jac"), lit(0.0)) >= 0.5).as("is_neardup"))
+  }
+
+  /** Intra-batch near-dups: doc_ids that are a near-dup (est. jaccard >=
+    * 0.5) of a LOWER-id document in the SAME signature set. Dropping these
+    * approximates sequential first-wins admission: on a chain a~b~c where
+    * a is kept, both b and c drop when each pairs with a lower id — a
+    * superset of strict sequential greedy (which would re-admit c if its
+    * only lower near-dup b was itself dropped). Band self-join bounded the
+    * same way as dd_minhash_lsh; batch-sized all around. */
+  def intraBatchNearDups(sig: DataFrame): DataFrame = {
+    val bands = bandTable(sig)
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF("doc_a" +: (0 until MhK).map(k => s"a$k"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until MhK).map(k => s"b$k"): _*)
+    val nMatch = (0 until MhK)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter((nMatch / lit(16.0)) >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
   }
 
   /** shared corpus/batch doc_id split (top-10% slice = the "new batch") for

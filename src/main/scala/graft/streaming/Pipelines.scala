@@ -99,13 +99,38 @@ object Pipelines {
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir).drop("__gbkt")
 
+  /** how many micro-batches of index appends accumulate before the gate
+    * rewrites the sig/bands tables into one compact generation. Bounds the
+    * small-file growth at streaming cadence: without it, batch N's probe
+    * lists and opens O(N) parquet files. */
+  val CompactEvery = 16
+
   /** Streaming near-dup admit gate — the continuous-ingest form of the
     * daily `dd_incremental_lsh` refresh: every micro-batch of
-    * `(doc_id, text)` documents is MinHash-signed, probed against the
-    * parquet-persisted band index (TextOps.probeNearDupIndex — batch side
-    * broadcasts, index streams through unshuffled), admitted documents
-    * flow to `out`, and the admitted signatures/bands are APPENDED to the
-    * index so later batches dedup against everything admitted so far.
+    * `(doc_id, text)` documents is MinHash-signed (TOTAL signatures — a
+    * short document hashes its whole text, so nothing is silently lost),
+    * probed against the parquet-persisted band index
+    * (TextOps.probeNearDupIndex — batch side broadcasts, index streams
+    * through unshuffled), admitted documents flow to `out`, and the
+    * admitted signatures/bands are APPENDED to the index so later batches
+    * dedup against everything admitted so far.
+    *
+    * Index layout: `sig/gen=NNNNNN/` and `bands/gen=NNNNNN/` generation
+    * directories. Appends land in the newest complete generation (marked
+    * by its `_SUCCESS`); every `compactEvery` batches the gate rewrites
+    * the current generation into the next and deletes the old ones ONLY
+    * after the new `_SUCCESS` exists — a crash mid-compaction leaves the
+    * previous generation intact and readable, and the file count stays
+    * bounded at streaming cadence (NearDupStreamSpec holds it under the
+    * bound across 3× the compaction interval). `compactEvery = 0`
+    * disables compaction.
+    *
+    * Admission: a document drops iff it is a near-dup of the persisted
+    * index, or — with `intraBatch = true` — of a lower-id document in its
+    * own micro-batch (TextOps.intraBatchNearDups: first-wins, so exactly
+    * one of two near-dups arriving in one batch admits). The default
+    * `intraBatch = false` matches the daily-refresh semantics where the
+    * batch was already deduplicated upstream.
     *
     * Replay semantics: a re-delivered batch finds its own signatures
     * already in the index, so every replayed document is flagged as a
@@ -113,38 +138,88 @@ object Pipelines {
     * the effectively-once guard for the admit stream. (A crash between
     * `out` and the index append can re-emit one batch downstream; the
     * transactional fix is the same Delta/document-store swap described on
-    * [[upsertBatch]].) Documents are probed against the index, not
-    * against their own micro-batch — two near-dups arriving in ONE batch
-    * both admit (compose `dedupStream` upstream for exact keys, or run
-    * the batch through `dd_minhash_lsh`'s pair join when intra-batch
-    * near-dups matter at the chosen trigger interval).
+    * [[upsertBatch]].) The admitted signatures are STAGED to
+    * `<indexDir>/staging` before `out` runs and both appends copy from
+    * that on-disk table, so a cache eviction mid-batch can never recompute
+    * the admit set against an index that already contains this batch's own
+    * signatures.
     */
   def nearDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
-      out: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      out: DataFrame => Unit, intraBatch: Boolean = false,
+      compactEvery: Int = CompactEvery): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.TextOps
         val spark = batch.sparkSession
-        val sigDir = new Path(s"$indexDir/sig")
-        val bandDir = new Path(s"$indexDir/bands")
-        val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sigBase = new Path(s"$indexDir/sig")
+        val bandBase = new Path(s"$indexDir/bands")
+        val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sigGen = latestGen(fs, sigBase)
+        val bandGen = latestGen(fs, bandBase)
         val docs = batch.toDF().persist()
-        val newSig = TextOps.minhashSignatures(docs).persist()
-        val admittedIds =
-          if (fs.exists(sigDir)) {
+        val newSig = TextOps.minhashSignaturesTotal(docs).persist()
+        val indexDropped =
+          if (fs.exists(new Path(sigGen, "_SUCCESS")))
             TextOps.probeNearDupIndex(newSig,
-                spark.read.parquet(sigDir.toString),
-                spark.read.parquet(bandDir.toString))
-              .filter(!col("is_neardup")).select(col("doc_id"))
-          } else newSig.select(col("doc_id"))
-        val admittedSig = newSig.join(admittedIds, Seq("doc_id")).persist()
-        out(docs.join(admittedIds, Seq("doc_id")))
-        admittedSig.write.mode("append").parquet(sigDir.toString)
-        TextOps.bandTable(admittedSig).write.mode("append").parquet(bandDir.toString)
-        admittedSig.unpersist(); newSig.unpersist(); docs.unpersist()
+                spark.read.parquet(sigGen.toString),
+                spark.read.parquet(bandGen.toString))
+              .filter(col("is_neardup")).select(col("doc_id"))
+          else newSig.select(col("doc_id")).limit(0)
+        val dropped =
+          if (intraBatch) indexDropped.union(TextOps.intraBatchNearDups(newSig)).distinct()
+          else indexDropped
+        // verdicts keyed off the FULL batch id set, not the signature set
+        val admittedIds = docs.select(col("doc_id")).distinct()
+          .join(dropped, Seq("doc_id"), "left_anti")
+        // pin the admit set to disk BEFORE any side effect: every later
+        // consumer (out + both index appends) reads this immutable copy.
+        // (a sibling of sig/bands, NOT dot-prefixed — Spark readers ignore
+        // hidden paths, including their own)
+        val staging = s"$indexDir/staging"
+        newSig.join(admittedIds, Seq("doc_id"))
+          .write.mode("overwrite").parquet(staging)
+        val staged = spark.read.parquet(staging)
+        out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
+        staged.write.mode("append").parquet(sigGen.toString)
+        TextOps.bandTable(staged).write.mode("append").parquet(bandGen.toString)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          compactGen(spark, fs, sigBase)
+          compactGen(spark, fs, bandBase)
+        }
+        newSig.unpersist(); docs.unpersist()
         ()
       }
+
+  private def genNo(p: Path): Long = p.getName.stripPrefix("gen=").toLong
+
+  /** newest COMPLETE (`_SUCCESS`-marked) generation dir under `base`, or
+    * `gen=000000` when none exists yet (the first append creates it). */
+  private def latestGen(fs: org.apache.hadoop.fs.FileSystem, base: Path): Path = {
+    val gens =
+      if (fs.exists(base))
+        fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("gen="))
+          .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      else Array.empty[Path]
+    if (gens.isEmpty) new Path(base, "gen=000000") else gens.maxBy(genNo)
+  }
+
+  /** rewrite the current generation into the next (one compact file set),
+    * then delete older generations — strictly after the new `_SUCCESS`
+    * lands, so a crash at any point leaves a complete generation behind. */
+  private def compactGen(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      base: Path): Unit = {
+    val cur = latestGen(fs, base)
+    if (!fs.exists(new Path(cur, "_SUCCESS"))) return
+    val next = new Path(base, f"gen=${genNo(cur) + 1}%06d")
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.read.parquet(cur.toString).coalesce(n)
+      .write.mode("overwrite").parquet(next.toString)
+    fs.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
+      .foreach(p => fs.delete(p, true))
+  }
 
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
   def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],

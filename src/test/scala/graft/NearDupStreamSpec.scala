@@ -57,4 +57,109 @@ class NearDupStreamSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
     assert(indexed === Seq(1L, 2L, 4L))
   }
+
+  test("intraBatch flag: of two near-dups arriving in ONE batch, exactly the first admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ndintra").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir),
+      intraBatch = true).start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (11L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (12L, "colorless green ideas sleep furiously under a bright winter moon"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(10L, 12L),
+      "lower-id near-dup 10 wins; 11 drops in its own batch; 12 unrelated admits")
+  }
+
+  test("short documents admit (total signatures) and replays still self-dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ndshort").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir)).start()
+    try {
+      // <3 tokens → no word-3-gram shingles; the gate must not lose them
+      in.addData((20L, "hi there"), (21L, "bye"))
+      q.processAllAvailable()
+      // replay of the short docs → whole-text signature already indexed
+      in.addData((20L, "hi there"), (21L, "bye"))
+      q.processAllAvailable()
+      // a DIFFERENT short doc still admits
+      in.addData((22L, "hello there"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(20L, 21L, 22L),
+      "short docs admit exactly once; distinct short docs are not conflated")
+  }
+
+  test("compaction bounds the index file count without changing verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(compactEvery: Int): (Seq[Long], Int) = {
+      val base = Files.createTempDirectory(s"graft-ndcmp$compactEvery").toString
+      val admittedDir = s"$base/admitted"
+      val in = MemoryStream[(Long, String)]
+      val q = Pipelines.nearDupGate(
+        in.toDF().toDF("doc_id", "text"),
+        s"$base/index", s"$base/ckpt",
+        out => out.write.mode("append").parquet(admittedDir),
+        compactEvery = compactEvery).start()
+      try {
+        // 7 micro-batches (> 3× the compaction interval of 2): each brings
+        // one genuinely distinct doc and one near-copy of the very first doc
+        val texts = Seq(
+          "alpha rivers carve deep canyons through ancient sandstone plateaus",
+          "market prices fluctuated wildly after the surprise earnings report",
+          "the violin section carried the melody through the final movement",
+          "volcanic ash clouds grounded flights across the northern hemisphere",
+          "quantum error correction requires thousands of physical qubits",
+          "the recipe calls for saffron threads soaked in warm goat milk",
+          "migratory birds navigate using the earth magnetic field lines")
+        texts.zipWithIndex.foreach { case (t, i) =>
+          in.addData(
+            (100L + i, t),
+            (200L + i, "the quick brown fox jumps over the lazy dog near the river bank"))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val admitted = spark.read.parquet(admittedDir)
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      val sigFiles = {
+        val dir = new java.io.File(s"$base/index/sig")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(dir).count(_.getName.endsWith(".parquet"))
+      }
+      (admitted, sigFiles)
+    }
+
+    val (admittedC, filesC) = run(compactEvery = 2)
+    val (admittedU, filesU) = run(compactEvery = 0)
+    assert(admittedC === admittedU, "compaction must not change admit verdicts")
+    assert(admittedC === (Seq(200L) ++ (0 until 7).map(100L + _)).sorted,
+      "every distinct doc admits; first fox admits; all six later fox copies drop")
+    assert(filesC < filesU, s"compacted index ($filesC files) must beat uncompacted ($filesU)")
+    // bound: one compacted generation (≤ shuffle partitions files) plus at
+    // most compactEvery appends of ≤ shuffle-partitions files each
+    val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(filesC <= sp * 3, s"file count $filesC not bounded by compaction")
+  }
 }
