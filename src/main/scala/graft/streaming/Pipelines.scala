@@ -60,44 +60,94 @@ object Pipelines {
     * effectively-once (the reference relies on the same property via
     * Mongo natural-key upserts, scan_raw_txs.py:51-54).
     *
-    * The per-bucket delete+rename swap is still not crash-atomic, but the
-    * blast radius is one bucket and the checkpoint replays the batch.
-    * Production targets a transactional table format (Delta MERGE) or
-    * Mongo upserts behind DocumentSink, where the swap problem doesn't
-    * exist; this parquet sink is the self-contained test-environment
-    * implementation. Bucket jobs run serially here; they are independent
-    * and can run concurrently on a real cluster.
+    * The swap is CRASH-SAFE: each bucket holds `gen=NNNNNN` generation
+    * dirs; a batch writes the merged bucket into the NEXT generation and
+    * deletes older ones only after the new `_SUCCESS` exists. Readers
+    * ([[readState]]) resolve each bucket to its newest complete
+    * generation, so a kill at any point leaves the previous generation
+    * intact — a partial new generation is invisible and gets overwritten
+    * by the next batch (StreamingSpec simulates the kill). A
+    * `_graft_buckets` marker pins the bucket count: re-opening the state
+    * with a different `nBuckets` (which would silently strand rows in
+    * old buckets) or pointing at a pre-marker flat layout fails fast.
+    * Production can still swap in a transactional table format (Delta
+    * MERGE) or Mongo upserts behind DocumentSink. Bucket jobs run
+    * serially here; they are independent and can run concurrently on a
+    * real cluster.
     */
   def upsertBatch(spark: SparkSession, stateDir: String,
       batch: DataFrame, keys: Seq[String],
       nBuckets: Int = StateBuckets): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(stateDir).getFileSystem(conf)
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    ensureBucketMarker(fs, root, nBuckets)
     val bkt = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
     val batchB = batch.withColumn("__bkt", bkt).persist()
     val touched = batchB.select(col("__bkt")).distinct()
       .collect().map(_.getLong(0)).sorted
     touched.foreach { b =>
       val bDir = new Path(s"$stateDir/__gbkt=$b")
-      val bTmp = new Path(s"$stateDir/.tmp-bucket-$b")
+      val cur = latestGen(fs, bDir)
       val bBatch = batchB.filter(col("__bkt") === b).drop("__bkt")
+      val curComplete = fs.exists(new Path(cur, "_SUCCESS"))
       val merged =
-        if (fs.exists(bDir))
-          Merge.upsert(spark.read.parquet(bDir.toString), bBatch, keys)
+        if (curComplete)
+          Merge.upsert(spark.read.parquet(cur.toString), bBatch, keys)
         else bBatch
-      // materialize to tmp BEFORE touching the live bucket (merged
-      // lazily reads it), then swap
-      merged.write.mode("overwrite").parquet(bTmp.toString)
-      fs.delete(bDir, true)
-      fs.rename(bTmp, bDir)
+      // write the next generation (overwrites any partial leftover from a
+      // killed batch), then retire older generations — strictly after the
+      // new _SUCCESS exists, so every crash point leaves a complete
+      // generation behind
+      val next =
+        if (curComplete) new Path(bDir, f"gen=${genNo(cur) + 1}%06d") else cur
+      merged.write.mode("overwrite").parquet(next.toString)
+      fs.listStatus(bDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
+        .foreach(p => fs.delete(p, true))
     }
     batchB.unpersist()
   }
 
-  /** read the bucket-partitioned state table back as its logical schema
-    * (the hive partition column is the sink's layout detail, not data). */
-  def readState(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir).drop("__gbkt")
+  /** pin the state layout: bucket count recorded on first write, enforced
+    * forever after; a populated pre-marker (flat-bucket) dir fails fast
+    * instead of being misread as empty generations. */
+  private def ensureBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, nBuckets: Int): Unit = {
+    val marker = new Path(root, "_graft_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val n = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+      if (n != nBuckets) throw new IllegalStateException(
+        s"state at $root is bucketed with n=$n, asked for n=$nBuckets — " +
+          "changing the bucket count strands rows; rewrite the state instead")
+    } else if (fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith("__gbkt="))) {
+      throw new IllegalStateException(
+        s"state at $root has bucket dirs but no _graft_buckets marker " +
+          "(pre-generation flat layout?) — rewrite it through upsertBatch " +
+          "into a fresh directory")
+    } else {
+      val o = fs.create(marker, true)
+      try o.write(nBuckets.toString.getBytes("UTF-8")) finally o.close()
+    }
+  }
+
+  /** read the bucket-partitioned state table back as its logical schema:
+    * each bucket resolves to its newest COMPLETE generation, so a reader
+    * racing a crash-interrupted swap sees the consistent previous state. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("__gbkt="))
+      .map(b => latestGen(fs, b))
+      .filter(g => fs.exists(new Path(g, "_SUCCESS")))
+      .map(_.toString)
+    require(gens.nonEmpty, s"no complete state generations under $stateDir")
+    spark.read.parquet(gens.toIndexedSeq: _*)
+  }
 
   /** how many micro-batches of index appends accumulate before the gate
     * rewrites the sig/bands tables into one compact generation. Bounds the

@@ -155,6 +155,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) === "V1" && got(2L) === "v2" && got.size === 200)
   }
 
+  test("bucket swap survives a kill at any point (generation dirs + marker guards)") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = Files.createTempDirectory("graft-crash").toString + "/state"
+    val sink = new graft.streaming.ParquetDocumentSink(spark, dir)
+    sink.upsert((1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
+
+    val touchedBkt = spark.range(1)
+      .select(pmod(xxhash64(lit(1L)), lit(Pipelines.StateBuckets.toLong)))
+      .collect()(0).getLong(0)
+    val bDir = JPaths.get(s"$dir/__gbkt=$touchedBkt")
+
+    // kill mid-write of the next generation: partial dir, no _SUCCESS →
+    // readers must keep serving the previous generation
+    val partial = bDir.resolve("gen=000001")
+    JFiles.createDirectories(partial)
+    JFiles.write(partial.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    val afterKill = Pipelines.readState(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(afterKill(1L) === "v1" && afterKill.size === 200,
+      "a partial generation must be invisible to readers")
+
+    // the next batch overwrites the partial generation and retires gen 0
+    sink.upsert(Seq((1L, "V1")).toDF("k", "v"), Seq("k"))
+    val healed = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(healed(1L) === "V1" && healed.size === 200)
+    val gens = JFiles.list(bDir).iterator()
+    val genNames = Iterator.continually(gens).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.startsWith("gen=")).toSeq
+    assert(genNames === Seq("gen=000001"), s"old generations must retire: $genNames")
+
+    // kill between the new _SUCCESS and old-generation cleanup: a stale
+    // complete generation lingers → readers still pick only the newest
+    val stale = bDir.resolve("gen=000000")
+    JFiles.createDirectories(stale)
+    JFiles.list(bDir.resolve("gen=000001")).forEach { p =>
+      if (!JFiles.isDirectory(p)) JFiles.copy(p, stale.resolve(p.getFileName.toString))
+    }
+    val afterStale = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(afterStale(1L) === "V1" && afterStale.size === 200,
+      "a lingering retired generation must not duplicate rows")
+
+    // bucket-count marker: reopening with a different n fails fast
+    val ex = intercept[IllegalStateException] {
+      Pipelines.upsertBatch(spark, dir, Seq((9L, "q")).toDF("k", "v"), Seq("k"),
+        nBuckets = 8)
+    }
+    assert(ex.getMessage.contains("bucketed with n=32"))
+
+    // a populated pre-marker layout fails fast instead of being misread
+    val legacy = Files.createTempDirectory("graft-legacy").toString + "/state"
+    JFiles.createDirectories(JPaths.get(s"$legacy/__gbkt=0"))
+    JFiles.write(JPaths.get(s"$legacy/__gbkt=0/part-0.parquet"), Array[Byte](1))
+    intercept[IllegalStateException] {
+      Pipelines.upsertBatch(spark, legacy, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    }
+  }
+
   test("T1 trigger cadence mirrors the reference's poll intervals") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Triggers
