@@ -102,32 +102,41 @@ object Bpe {
   val Corpus: BpeVocab = new BpeVocab(CorpusMerges)
 
   /** The DISTRIBUTED BPE training loop — count pairs → take the global
-    * max → re-encode → repeat — run for real instead of asserting its
-    * pinned result. Each round is one distributed job over the
-    * distinct-word frequency table (vastly smaller than the corpus: the
-    * standard corpus-scale BPE shape): encode every word with the merges
-    * learned so far (the same BpeEncodeExpr the tokenizer ships), explode
-    * adjacent token pairs weighted by word count, partial-agg the pair
-    * counts, and TakeOrdered the single argmax row to the driver
-    * (tie-break: count desc, then (a, b) lexicographic — for space-free
-    * tokens identical to the pinned derivation's "pair lexicographic").
-    * Only the ~bytes-sized winning pair crosses to the driver per round.
-    * [[CorpusMerges]] is exactly `train(documents@sf0.01, 32)` — asserted
-    * by BpeSpec and oracle-checked end to end by `tx_bpe_train`. */
+    * max → apply the merge → repeat — run for real instead of asserting
+    * its pinned result. Each round runs over the distinct-word frequency
+    * table (vastly smaller than the corpus: the standard corpus-scale BPE
+    * shape): explode adjacent token pairs of the CURRENT encoding weighted
+    * by word count, partial-agg the pair counts, TakeOrdered the single
+    * argmax row to the driver (tie-break: count desc, then (a, b)
+    * lexicographic — for space-free tokens identical to the pinned
+    * derivation's "pair lexicographic"), then apply JUST the winning merge
+    * to the cached encoding ([[BpeMergePairExpr]] — one linear array pass,
+    * a no-op on the words that don't contain the pair). Re-encoding every
+    * word from scratch with the full merge list each round (O(len·R) per
+    * word per round) is provably equal but R× more work — the header's
+    * rank-order argument: a processed rank can never reappear, so one
+    * application of the new rank over the previous fixpoint IS the next
+    * fixpoint. Only the ~bytes-sized winning pair crosses to the driver
+    * per round. [[CorpusMerges]] is exactly `train(documents@sf0.01, 32)`
+    * — asserted by BpeSpec and oracle-checked end to end by
+    * `tx_bpe_train`. */
   def train(docs: org.apache.spark.sql.DataFrame, rounds: Int): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val words = docs
+    val empty = new BpeVocab(Nil) // codepoint seed tokens, zero merges
+    // localCheckpoint (not persist) each round: it truncates the plan to a
+    // materialized leaf, so 32 rounds don't accrete 32 nested cached plans
+    // (which OOMs the driver on plan/codegen metadata, not data)
+    var enc = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .persist()
+      .select(col("cnt"), toCol(BpeEncodeExpr(toExpr(col("word")), empty)).as("t"))
+      .localCheckpoint()
     val merges = ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < rounds && !exhausted) {
-      val vocab = new BpeVocab(merges.toList)
-      val best = words
-        .select(col("cnt"), toCol(BpeEncodeExpr(toExpr(col("word")), vocab)).as("t"))
+      val best = enc
         .filter(size(col("t")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))")).as("p"))
@@ -136,11 +145,65 @@ object Bpe {
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
-      else merges += ((best(0).getString(0), best(0).getString(1)))
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val next = enc
+          .select(col("cnt"), toCol(BpeMergePairExpr(toExpr(col("t")), a, b)).as("t"))
+          .localCheckpoint()
+        enc.unpersist()
+        enc = next
+      }
     }
-    words.unpersist()
+    enc.unpersist()
     merges.toSeq
   }
+}
+
+/** One BPE training-round update: replace every leftmost non-overlapping
+  * adjacent (a, b) in a token array with the merged token a+b. Strings are
+  * cloned out of the (possibly buffer-reusing) input row. */
+final class PairMerger(a: String, b: String) extends Serializable {
+  private val ua = UTF8String.fromString(a)
+  private val ub = UTF8String.fromString(b)
+  private val uab = UTF8String.fromString(a + b)
+  def merge(in: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = in.numElements()
+    val out = new ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && ua.equals(in.getUTF8String(i)) && ub.equals(in.getUTF8String(i + 1))) {
+        out += uab
+        i += 2
+      } else {
+        out += in.getUTF8String(i).clone()
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_merge_pair(t)` → t with one merge rank applied (see [[PairMerger]]);
+  * the per-round incremental step of [[Bpe.train]]. */
+case class BpeMergePairExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_merge_pair"
+
+  private lazy val merger = new PairMerger(a, b)
+
+  override def nullSafeEval(v: Any): Any =
+    merger.merge(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairMerger", merger, classOf[PairMerger].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.merge($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeMergePairExpr =
+    copy(child = c)
 }
 
 /** `bpe_encode(text)` → array<string> of BPE tokens. Input StringType. */
