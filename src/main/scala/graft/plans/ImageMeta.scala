@@ -80,7 +80,11 @@ object ImageMeta extends Serializable {
         && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
       InternalRow(UTF8String.fromString("png"),
         beInt(b, 16).toLong, beInt(b, 20).toLong)
-    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+        && leInt(b, 14) == 40) {
+      // the 32-bit width/height at 18/22 are only valid for the 40-byte
+      // BITMAPINFOHEADER; other DIB variants (12-byte core header's 16-bit
+      // dims, V4/V5 at different sizes) must not parse to garbage
       InternalRow(UTF8String.fromString("bmp"),
         leInt(b, 18).toLong, math.abs(leInt(b, 22)).toLong)
     } else null

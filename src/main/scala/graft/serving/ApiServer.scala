@@ -188,3 +188,12 @@ final class ApiServer(
 
   def stop(): Unit = if (server != null) { server.stop(0); server = null }
 }
+
+/** config-driven construction — the app-shell wiring app.py:30-51 does
+  * with its ConfigParser: the webservice reads its store coordinates from
+  * the resolved settings doc. The parquet profile maps the store's db
+  * name to the dataset root directory (the same seam DocumentSink uses). */
+object ApiServer {
+  def fromConfig(spark: SparkSession, cfg: graft.core.Config.Resolved): ApiServer =
+    new ApiServer(spark, cfg.storeDb)
+}

@@ -23,6 +23,16 @@ object Triggers {
   val State: Trigger = Trigger.ProcessingTime("10 seconds")
   val Status: Trigger = Trigger.ProcessingTime("10 seconds")
   val Reprocess: Trigger = Trigger.ProcessingTime("60 seconds")
+
+  /** config-driven cadence: `tasks.<name>.interval` from the resolved
+    * settings doc (graft.core.Config — the reference reads the same block,
+    * tasks.py via config_parser), falling back to the pinned default when
+    * the settings doc omits the task. */
+  def forTask(cfg: graft.core.Config.Resolved, task: String,
+      default: Trigger): Trigger =
+    cfg.taskIntervalSeconds(task)
+      .map(s => Trigger.ProcessingTime(s"$s seconds"))
+      .getOrElse(default)
 }
 
 /** T8 chain-head liveness watchdog (indexer/scan_utils.py:17-58: alarm +

@@ -271,6 +271,20 @@ object Pipelines {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** S12 cursor advance WITH audit history (scan_raw_txs.py:132-137): the
+    * reference upserts the single `moc_indexer` cursor doc and keeps an
+    * append-only `moc_indexer_history` of every advance. Same here: the
+    * conformed one-row doc overwrites the singleton and appends to the
+    * history table (schemas core/Schemas.mocIndexer/.mocIndexerHistory).
+    * Structured Streaming's checkpoint log already subsumes the cursor for
+    * recovery — the history table is the operator-facing audit trail. */
+  def advanceCursor(spark: SparkSession, baseDir: String, cursor: DataFrame): Unit = {
+    val doc = graft.core.Schemas.conformSparse(cursor, graft.core.Schemas.mocIndexer)
+    require(doc.count() == 1L, "cursor advance writes exactly one document")
+    doc.write.mode("overwrite").parquet(s"$baseDir/moc_indexer")
+    doc.write.mode("append").parquet(s"$baseDir/moc_indexer_history")
+  }
+
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
   def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =

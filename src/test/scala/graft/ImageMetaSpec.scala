@@ -32,9 +32,23 @@ class ImageMetaSpec extends AnyFunSuite {
   test("parses a hand-assembled BMP info header (little-endian dims)") {
     val bmp = new Array[Byte](54)
     bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40   // BITMAPINFOHEADER size — required, see next vector
     bmp(18) = 0x20 // width 32 LE
     bmp(22) = 0x01; bmp(23) = 0x01 // height 257 LE
     assert(row(bmp) === (("bmp", 32L, 257L)))
+  }
+
+  test("non-INFOHEADER DIB variants are rejected, not parsed to garbage") {
+    // BITMAPCOREHEADER: size 12, 16-bit dims at 18/20 — offsets 18/22 as
+    // 32-bit ints would read nonsense
+    val core = new Array[Byte](54)
+    core(0) = 'B'; core(1) = 'M'; core(14) = 12
+    core(18) = 0x20; core(20) = 0x10
+    assert(ImageMeta.parse(core) == null)
+    // BITMAPV5HEADER (124) likewise refused until explicitly supported
+    val v5 = new Array[Byte](140)
+    v5(0) = 'B'; v5(1) = 'M'; v5(14) = 124
+    assert(ImageMeta.parse(v5) == null)
   }
 
   test("top-down BMP (negative height) reports |height|") {

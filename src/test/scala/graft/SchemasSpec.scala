@@ -121,4 +121,33 @@ class SchemasSpec extends AnyFunSuite {
         new ParquetDocumentSink(spark, s"$dir/moc_indexer"), Schemas.mocIndexer)
     }
   }
+
+  test("cursor advance overwrites the singleton and appends to moc_indexer_history") {
+    import graft.streaming.Pipelines
+    val dir = java.nio.file.Files.createTempDirectory("graft-cursor").toString
+    def cursor(block: Long) = Seq((block, true))
+      .toDF("last_raw_tx_block", "processed")
+      .withColumn("updatedAt", lit(java.sql.Timestamp.valueOf(s"2024-01-0${block % 9} 00:00:00")))
+
+    Pipelines.advanceCursor(spark, dir, cursor(1))
+    Pipelines.advanceCursor(spark, dir, cursor(2))
+    Pipelines.advanceCursor(spark, dir, cursor(3))
+
+    val single = spark.read.parquet(s"$dir/moc_indexer")
+    assert(single.count() === 1, "moc_indexer is a single-doc collection")
+    assert(single.select("last_raw_tx_block").as[Long].head() === 3L)
+    assert(single.columns.toSet === Schemas.mocIndexer.schema.fieldNames.toSet,
+      "doc must be conformed to the catalog schema (sparse fields padded)")
+
+    val hist = spark.read.parquet(s"$dir/moc_indexer_history")
+    assert(hist.count() === 3, "history keeps one row per advance")
+    assert(hist.select("last_raw_tx_block").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+
+    // a multi-row "cursor" is a bug upstream — refuse it
+    assertThrows[IllegalArgumentException] {
+      Pipelines.advanceCursor(spark, dir,
+        cursor(4).union(cursor(5)))
+    }
+  }
 }
