@@ -23,10 +23,12 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // two timed passes, report the per-query MINIMUM: each number is a real
-    // measured run, and the min shields against transient host/GC stalls
-    // (observed: the same query varying 0.6s ↔ 8s between runs on a noisy
-    // host with identical plans).
+    // three timed passes, report the per-query MINIMUM plus a per-query
+    // max/min spread: each number is a real measured run, the min shields
+    // against transient host/GC stalls (observed: the same query varying
+    // 0.6s ↔ 8s between runs on a noisy host with identical plans), and
+    // the spread lets a reader separate plan regressions from host steal —
+    // a genuine regression moves the min, steal only widens the spread.
     def timedPass(): Map[String, Double] = {
       // each query invocation builds fresh DataFrames, so persisted
       // intermediates from the previous pass are dead weight — drop them
@@ -37,15 +39,19 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    val p1 = timedPass()
-    val p2 = timedPass()
+    val passes = Seq(timedPass(), timedPass(), timedPass())
     val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> passes.map(_(name)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val spreads = ordered.map { case (name, _) =>
+      val ts = passes.map(_(name))
+      name -> (if (ts.min > 0) ts.max / ts.min else Double.NaN)
+    }
+    def obj(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => "\"" + k + "\":" + (f"$v%.4f") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
