@@ -134,6 +134,12 @@ object Bpe {
       .select(col("cnt"), toCol(BpeEncodeExpr(toExpr(col("word")), empty)).as("t"))
       .localCheckpoint()
     val merges = ArrayBuffer.empty[(String, String)]
+    // at toy scale each round is scheduler-bound, so keep it to ONE job:
+    // the round's pair-count action also materializes the LAZY checkpoint
+    // of the previous round's merge; the parent table is only released
+    // after that materialization (dropping a localCheckpoint's parent
+    // cache before it materializes would lose the blocks it copies from)
+    var parent: org.apache.spark.sql.DataFrame = null
     var exhausted = false
     while (merges.length < rounds && !exhausted) {
       val best = enc
@@ -144,17 +150,19 @@ object Bpe {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()
+      if (parent != null) { parent.unpersist(); parent = null }
       if (best.isEmpty) exhausted = true
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
         val next = enc
           .select(col("cnt"), toCol(BpeMergePairExpr(toExpr(col("t")), a, b)).as("t"))
-          .localCheckpoint()
-        enc.unpersist()
+          .localCheckpoint(eager = false)
+        parent = enc
         enc = next
       }
     }
+    if (parent != null) parent.unpersist()
     enc.unpersist()
     merges.toSeq
   }

@@ -182,6 +182,13 @@ object Pipelines {
     * `intraBatch = false` matches the daily-refresh semantics where the
     * batch was already deduplicated upstream.
     *
+    * `shuffleProbe = true` switches the index probe to the large-batch
+    * path (TextOps.probeNearDupIndexShuffle over a band index derived
+    * row-locally from the persisted signatures): identical verdicts, but
+    * the micro-batch side is never broadcast — the mode for ingest bursts
+    * past Spark's broadcast ceiling. The default broadcast probe is the
+    * small-batch fast path.
+    *
     * Replay semantics: a re-delivered batch finds its own signatures
     * already in the index, so every replayed document is flagged as a
     * near-dup of itself and admits nothing twice — the index doubles as
@@ -196,7 +203,8 @@ object Pipelines {
     */
   def nearDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, intraBatch: Boolean = false,
-      compactEvery: Int = CompactEvery): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactEvery: Int = CompactEvery,
+      shuffleProbe: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -210,12 +218,17 @@ object Pipelines {
         val docs = batch.toDF().persist()
         val newSig = TextOps.minhashSignaturesTotal(docs).persist()
         val indexDropped =
-          if (fs.exists(new Path(sigGen, "_SUCCESS")))
-            TextOps.probeNearDupIndex(newSig,
-                spark.read.parquet(sigGen.toString),
-                spark.read.parquet(bandGen.toString))
-              .filter(col("is_neardup")).select(col("doc_id"))
-          else newSig.select(col("doc_id")).limit(0)
+          if (fs.exists(new Path(sigGen, "_SUCCESS"))) {
+            val verdicts =
+              if (shuffleProbe)
+                TextOps.probeNearDupIndexShuffle(newSig,
+                  TextOps.bandIndex(spark.read.parquet(sigGen.toString)))
+              else
+                TextOps.probeNearDupIndex(newSig,
+                  spark.read.parquet(sigGen.toString),
+                  spark.read.parquet(bandGen.toString))
+            verdicts.filter(col("is_neardup")).select(col("doc_id"))
+          } else newSig.select(col("doc_id")).limit(0)
         val dropped =
           if (intraBatch) indexDropped.union(TextOps.intraBatchNearDups(newSig)).distinct()
           else indexDropped

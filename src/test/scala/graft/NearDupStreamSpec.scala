@@ -58,6 +58,39 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(indexed === Seq(1L, 2L, 4L))
   }
 
+  test("shuffleProbe mode admits identically to the broadcast probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ndshuf").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir),
+      shuffleProbe = true).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "colorless green ideas sleep furiously under a bright winter moon"))
+      q.processAllAvailable()
+      in.addData(
+        (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4L, "completely unrelated text about distributed query engines and parquet"))
+      q.processAllAvailable()
+      // replay through the large-batch path self-dedups the same way
+      in.addData(
+        (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4L, "completely unrelated text about distributed query engines and parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(1L, 2L, 4L),
+      "the shuffle probe must reproduce the broadcast probe's admits")
+  }
+
   test("intraBatch flag: of two near-dups arriving in ONE batch, exactly the first admits") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-ndintra").toString
