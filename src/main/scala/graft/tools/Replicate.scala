@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress replica builder: N shifted copies of `documents.parquet`
+  * with perturbed text, so replicas of one document are NEAR- but not
+  * exact duplicates — the adversarial shape for the dedup family (the
+  * candidate graph grows with the replication factor, not just the rows).
+  * Usage: runMain graft.tools.Replicate <srcSfDir> <dstDir> <n>
+  */
+object Replicate {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, nStr) = args.take(3)
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    val shift = d.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val out = (0 until n).map { i =>
+      d.withColumn("doc_id", col("doc_id") + lit(i.toLong * shift))
+        .withColumn("text", concat(col("text"),
+          lit(s" zr$i wq"), pmod(col("doc_id"), lit(13L)).cast("string")))
+    }.reduce(_ unionByName _)
+    out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    spark.stop()
+  }
+}
