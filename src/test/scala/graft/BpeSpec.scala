@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{Bpe, BpeEncodeExpr, BpeVocab}
+import graft.plans.{Bpe, BpeEncodeExpr, BpeVocab, PairMerger}
 
 /** BPE merge-loop semantics: pinned vectors on the corpus vocabulary, the
   * reconstruction and vocabulary-membership invariants, and the SQL
@@ -58,6 +58,36 @@ class BpeSpec extends AnyFunSuite {
       spark.read.parquet("/root/testdata/sf0.01/documents.parquet"), 32)
     assert(derived === Bpe.CorpusMerges,
       "Bpe.train must reproduce CorpusMerges from the sf0.01 corpus")
+  }
+
+  test("property: incremental PairMerger folding equals the full merge-loop re-encode") {
+    // the correctness hinge of the train() optimization: folding each
+    // training-shaped merge ONCE over the previous fixpoint must equal
+    // re-encoding from scratch with the whole list. Merge lists are grown
+    // the way training grows them — each new pair drawn from the word's
+    // CURRENT incremental tokens — which is exactly the class where the
+    // rank-order argument applies.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def applyReal(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val in = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val out = new PairMerger(a, b).merge(in)
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 300) {
+      val w = Seq.fill(1 + rnd.nextInt(12))("abcd" (rnd.nextInt(4))).mkString
+      val merges = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      var toks: Seq[String] = w.map(_.toString)
+      for (_ <- 1 to 6 if toks.length >= 2) {
+        val i = rnd.nextInt(toks.length - 1)
+        val pair = (toks(i), toks(i + 1))
+        if (merges.add(pair)) toks = applyReal(toks, pair._1, pair._2)
+      }
+      val full = new BpeVocab(merges.toSeq).encodeWord(w).toSeq
+      assert(toks === full, s"word=$w merges=${merges.toSeq}")
+    }
   }
 
   test("bpe_encode is SQL-callable through the extension registration") {
