@@ -45,10 +45,16 @@ object Bench {
     }
     val spreads = ordered.map { case (name, _) =>
       val ts = passes.map(_(name))
-      name -> (if (ts.min > 0) ts.max / ts.min else Double.NaN)
+      name -> (if (ts.min > 0) ts.max / ts.min else 0.0)
     }
+    // Locale.ROOT: the f interpolator formats with the JVM default locale,
+    // and a comma-decimal locale would make this line unparseable JSON
     def obj(m: Seq[(String, Double)]) = m
-      .map { case (k, v) => "\"" + k + "\":" + (f"$v%.4f") }
+      .map { case (k, v) =>
+        val num = String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(if (java.lang.Double.isFinite(v)) v else 0.0))
+        "\"" + k + "\":" + num
+      }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"sf":"$sfDir"}""")

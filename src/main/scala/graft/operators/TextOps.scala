@@ -65,10 +65,12 @@ object TextOps {
   private val ShBlockOffsets = Seq(0, 12, 24, 36)
   private val ShBlockWidths = Seq(12, 12, 12, 12)
 
-  /** word 3-gram shingles of the space-split token list `l` (empty when
-    * fewer than 3 tokens), distinct. */
-  private val shinglesSpark =
-    "array_distinct(CASE WHEN size(l) >= 3 THEN transform(sequence(1, size(l)-2), i -> concat_ws(' ', slice(l, i, 3))) ELSE cast(array() as array<string>) END)"
+  /** word 3-gram shingles of the space-split token list `l`; the
+    * short-document (<3 tokens) branch is the caller's choice so the batch
+    * and TOTAL variants can never diverge on the shingling itself. */
+  private def shingleCase(shortDocExpr: String): String =
+    s"array_distinct(CASE WHEN size(l) >= 3 THEN transform(sequence(1, size(l)-2), i -> concat_ws(' ', slice(l, i, 3))) ELSE $shortDocExpr END)"
+  private val shinglesSpark = shingleCase("cast(array() as array<string>)")
   private val shinglesSql =
     "list_distinct(list_transform(range(1, greatest(len(l)-2,0)+1), i -> l[i]||' '||l[i+1]||' '||l[i+2]))"
 
@@ -90,8 +92,7 @@ object TextOps {
     * silently lost, identical short docs still collide on every band (the
     * replay / exact-dup guard), and distinct short docs admit. */
   def minhashSignaturesTotal(docs: DataFrame): DataFrame =
-    signaturesFrom(docs,
-      "array_distinct(CASE WHEN size(l) >= 3 THEN transform(sequence(1, size(l)-2), i -> concat_ws(' ', slice(l, i, 3))) ELSE array(coalesce(text, '')) END)")
+    signaturesFrom(docs, shingleCase("array(coalesce(text, ''))"))
 
   private def signaturesFrom(docs: DataFrame, shingleExpr: String): DataFrame =
     docs
@@ -184,9 +185,12 @@ object TextOps {
     * the insert-if-absent guards (mocsettlement.py:29-52) generalized to
     * near-dup signatures. */
   def probeNearDupIndexShuffle(newSig: DataFrame, corpusIndex: DataFrame): DataFrame = {
-    val nb = bandIndex(newSig)
+    // select by NAME before the positional rename: a caller's reordered
+    // (schema-equivalent) index must not silently relabel hash columns
+    val idxCols = col("doc_id") +: (0 until MhK).map(k => col(s"mh$k")) :+ col("bkey")
+    val nb = bandIndex(newSig).select(idxCols: _*)
       .toDF("new_id" +: (0 until MhK).map(k => s"a$k") :+ "bkey": _*)
-    val cb = corpusIndex
+    val cb = corpusIndex.select(idxCols: _*)
       .toDF("corpus_id" +: (0 until MhK).map(k => s"b$k") :+ "bkey": _*)
     val nMatch = (0 until MhK)
       .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
@@ -223,8 +227,9 @@ object TextOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.toDF("doc_a" +: (0 until MhK).map(k => s"a$k"): _*)
-    val sb = sig.toDF("doc_b" +: (0 until MhK).map(k => s"b$k"): _*)
+    val sigCols = col("doc_id") +: (0 until MhK).map(k => col(s"mh$k"))
+    val sa = sig.select(sigCols: _*).toDF("doc_a" +: (0 until MhK).map(k => s"a$k"): _*)
+    val sb = sig.select(sigCols: _*).toDF("doc_b" +: (0 until MhK).map(k => s"b$k"): _*)
     val nMatch = (0 until MhK)
       .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
       .reduce(_ + _)

@@ -81,10 +81,11 @@ object ImageMeta extends Serializable {
       InternalRow(UTF8String.fromString("png"),
         beInt(b, 16).toLong, beInt(b, 20).toLong)
     } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M'
-        && leInt(b, 14) == 40) {
-      // the 32-bit width/height at 18/22 are only valid for the 40-byte
-      // BITMAPINFOHEADER; other DIB variants (12-byte core header's 16-bit
-      // dims, V4/V5 at different sizes) must not parse to garbage
+        && leInt(b, 14) >= 40) {
+      // every DIB header of size >= 40 (INFOHEADER 40, V2/V3 52/56,
+      // BITMAPV4 108, BITMAPV5 124) keeps 32-bit width/height at offsets
+      // 18/22; only the 12-byte BITMAPCOREHEADER stores 16-bit dims there
+      // and must not parse to garbage
       InternalRow(UTF8String.fromString("bmp"),
         leInt(b, 18).toLong, math.abs(leInt(b, 22)).toLong)
     } else null

@@ -165,15 +165,19 @@ object Pipelines {
     * admitted signatures/bands are APPENDED to the index so later batches
     * dedup against everything admitted so far.
     *
-    * Index layout: `sig/gen=NNNNNN/` and `bands/gen=NNNNNN/` generation
-    * directories. Appends land in the newest complete generation (marked
-    * by its `_SUCCESS`); every `compactEvery` batches the gate rewrites
-    * the current generation into the next and deletes the old ones ONLY
-    * after the new `_SUCCESS` exists — a crash mid-compaction leaves the
-    * previous generation intact and readable, and the file count stays
-    * bounded at streaming cadence (NearDupStreamSpec holds it under the
-    * bound across 3× the compaction interval). `compactEvery = 0`
-    * disables compaction.
+    * Index layout: `sig/gen=NNNNNN/` generation directories — the
+    * SIGNATURE table is the whole persisted index; the band table both
+    * probe paths join on is derived from it row-locally at probe time
+    * (TextOps.bandTable / bandIndex, a narrow map over the sig scan), so
+    * there is exactly ONE index append per batch and no window where sig
+    * and bands can disagree after a crash. Appends land in the newest
+    * complete generation (marked by its `_SUCCESS`); every `compactEvery`
+    * batches the gate rewrites the current generation into the next and
+    * deletes the old ones ONLY after the new `_SUCCESS` exists — a crash
+    * mid-compaction leaves the previous generation intact and readable,
+    * and the file count stays bounded at streaming cadence
+    * (NearDupStreamSpec holds it under the bound across 3× the compaction
+    * interval). `compactEvery = 0` disables compaction.
     *
     * Admission: a document drops iff it is a near-dup of the persisted
     * index, or — with `intraBatch = true` — of a lower-id document in its
@@ -196,10 +200,10 @@ object Pipelines {
     * `out` and the index append can re-emit one batch downstream; the
     * transactional fix is the same Delta/document-store swap described on
     * [[upsertBatch]].) The admitted signatures are STAGED to
-    * `<indexDir>/staging` before `out` runs and both appends copy from
-    * that on-disk table, so a cache eviction mid-batch can never recompute
-    * the admit set against an index that already contains this batch's own
-    * signatures.
+    * `<indexDir>/staging` before `out` runs and the index append copies
+    * from that on-disk table, so a cache eviction mid-batch can never
+    * recompute the admit set against an index that already contains this
+    * batch's own signatures.
     */
   def nearDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, intraBatch: Boolean = false,
@@ -211,22 +215,18 @@ object Pipelines {
         import graft.operators.TextOps
         val spark = batch.sparkSession
         val sigBase = new Path(s"$indexDir/sig")
-        val bandBase = new Path(s"$indexDir/bands")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val sigGen = latestGen(fs, sigBase)
-        val bandGen = latestGen(fs, bandBase)
         val docs = batch.toDF().persist()
         val newSig = TextOps.minhashSignaturesTotal(docs).persist()
         val indexDropped =
           if (fs.exists(new Path(sigGen, "_SUCCESS"))) {
+            val sigIdx = spark.read.parquet(sigGen.toString)
             val verdicts =
               if (shuffleProbe)
-                TextOps.probeNearDupIndexShuffle(newSig,
-                  TextOps.bandIndex(spark.read.parquet(sigGen.toString)))
+                TextOps.probeNearDupIndexShuffle(newSig, TextOps.bandIndex(sigIdx))
               else
-                TextOps.probeNearDupIndex(newSig,
-                  spark.read.parquet(sigGen.toString),
-                  spark.read.parquet(bandGen.toString))
+                TextOps.probeNearDupIndex(newSig, sigIdx, TextOps.bandTable(sigIdx))
             verdicts.filter(col("is_neardup")).select(col("doc_id"))
           } else newSig.select(col("doc_id")).limit(0)
         val dropped =
@@ -245,11 +245,8 @@ object Pipelines {
         val staged = spark.read.parquet(staging)
         out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
         staged.write.mode("append").parquet(sigGen.toString)
-        TextOps.bandTable(staged).write.mode("append").parquet(bandGen.toString)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           compactGen(spark, fs, sigBase)
-          compactGen(spark, fs, bandBase)
-        }
         newSig.unpersist(); docs.unpersist()
         ()
       }
@@ -293,9 +290,15 @@ object Pipelines {
     * recovery — the history table is the operator-facing audit trail. */
   def advanceCursor(spark: SparkSession, baseDir: String, cursor: DataFrame): Unit = {
     val doc = graft.core.Schemas.conformSparse(cursor, graft.core.Schemas.mocIndexer)
-    require(doc.count() == 1L, "cursor advance writes exactly one document")
-    doc.write.mode("overwrite").parquet(s"$baseDir/moc_indexer")
-    doc.write.mode("append").parquet(s"$baseDir/moc_indexer_history")
+    // pin the single row once: a cursor computed from a live source must
+    // not re-execute per write, or the history row could differ from the
+    // singleton it claims to record
+    val rows = doc.limit(2).collect()
+    require(rows.length == 1, "cursor advance writes exactly one document")
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(rows(0)), doc.schema)
+    one.write.mode("overwrite").parquet(s"$baseDir/moc_indexer")
+    one.write.mode("append").parquet(s"$baseDir/moc_indexer_history")
   }
 
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */

@@ -38,17 +38,18 @@ class ImageMetaSpec extends AnyFunSuite {
     assert(row(bmp) === (("bmp", 32L, 257L)))
   }
 
-  test("non-INFOHEADER DIB variants are rejected, not parsed to garbage") {
+  test("core header rejected (16-bit dims); V5 parses (same 18/22 layout)") {
     // BITMAPCOREHEADER: size 12, 16-bit dims at 18/20 — offsets 18/22 as
     // 32-bit ints would read nonsense
     val core = new Array[Byte](54)
     core(0) = 'B'; core(1) = 'M'; core(14) = 12
     core(18) = 0x20; core(20) = 0x10
     assert(ImageMeta.parse(core) == null)
-    // BITMAPV5HEADER (124) likewise refused until explicitly supported
+    // BITMAPV5HEADER (124) keeps 32-bit dims at 18/22 — must parse
     val v5 = new Array[Byte](140)
     v5(0) = 'B'; v5(1) = 'M'; v5(14) = 124
-    assert(ImageMeta.parse(v5) == null)
+    v5(18) = 0x07; v5(22) = 0x05
+    assert(row(v5) === (("bmp", 7L, 5L)))
   }
 
   test("top-down BMP (negative height) reports |height|") {
