@@ -267,13 +267,22 @@ object Pipelines {
 
   /** rewrite the current generation into the next (one compact file set),
     * then delete older generations — strictly after the new `_SUCCESS`
-    * lands, so a crash at any point leaves a complete generation behind. */
+    * lands, so a crash at any point leaves a complete generation behind.
+    * A generation already at or under the target file count is left alone:
+    * a quiet stream must not pay a periodic O(index) rewrite for nothing.
+    * (The rewrite itself is O(index) every compactEvery batches — the
+    * amortized per-batch cost is O(index/compactEvery); an LSM-style
+    * leveled layout is the upgrade path if that amortized cost ever
+    * dominates a deployment's ingest budget.) */
   private def compactGen(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       base: Path): Unit = {
     val cur = latestGen(fs, base)
     if (!fs.exists(new Path(cur, "_SUCCESS"))) return
-    val next = new Path(base, f"gen=${genNo(cur) + 1}%06d")
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val dataFiles = fs.listStatus(cur)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (dataFiles <= n) return
+    val next = new Path(base, f"gen=${genNo(cur) + 1}%06d")
     spark.read.parquet(cur.toString).coalesce(n)
       .write.mode("overwrite").parquet(next.toString)
     fs.listStatus(base).map(_.getPath)
