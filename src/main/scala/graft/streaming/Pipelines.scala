@@ -149,10 +149,11 @@ object Pipelines {
     spark.read.parquet(gens.toIndexedSeq: _*)
   }
 
-  /** how many micro-batches of index appends accumulate before the gate
-    * rewrites the sig/bands tables into one compact generation. Bounds the
-    * small-file growth at streaming cadence: without it, batch N's probe
-    * lists and opens O(N) parquet files. */
+  /** how many index runs may accumulate before the gate merges the
+    * smallest ones (size-tiered compaction). Bounds the probe's
+    * file/listing cost at streaming cadence — without it, batch N's probe
+    * lists and opens O(N) parquet files — while never rewriting the whole
+    * index in one job. */
   val CompactEvery = 16
 
   /** Streaming near-dup admit gate — the continuous-ingest form of the
@@ -165,19 +166,25 @@ object Pipelines {
     * admitted signatures/bands are APPENDED to the index so later batches
     * dedup against everything admitted so far.
     *
-    * Index layout: `sig/gen=NNNNNN/` generation directories — the
-    * SIGNATURE table is the whole persisted index; the band table both
-    * probe paths join on is derived from it row-locally at probe time
-    * (TextOps.bandTable / bandIndex, a narrow map over the sig scan), so
-    * there is exactly ONE index append per batch and no window where sig
-    * and bands can disagree after a crash. Appends land in the newest
-    * complete generation (marked by its `_SUCCESS`); every `compactEvery`
-    * batches the gate rewrites the current generation into the next and
-    * deletes the old ones ONLY after the new `_SUCCESS` exists — a crash
-    * mid-compaction leaves the previous generation intact and readable,
-    * and the file count stays bounded at streaming cadence
-    * (NearDupStreamSpec holds it under the bound across 3× the compaction
-    * interval). `compactEvery = 0` disables compaction.
+    * Index layout (size-tiered runs, LSM-shaped): the SIGNATURE table is
+    * the whole persisted index — the band table both probe paths join on
+    * is derived from it row-locally at probe time (TextOps.bandTable /
+    * bandIndex, a narrow map over the sig scan), so there is exactly ONE
+    * index write per batch and no window where sig and bands can disagree
+    * after a crash. Each batch seals its admits as `sig/run=<batchId>`;
+    * when more than `compactEvery` complete runs exist, the gate merges
+    * the `compactEvery` SMALLEST (dedup by doc_id, inputs deleted only
+    * after the merged `crun=` run's `_SUCCESS` exists). Sizes tier
+    * naturally, so compaction work per merge is bounded by the small-run
+    * tier — the index is NEVER rewritten wholesale, the run count stays
+    * ≤ compactEvery+1, and a crash at any point leaves only complete runs
+    * visible (a crash between a merge's `_SUCCESS` and its input deletes
+    * can transiently duplicate signatures, which inflates the diagnostic
+    * `n_cand` but cannot flip a verdict — `best_jac` is a max — and the
+    * next merge's doc_id dedup heals it). `compactEvery = 0` disables
+    * compaction. NearDupStreamSpec holds the file count under the bound
+    * across 3.5× the run budget with verdicts identical to an uncompacted
+    * run. Read the index back with [[readNearDupIndex]].
     *
     * Admission: a document drops iff it is a near-dup of the persisted
     * index, or — with `intraBatch = true` — of a lower-id document in its
@@ -216,12 +223,12 @@ object Pipelines {
         val spark = batch.sparkSession
         val sigBase = new Path(s"$indexDir/sig")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val sigGen = latestGen(fs, sigBase)
+        val runs = completeRuns(fs, sigBase)
         val docs = batch.toDF().persist()
         val newSig = TextOps.minhashSignaturesTotal(docs).persist()
         val indexDropped =
-          if (fs.exists(new Path(sigGen, "_SUCCESS"))) {
-            val sigIdx = spark.read.parquet(sigGen.toString)
+          if (runs.nonEmpty) {
+            val sigIdx = spark.read.parquet(runs.map(_.toString): _*)
             val verdicts =
               if (shuffleProbe)
                 TextOps.probeNearDupIndexShuffle(newSig, TextOps.bandIndex(sigIdx))
@@ -244,9 +251,13 @@ object Pipelines {
           .write.mode("overwrite").parquet(staging)
         val staged = spark.read.parquet(staging)
         out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
-        staged.write.mode("append").parquet(sigGen.toString)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          compactGen(spark, fs, sigBase)
+        // seal this batch's run — named by batchId, so a replayed batch
+        // whose run already exists (complete) writes nothing instead of
+        // appending duplicates
+        val runDir = new Path(sigBase, f"run=$batchId%012d")
+        if (!fs.exists(new Path(runDir, "_SUCCESS")))
+          staged.write.mode("overwrite").parquet(runDir.toString)
+        if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery)
         newSig.unpersist(); docs.unpersist()
         ()
       }
@@ -265,29 +276,54 @@ object Pipelines {
     if (gens.isEmpty) new Path(base, "gen=000000") else gens.maxBy(genNo)
   }
 
-  /** rewrite the current generation into the next (one compact file set),
-    * then delete older generations — strictly after the new `_SUCCESS`
-    * lands, so a crash at any point leaves a complete generation behind.
-    * A generation already at or under the target file count is left alone:
-    * a quiet stream must not pay a periodic O(index) rewrite for nothing.
-    * (The rewrite itself is O(index) every compactEvery batches — the
-    * amortized per-batch cost is O(index/compactEvery); an LSM-style
-    * leveled layout is the upgrade path if that amortized cost ever
-    * dominates a deployment's ingest budget.) */
-  private def compactGen(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      base: Path): Unit = {
-    val cur = latestGen(fs, base)
-    if (!fs.exists(new Path(cur, "_SUCCESS"))) return
+  private def runNo(p: Path): Long =
+    p.getName.dropWhile(c => !c.isDigit).toLong
+
+  /** the COMPLETE (`_SUCCESS`-marked) runs of a tiered index directory —
+    * per-batch `run=` seals plus merged `crun=` tiers. */
+  private def completeRuns(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path): Seq[Path] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("run=") || p.getName.startsWith("crun="))
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      .toIndexedSeq
+
+  /** the gate's persisted signature index as one DataFrame (all complete
+    * runs — the same read set the probe uses). */
+  def readNearDupIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = new Path(s"$indexDir/sig")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val runs = completeRuns(fs, base)
+    require(runs.nonEmpty, s"no complete index runs under $indexDir/sig")
+    spark.read.parquet(runs.map(_.toString): _*)
+  }
+
+  /** size-tiered merge: when more than `k` complete runs exist, merge the
+    * `k` smallest into the next `crun=` (doc_id-dedup'd — signature rows
+    * are a function of doc_id, so this is exact and also heals duplicates
+    * left by a crash between a previous merge's `_SUCCESS` and its input
+    * deletes), then delete the inputs strictly after the new `_SUCCESS`.
+    * Merge work is bounded by the small tier; the whole index is never
+    * rewritten in one job, and the run count stays ≤ k+1. */
+  private def mergeSmallRuns(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: Path, k: Int): Unit = {
+    val runs = completeRuns(fs, base)
+    if (runs.size <= k) return
+    val victims = runs
+      .map(p => p -> fs.getContentSummary(p).getLength)
+      .sortBy(_._2).take(k).map(_._1)
+    val nextId = runs.filter(_.getName.startsWith("crun=")) match {
+      case s if s.isEmpty => 0L
+      case s => s.map(runNo).max + 1
+    }
+    val dst = new Path(base, f"crun=$nextId%012d")
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val dataFiles = fs.listStatus(cur)
-      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    if (dataFiles <= n) return
-    val next = new Path(base, f"gen=${genNo(cur) + 1}%06d")
-    spark.read.parquet(cur.toString).coalesce(n)
-      .write.mode("overwrite").parquet(next.toString)
-    fs.listStatus(base).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
-      .foreach(p => fs.delete(p, true))
+    spark.read.parquet(victims.map(_.toString): _*)
+      .dropDuplicates("doc_id")
+      .coalesce(n)
+      .write.mode("overwrite").parquet(dst.toString)
+    victims.foreach(p => fs.delete(p, true))
   }
 
   /** S12 cursor advance WITH audit history (scan_raw_txs.py:132-137): the

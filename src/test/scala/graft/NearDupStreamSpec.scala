@@ -53,7 +53,7 @@ class NearDupStreamSpec extends AnyFunSuite {
       "near-copy 3 must drop; 1, 2, 4 must admit exactly once")
 
     // the index holds exactly the admitted signatures
-    val indexed = spark.read.parquet(s"$base/index/sig")
+    val indexed = Pipelines.readNearDupIndex(spark, s"$base/index")
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
     assert(indexed === Seq(1L, 2L, 4L))
   }
@@ -146,7 +146,7 @@ class NearDupStreamSpec extends AnyFunSuite {
 
   test("compaction bounds the index file count without changing verdicts") {
     implicit val sqlCtx = spark.sqlContext
-    def run(compactEvery: Int): (Seq[Long], Int) = {
+    def run(compactEvery: Int): (Seq[Long], Int, Int) = {
       val base = Files.createTempDirectory(s"graft-ndcmp$compactEvery").toString
       val admittedDir = s"$base/admitted"
       val in = MemoryStream[(Long, String)]
@@ -175,23 +175,25 @@ class NearDupStreamSpec extends AnyFunSuite {
       } finally q.stop()
       val admitted = spark.read.parquet(admittedDir)
         .select(col("doc_id")).as[Long].collect().sorted.toSeq
-      val sigFiles = {
-        val dir = new java.io.File(s"$base/index/sig")
-        def walk(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-        walk(dir).count(_.getName.endsWith(".parquet"))
-      }
-      (admitted, sigFiles)
+      val dir = new java.io.File(s"$base/index/sig")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val sigFiles = walk(dir).count(_.getName.endsWith(".parquet"))
+      val runDirs = dir.listFiles().count(f => f.isDirectory &&
+        (f.getName.startsWith("run=") || f.getName.startsWith("crun=")))
+      (admitted, sigFiles, runDirs)
     }
 
-    val (admittedC, filesC) = run(compactEvery = 2)
-    val (admittedU, filesU) = run(compactEvery = 0)
+    val (admittedC, filesC, runsC) = run(compactEvery = 2)
+    val (admittedU, filesU, runsU) = run(compactEvery = 0)
     assert(admittedC === admittedU, "compaction must not change admit verdicts")
     assert(admittedC === (Seq(200L) ++ (0 until 7).map(100L + _)).sorted,
       "every distinct doc admits; first fox admits; all six later fox copies drop")
     assert(filesC < filesU, s"compacted index ($filesC files) must beat uncompacted ($filesU)")
-    // bound: one compacted generation (≤ shuffle partitions files) plus at
-    // most compactEvery appends of ≤ shuffle-partitions files each
+    assert(runsC <= 3 && runsU === 7,
+      s"tiered merge must hold the run count at compactEvery+1 ($runsC vs $runsU)")
+    // bound: a handful of merged tiers (≤ shuffle-partitions files each)
+    // plus at most compactEvery un-merged batch seals
     val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(filesC <= sp * 3, s"file count $filesC not bounded by compaction")
   }
