@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Pipelines
+
+/** Throughput smoke for the streaming near-dup admit gate: feeds the
+  * `documents` table through [[Pipelines.nearDupGate]] in N micro-batches
+  * (both probe modes, fresh index each) and prints one JSON line with
+  * wall-clock and docs/s. The corpus is collected once to feed
+  * MemoryStream — that is the test harness's delivery mechanism, not the
+  * gate's data path (the gate only ever sees per-batch DataFrames).
+  * Usage: runMain graft.tools.GateBench [sfDir] [nBatches]
+  */
+object GateBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val perBatch = math.max(1, docs.length / nBatches)
+
+    def drive(shuffleProbe: Boolean): (Double, Long) = {
+      val base = java.nio.file.Files.createTempDirectory("graft-gatebench").toString
+      val in = MemoryStream[(Long, String)]
+      var admitted = 0L
+      val q = Pipelines.nearDupGate(
+        in.toDF().toDF("doc_id", "text"),
+        s"$base/index", s"$base/ckpt",
+        out => admitted += out.count(),
+        shuffleProbe = shuffleProbe).start()
+      val t0 = System.nanoTime()
+      try {
+        docs.grouped(perBatch).foreach { g =>
+          in.addData(g.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ((System.nanoTime() - t0) / 1e9, admitted)
+    }
+
+    val (tB, aB) = drive(shuffleProbe = false)
+    val (tS, aS) = drive(shuffleProbe = true)
+    val n = docs.length
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // scalastyle:off println
+    println(s"""{"metric":"gate_docs_per_sec","docs":$n,"batches":$nBatches,""" +
+      s""""broadcast":{"sec":${fmt(tB)},"admitted":$aB,"docs_per_sec":${fmt(n / tB)}},""" +
+      s""""shuffle":{"sec":${fmt(tS)},"admitted":$aS,"docs_per_sec":${fmt(n / tS)}},""" +
+      s""""sf":"$sfDir"}""")
+    // scalastyle:on println
+    spark.stop()
+  }
+}
