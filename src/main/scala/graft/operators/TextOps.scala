@@ -916,6 +916,53 @@ object TextOps {
       probeNearDupIndexShuffle(newSig, bandIndex(corpusSig))
     },
 
+    // CROSS-document boilerplate signal (the CCNet-style shared-segment
+    // dedup, distinct from tx_repetition's within-doc rules): per document,
+    // the fraction of its distinct word 8-gram segments that also occur in
+    // at least one OTHER document. Plan shape: distinct (doc, gram-id)
+    // pairs shuffle once on the 60-bit gram id for the df count, join back
+    // on the same key (co-partitioned — no second gram-side exchange), one
+    // per-doc agg; docs too short to segment left-join in with zero. No
+    // all-pairs anywhere; the heaviest key's fan-out equals its corpus
+    // frequency, the same bound as the scan itself.
+    Q(
+      "dd_boilerplate",
+      s"""WITH g AS (
+         |  SELECT DISTINCT doc_id, ${sid60Sql("gram")} AS gid FROM (
+         |    SELECT doc_id, array_to_string(l[CAST(i AS INTEGER):CAST(i+7 AS INTEGER)], ' ') AS gram
+         |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |         unnest(range(1, greatest(len(l)-7,0)+1)) AS t(i))),
+         |df AS (SELECT gid, count(*) AS df FROM g GROUP BY gid),
+         |per AS (SELECT g.doc_id, count(*) AS n_segments,
+         |          sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |        FROM g JOIN df ON df.gid = g.gid GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_segments, 0) AS n_segments,
+         |  coalesce(CAST(per.n_shared AS DOUBLE) / CAST(per.n_segments AS DOUBLE), 0.0) AS shared_frac,
+         |  coalesce(CAST(per.n_shared AS DOUBLE) / CAST(per.n_segments AS DOUBLE), 0.0) >= 0.5 AS boilerplate_heavy
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val grams = docs
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(l) >= 8 THEN transform(sequence(1, size(l)-7), i -> concat_ws(' ', slice(l, i, 8))) ELSE cast(array() as array<string>) END")).as("gram"))
+        .select(col("doc_id"), (sid60(col("gram"))).as("gid"))
+        .distinct()
+      val dfCount = grams.groupBy(col("gid")).agg(count(lit(1)).as("df"))
+      val per = grams.join(dfCount, Seq("gid"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).as("n_shared"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_shared").cast("double") / col("n_segments").cast("double"),
+            lit(0.0)).as("shared_frac"),
+          (coalesce(col("n_shared").cast("double") / col("n_segments").cast("double"),
+            lit(0.0)) >= 0.5).as("boilerplate_heavy"))
+    },
+
     // The MinHash signature again, through the TYPED AGGREGATOR path
     // (graft.functions.MinHashAgg — X5): constant-space sketch buffer with
     // commutative merge, bit-equal to dd_minhash_lsh's wide aggregation;
