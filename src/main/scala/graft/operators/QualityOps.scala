@@ -68,6 +68,40 @@ object QualityOps {
   private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  // ── corpus-selection parameters: quality in integer micro-units (the
+  //    tx_quality composite ∈ [0,1] → qmicro ∈ [0, 1e6], exact on both
+  //    engines since the score is a deterministic IEEE tree and floor×1e6
+  //    is two more exact ops), 4096-micro-unit range buckets for the
+  //    quality-ordered cumsum.
+  private val QMicroMax = 1000000L
+  private val SelBucket = 4096L
+
+  /** (doc_id, source, n_tok, qmicro): the tx_quality composite score in
+    * integer micro-units plus the whitespace token count — the shared
+    * per-document base of the selection operators. Narrow map, no shuffle. */
+  private def qualityDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("l", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("l")).cast(LongType).as("n_tok"),
+        (lit(0.4) * (size(array_distinct(col("l"))).cast(DoubleType) / size(col("l")))
+          + lit(0.4) * (lit(1.0)
+            - expr(s"size(filter(l, t -> array_contains(${graft.operators.TextOps.stopList}, t)))")
+              .cast(DoubleType) / size(col("l")))
+          + lit(0.2) * least(size(col("l")).cast(DoubleType) / 100.0, lit(1.0))).as("quality"))
+      .withColumn("qmicro", floor(col("quality") * 1000000.0).cast(LongType))
+      .drop("quality")
+
+  /** the same base as DuckDB SQL (CTE named `ql`). */
+  private def qualityDocsSql: String =
+    s"""ql AS (
+       |  SELECT doc_id, source, len(l) AS n_tok,
+       |    CAST(floor((0.4*(CAST(len(list_distinct(l)) AS DOUBLE)/len(l))
+       |      + 0.4*(1.0 - CAST(len(list_filter(l, t -> list_contains(${graft.operators.TextOps.stopListSql}, t))) AS DOUBLE)/len(l))
+       |      + 0.2*least(CAST(len(l) AS DOUBLE)/100.0, 1.0))*1000000.0) AS BIGINT) AS qmicro
+       |  FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents))""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // Repetition quality signals (the Gopher-rules family): duplicate-word
@@ -424,6 +458,110 @@ object QualityOps {
           expr(s"(cum - 1) div $PackSeqLen - (cum - n_tok) div $PackSeqLen + 1")
             .as("n_seqs"))
         .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // Corpus-relative quality cutoff — the dynamic-threshold filter a
+    // curation run applies ("keep the top quartile") instead of a hand-tuned
+    // constant. The threshold is an EXACT distributed order statistic: the
+    // k-th smallest quality (k = 3n/4) found from the per-value histogram +
+    // the two-level prefix sum — never a global sort and never a
+    // single-partition window (the histogram has ≤ 1e6+1 distinct
+    // micro-values regardless of corpus size, and only IT is ranked). Exact
+    // rather than approx_percentile because a threshold that differs
+    // per-run would make reruns non-reproducible — the property curation
+    // pipelines need for auditability.
+    Q(
+      "tx_quality_cutoff",
+      s"""WITH $qualityDocsSql,
+         |n AS (SELECT greatest((count(*)*3)//4, 1) AS k FROM ql),
+         |h AS (SELECT qmicro, count(*) AS c FROM ql GROUP BY qmicro),
+         |cum AS (SELECT qmicro, sum(c) OVER (ORDER BY qmicro) AS cm FROM h),
+         |thr AS (SELECT min(qmicro) AS thr FROM cum, n WHERE cm >= n.k)
+         |SELECT ql.doc_id, ql.qmicro, thr.thr AS thr, ql.qmicro >= thr.thr AS keep
+         |FROM ql, thr ORDER BY ql.doc_id""".stripMargin) { (s, d) =>
+      val q = qualityDocs(s, d)
+      val k = q.agg(greatest(expr("(count(*)*3) div 4"), lit(1L)).as("k"))
+      val h = q.groupBy(col("qmicro")).agg(count(lit(1)).as("c"))
+      val off = graft.core.Prefix.exclusiveCumsum(
+        h, Seq.empty, "qmicro", expr("qmicro div 256"), "c")
+      val thr = h.join(broadcast(off), Seq("qmicro"))
+        .withColumn("cm", col("offset") + col("c"))
+        .crossJoin(broadcast(k))
+        .filter(col("cm") >= col("k"))
+        .agg(min(col("qmicro")).as("thr"))
+      q.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("qmicro"), col("thr"),
+          (col("qmicro") >= col("thr")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-budget corpus selection — "take the best documents until the
+    // budget is spent" (here: half the corpus's tokens), the final step of
+    // a curation funnel. Documents are laid out in quality-descending order
+    // (tie-broken by doc_id) and admitted while the running token total
+    // fits. The global ordered cumsum is the same two-pass shape as
+    // tx_chunk_pack: a local window per 4096-micro-unit quality range
+    // bucket + the two-level prefix sum over bucket totals — the order key
+    // is the bucket key, so no partition ever sees more than one quality
+    // band and nothing funnels through a single-partition window. (At
+    // 100 TB, bands can be rebalanced from a quantile sketch if the
+    // quality distribution turns out spiky.)
+    Q(
+      "tx_budget_select",
+      s"""WITH $qualityDocsSql,
+         |b AS (SELECT sum(n_tok)//2 AS budget FROM ql),
+         |c AS (SELECT doc_id, qmicro, n_tok,
+         |        CAST(sum(n_tok) OVER (ORDER BY $QMicroMax - qmicro, doc_id) AS BIGINT) AS cum
+         |      FROM ql)
+         |SELECT c.doc_id, c.qmicro, c.n_tok, c.cum, c.cum <= b.budget AS admitted
+         |FROM c, b ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val base = qualityDocs(s, d)
+        .withColumn("inv", lit(QMicroMax) - col("qmicro"))
+        .withColumn("bkt", expr(s"inv div $SelBucket"))
+      val budget = base.agg(expr("sum(n_tok) div 2").as("budget"))
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("inv"), col("doc_id"))
+      val totals = base.groupBy(col("bkt")).agg(sum(col("n_tok")).as("tot"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(
+        totals, Seq.empty, "bkt", expr("bkt div 256"), "tot")
+      base
+        .withColumn("cum_local", sum(col("n_tok")).over(wLocal))
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("cum", col("offset") + col("cum_local"))
+        .crossJoin(broadcast(budget))
+        .select(col("doc_id"), col("qmicro"), col("n_tok"), col("cum"),
+          (col("cum") <= col("budget")).as("admitted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain-mixture rebalance — the per-source sampling rates that flatten
+    // the corpus toward a uniform mixture (each source capped at T/K of the
+    // token mass), the knob a pretraining mix applies before sampling.
+    // Integer targets (T div K) so the rate arithmetic is the same two
+    // exact casts + one IEEE divide on both engines; two tiny aggregations
+    // (per-source, then the K-row rollup) and one broadcast join — nothing
+    // corpus-sized moves after the first partial-agged groupBy.
+    Q(
+      "tx_domain_mix",
+      s"""WITH $qualityDocsSql,
+         |per AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok
+         |        FROM ql GROUP BY source),
+         |tot AS (SELECT CAST(sum(tok)//count(*) AS BIGINT) AS target FROM per)
+         |SELECT per.source, per.n_docs, per.tok, tot.target,
+         |  least(1.0, CAST(tot.target AS DOUBLE)/CAST(per.tok AS DOUBLE)) AS rate,
+         |  CAST(floor(least(1.0, CAST(tot.target AS DOUBLE)/CAST(per.tok AS DOUBLE))
+         |    * CAST(per.tok AS DOUBLE)) AS BIGINT) AS keep_tokens
+         |FROM per, tot ORDER BY per.source""".stripMargin) { (s, d) =>
+      val per = qualityDocs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+      val tot = per.agg(expr("sum(tok) div count(*)").as("target"))
+      val rate = least(lit(1.0),
+        col("target").cast(DoubleType) / col("tok").cast(DoubleType))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tok"), col("target"),
+          rate.as("rate"),
+          floor(rate * col("tok").cast(DoubleType)).cast(LongType).as("keep_tokens"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -33,9 +33,9 @@ import graft.plans.{RollingHash, RollingMinHashExpr, WinnowExpr}
   */
 object TextOps {
 
-  private val Stop = Seq("the", "a", "of", "to", "and", "in", "is")
-  private def stopList: String = Stop.map(s => s"'$s'").mkString("array(", ",", ")")
-  private def stopListSql: String = Stop.map(s => s"'$s'").mkString("[", ",", "]")
+  private[operators] val Stop = Seq("the", "a", "of", "to", "and", "in", "is")
+  private[operators] def stopList: String = Stop.map(s => s"'$s'").mkString("array(", ",", ")")
+  private[operators] def stopListSql: String = Stop.map(s => s"'$s'").mkString("[", ",", "]")
 
   /** normalized text: lower, trim, collapse whitespace — the canonical form
     * every fingerprint/dedup query keys on. */

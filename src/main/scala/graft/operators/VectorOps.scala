@@ -321,6 +321,81 @@ object VectorOps {
         .orderBy(col("vec_id"), col("i"))
     },
 
+    // Quantized-first-pass top-k — the SQ8 ANN shape: candidates are scored
+    // on int8 codes (the (v·127) div maxabs symmetric quantization of
+    // ss_quant_int8 — at 100 TB the first pass reads ¼ the bytes of the
+    // full-precision corpus and the codes live in memory where the floats
+    // can't), the top 3k per query survive (BoundedTopK — map-side partial,
+    // never a window), and only those ≤3k candidates pay the exact
+    // full-precision rerank. All candidate arithmetic is int64-exact on
+    // both engines, so the approximate pass selects the SAME candidate set
+    // everywhere and the oracle compare is bitwise. Vectors whose
+    // quantization collapses (maxabs = 0) drop on both sides.
+    Q(
+      "ss_topk_quant",
+      s"""$FlatCte,
+         |mx AS (SELECT vec_id, MAX(abs(v)) AS maxabs FROM flat GROUP BY vec_id HAVING MAX(abs(v)) > 0),
+         |f8 AS (SELECT f.vec_id, f.i, (f.v*127)//mx.maxabs AS v8 FROM flat f JOIN mx USING (vec_id)),
+         |n8 AS (SELECT vec_id, sum(v8*v8) AS nrm8 FROM f8 GROUP BY vec_id),
+         |q8 AS (SELECT * FROM f8 WHERE vec_id < 16),
+         |dots8 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v8*c.v8) AS dot8
+         |  FROM q8 q JOIN f8 c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |scored8 AS (
+         |  SELECT q_id, n_id, CAST(dot8 AS DOUBLE)/(sqrt(na.nrm8)*sqrt(nb.nrm8)) AS cos8
+         |  FROM dots8 JOIN n8 na ON na.vec_id = q_id JOIN n8 nb ON nb.vec_id = n_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, n_id) AS r8
+         |    FROM scored8)
+         |  WHERE r8 <= 15),
+         |dots AS (
+         |  SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
+         |  FROM cand c JOIN flat qf ON qf.vec_id = c.q_id
+         |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      // persisted: the quantized corpus feeds three consumers (the int8
+      // candidate pass, the rerank neighbor side, the query side) and is
+      // the SMALL per-vector table, not a pair stream
+      val emb = quantized(s, d, withBucket = false)
+        .withColumn("maxabs", expr("array_max(transform(qarr, x -> abs(x)))"))
+        .filter(col("maxabs") > 0)
+        .withColumn("q8", expr("transform(qarr, x -> (x * 127) div maxabs)"))
+        .withColumn("nrm8", normOf("q8"))
+        .persist()
+      val q = emb.filter(col("vec_id") < 16)
+      val pairs8 = emb.select(col("vec_id").as("n_id"), col("q8"), col("nrm8").as("n8c"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("q_id"),
+          col("q8").as("q_q8"), col("nrm8").as("n8q"))))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          dotOf("q_q8", "q8").as("dot8"), col("n8q"), col("n8c"))
+        .withColumn("cos8", col("dot8").cast(DoubleType)
+          / (sqrt(col("n8q").cast(DoubleType)) * sqrt(col("n8c").cast(DoubleType))))
+      val top15 = udaf(BoundedTopK[Double](15))
+      val cand = pairs8.groupBy(col("q_id"))
+        .agg(top15(-col("cos8"), col("n_id")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t._2").as("n_id"))
+      val scored = cand
+        .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
+          Seq("n_id"))
+        .join(broadcast(q.select(col("vec_id").as("q_id"),
+          col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+        .withColumn("cos", col("dot").cast(DoubleType)
+          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      rankTopK(scored, 5)
+    },
+
     // One Lloyd's (k-means) assignment step — the iteration a semantic-dedup
     // or IVF index build runs: centroid per current label (integer component
     // sums → floor-quantized mean), then every vector re-assigned to its

@@ -126,6 +126,18 @@ class PlanSpec extends AnyFunSuite {
     // kmeans: K centroid arrays broadcast; the N-side never shuffles whole
     val pk = plan("ss_kmeans_assign")
     assert(pk.contains("BroadcastExchange"), "centroids must broadcast")
+    // budget selection: the quality-ordered cumsum windows are partitioned
+    // by the quality range bucket (and Prefix's superbucket) — never global
+    val pb = plan("tx_budget_select")
+    val bw = pb.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(bw.nonEmpty && bw.forall(_.contains("bkt")),
+      s"unpartitioned window in tx_budget_select: $bw")
+    // quality cutoff: only the histogram (≤1e6 distinct values) is ranked,
+    // inside Prefix's superbucket-partitioned windows
+    val pc = plan("tx_quality_cutoff")
+    val cw = pc.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(cw.forall(_.contains("bkt")),
+      s"unpartitioned window in tx_quality_cutoff: $cw")
   }
 
   test("incremental LSH probe never shuffles the corpus for a join") {
@@ -154,8 +166,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("argmin/top-k partial-aggregates — no window over the ranked stream") {
-    Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_kmeans_assign",
-        "w1b_topk_per_key").foreach { n =>
+    Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf", "ss_topk_quant",
+        "ss_kmeans_assign", "w1b_topk_per_key").foreach { n =>
       val p = plan(n)
       assert(!p.contains("Window ["), s"$n still ranks the pair stream with a window")
       assert("(Object)?(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,
