@@ -327,13 +327,18 @@ object TextOps {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  /** pairs sharing >= 2 winnow fingerprints (no ordering — callers add). */
-  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val f = T.documents(s, d)
+  /** exploded (doc_id, fp) winnow fingerprint table — shared by the pair
+    * queries (dd_winnow/dd_cluster) and the containment query. */
+  private def winnowFps(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
       .select(col("doc_id"),
         toCol(WinnowExpr(toExpr(col("text")), 16, 32)).as("fps"))
       .filter(col("fps").isNotNull)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** pairs sharing >= 2 winnow fingerprints (no ordering — callers add). */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val f = winnowFps(s, d)
     val grouped = f.groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= 20)
@@ -660,6 +665,42 @@ object TextOps {
          |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       winnowPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // DIRECTIONAL containment (quote/subset detection — the asymmetric
+    // relation near-dup symmetric Jaccard misses): `inner` is contained in
+    // `outer` when >= 60% of inner's winnow fingerprints also appear in
+    // outer. Same df-capped fingerprint machinery as dd_winnow — each
+    // undirected pair expands to its two directions and divides by the
+    // contained side's own fingerprint count; candidate volume is the
+    // winnow pair graph, never all-pairs. A containment-heavy corpus (news
+    // wire + quoting blogs) dedups on this where plain near-dup keeps both.
+    Q(
+      "dd_containment",
+      s"""WITH $WinnowPairsCte,
+         |cnt AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY doc_id),
+         |dirp AS (
+         |  SELECT doc_a AS inner_id, doc_b AS outer_id, n_shared FROM pairs WHERE n_shared >= 2
+         |  UNION ALL
+         |  SELECT doc_b AS inner_id, doc_a AS outer_id, n_shared FROM pairs WHERE n_shared >= 2)
+         |SELECT p.inner_id, p.outer_id, p.n_shared, c.nfp AS n_fp_inner,
+         |  CAST(p.n_shared AS DOUBLE)/c.nfp AS containment
+         |FROM dirp p JOIN cnt c ON c.doc_id = p.inner_id
+         |WHERE CAST(p.n_shared AS DOUBLE)/c.nfp >= 0.6
+         |ORDER BY inner_id, outer_id""".stripMargin) { (s, d) =>
+      val cnt = winnowFps(s, d)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val pairs = winnowPairs(s, d)
+      val dirp = pairs
+        .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"), col("n_shared"))
+        .union(pairs
+          .select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"), col("n_shared")))
+      dirp.join(cnt.withColumnRenamed("doc_id", "inner_id"), Seq("inner_id"))
+        .withColumn("containment", col("n_shared").cast(DoubleType) / col("nfp"))
+        .filter(col("containment") >= 0.6)
+        .select(col("inner_id"), col("outer_id"), col("n_shared"),
+          col("nfp").as("n_fp_inner"), col("containment"))
+        .orderBy(col("inner_id"), col("outer_id"))
     },
 
     // Near-dup CLUSTERING — the end product of the dedup pipeline: the

@@ -200,6 +200,65 @@ object VectorOps {
         .orderBy(col("vec_a"), col("vec_b"))
     }.copy(bench = true),
 
+    // Incremental EMBEDDING dedup — the vector analog of dd_incremental_lsh:
+    // a new batch (the top-10%-of-vec_id slice) probed against the existing
+    // corpus's sign-bucket index, exact integer-cosine verify at 0.95, one
+    // admit/drop verdict per new vector. The corpus side is joined on its
+    // bucket key with the BATCH side broadcast, so the corpus is never
+    // re-shuffled by the probe (in production the bucketed index is
+    // persisted and the probe streams through it) — the continuous-ingest
+    // shape for embedding-space dedup of a multimodal corpus.
+    Q(
+      "dd_incremental_embed",
+      s"""$FlatCte,
+         |bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
+         |cut AS (SELECT (max(vec_id)*9)//10 AS cutv FROM embeddings),
+         |newv AS (SELECT b.vec_id, b.bucket FROM bkt b, cut WHERE b.vec_id >= cut.cutv),
+         |corp AS (SELECT b.vec_id, b.bucket FROM bkt b, cut WHERE b.vec_id < cut.cutv),
+         |cand AS (SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
+         |         FROM newv n JOIN corp c ON n.bucket = c.bucket),
+         |dots AS (SELECT cd.new_id, cd.corpus_id, sum(a.v*b.v) AS dot
+         |         FROM cand cd JOIN flat a ON a.vec_id = cd.new_id
+         |         JOIN flat b ON b.vec_id = cd.corpus_id AND b.i = a.i
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT new_id, corpus_id,
+         |             CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) AS cos
+         |           FROM dots JOIN norms na ON na.vec_id = new_id
+         |           JOIN norms nb ON nb.vec_id = corpus_id),
+         |per AS (SELECT new_id, count(*) AS n_cand, max(cos) AS best_cos
+         |        FROM scored GROUP BY new_id)
+         |SELECT n.vec_id, coalesce(p.n_cand, 0) AS n_cand,
+         |  coalesce(p.best_cos, 0.0) AS best_cos,
+         |  coalesce(p.best_cos, 0.0) >= 0.95 AS is_dup
+         |FROM newv n LEFT JOIN per p ON p.new_id = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      val emb = quantized(s, d, withBucket = true)
+      val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
+      val flagged = emb.crossJoin(broadcast(cut))
+      val newv = flagged.filter(col("vec_id") >= col("cutv"))
+        .select(col("vec_id").as("new_id"), col("qarr").as("q_qarr"),
+          col("nrm").as("nq"), col("bucket")).persist()
+      val corp = flagged.filter(col("vec_id") < col("cutv"))
+        .select(col("vec_id").as("corpus_id"), col("qarr"),
+          col("nrm").as("nc"), col("bucket"))
+      // the corpus streams through its bucket join unshuffled — the probe
+      // side (new batch) broadcasts, exactly like the LSH band probe
+      val scored = corp.join(broadcast(newv), Seq("bucket"))
+        .select(col("new_id"), col("corpus_id"),
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+        .withColumn("cos", col("dot").cast(DoubleType)
+          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      val per = scored.groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos"))
+      newv.select(col("new_id").as("vec_id"))
+        .join(broadcast(per.withColumnRenamed("new_id", "vec_id")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
+          (coalesce(col("best_cos"), lit(0.0)) >= 0.95).as("is_dup"))
+        .orderBy(col("vec_id"))
+    },
+
     // IVF (inverted-file) top-k — the coarse-quantization ANN scale path:
     // label-mean centroids in exact integer arithmetic (sum div n — both
     // engines truncate toward zero), every vector assigned to its nearest

@@ -61,4 +61,58 @@ class QualityOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tx_quality_cutoff: the threshold IS the 3n/4-th smallest quality and keep matches it") {
+    val rows = run("tx_quality_cutoff")
+      .select("doc_id", "qmicro", "thr", "keep").collect()
+    val qs = rows.map(_.getLong(1)).sorted
+    val k = math.max(qs.length.toLong * 3 / 4, 1L).toInt
+    val expected = qs(k - 1) // k-th smallest, 1-indexed
+    rows.foreach { r =>
+      assert(r.getLong(2) === expected, "threshold is not the exact order statistic")
+      assert(r.getBoolean(3) === (r.getLong(1) >= expected))
+    }
+    // a quartile cut keeps at least a quarter and never everything (the
+    // distribution at sf0.01 is non-degenerate)
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept >= rows.length / 4 && kept < rows.length)
+  }
+
+  test("tx_budget_select: cum is the quality-descending running total and admits fill the budget") {
+    val rows = run("tx_budget_select")
+      .select("doc_id", "qmicro", "n_tok", "cum", "admitted").collect()
+    val total = rows.map(_.getLong(2)).sum
+    val budget = total / 2
+    // replay the running total in (quality desc, doc_id asc) order
+    var cum = 0L
+    rows.sortBy(r => (-r.getLong(1), r.getLong(0))).foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) === cum, s"doc ${r.getLong(0)} cum mismatch")
+      assert(r.getBoolean(4) === (cum <= budget))
+    }
+    val admitted = rows.filter(_.getBoolean(4))
+    assert(admitted.nonEmpty && admitted.length < rows.length)
+    // the admitted set spends the budget tightly: adding the best rejected
+    // document's tokens would overflow it
+    val spent = admitted.map(_.getLong(2)).sum
+    val bestRejectedTok = rows.sortBy(r => (-r.getLong(1), r.getLong(0)))
+      .find(!_.getBoolean(4)).map(_.getLong(2)).getOrElse(0L)
+    assert(spent <= budget && spent + bestRejectedTok > budget)
+  }
+
+  test("tx_domain_mix: rates are in (0,1], uniform target, kept mass never exceeds the target") {
+    val rows = run("tx_domain_mix")
+      .select("source", "n_docs", "tok", "target", "rate", "keep_tokens").collect()
+    val totalTok = rows.map(_.getLong(2)).sum
+    val target = totalTok / rows.length
+    rows.foreach { r =>
+      assert(r.getLong(3) === target, "target is not T div K")
+      val rate = r.getDouble(4)
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getLong(5) <= math.min(r.getLong(2), target),
+        s"${r.getString(0)} keeps more than its cap")
+      // an under-target source is kept whole
+      if (r.getLong(2) <= target) assert(rate === 1.0 && r.getLong(5) === r.getLong(2))
+    }
+  }
 }
