@@ -72,6 +72,66 @@ object VectorOps {
     else base
   }
 
+  // ── reusable embedding dedup-index API (dd_incremental_embed;
+  //    streaming: Pipelines.embedDupGate) — the vector mirror of TextOps'
+  //    minhashSignatures / probeNearDupIndex ──
+
+  /** `(vec_id, qarr, nrm, bucket)` index rows for an arbitrary
+    * `(vec_id, embedding)` frame — the persisted layout of the embedding
+    * dedup index AND the probe-side preparation (quantized integer
+    * components, integer squared norm, 8-bit sign bucket). Narrow map, no
+    * shuffle, total: every vector gets exactly one row. */
+  def embeddingIndex(df: DataFrame): DataFrame =
+    df.withColumn("qarr", quantArr("embedding"))
+      .withColumn("nrm", normOf("qarr"))
+      .withColumn("bucket", signBucket("embedding").cast(LongType))
+      .select(col("vec_id"), col("qarr"), col("nrm"), col("bucket"))
+
+  /** probe a persisted embedding index with a new batch → one verdict row
+    * per new vector (vec_id, n_cand, best_cos, is_dup at `threshold`).
+    * Both sides are [[embeddingIndex]] layouts. The corpus streams through
+    * its bucket join UNSHUFFLED — the batch side broadcasts (band-probe
+    * shape); candidates are exact-integer-cosine verified in-line. */
+  def probeEmbedIndex(newIdx: DataFrame, corpusIdx: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val nv = newIdx.select(col("vec_id").as("new_id"), col("qarr").as("q_qarr"),
+      col("nrm").as("nq"), col("bucket"))
+    val scored = corpusIdx
+      .select(col("vec_id").as("corpus_id"), col("qarr"), col("nrm").as("nc"),
+        col("bucket"))
+      .join(broadcast(nv), Seq("bucket"))
+      .select(col("new_id"), col("corpus_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", col("dot").cast(DoubleType)
+        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+    val per = scored.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos"))
+    newIdx.select(col("vec_id"))
+      .join(broadcast(per.withColumnRenamed("new_id", "vec_id")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
+        (coalesce(col("best_cos"), lit(0.0)) >= threshold).as("is_dup"))
+  }
+
+  /** vec_ids that are a near-dup (cos >= threshold) of a LOWER-id vector in
+    * the SAME [[embeddingIndex]] frame — first-wins intra-batch admission,
+    * mirroring TextOps.intraBatchNearDups. Bucket self-join, batch-sized. */
+  def intraBatchEmbedDups(idx: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val a = idx.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
+      col("nrm").as("na"), col("bucket"))
+    val b = idx.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b"),
+        (toCol(IntDotExpr(toExpr(col("qa")), toExpr(col("qb")))).cast(DoubleType)
+          / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+  }
+
   /** per-query top-k as a bounded aggregation (graft.functions.BoundedTopK):
     * input (−cos, n_id) so ascending order = cos desc, n_id asc; the map
     * side partial-aggregates each partition to ≤k entries before the
@@ -232,31 +292,17 @@ object VectorOps {
          |  coalesce(p.best_cos, 0.0) >= 0.95 AS is_dup
          |FROM newv n LEFT JOIN per p ON p.new_id = n.vec_id
          |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      // the reusable index/probe API (embeddingIndex / probeEmbedIndex) —
+      // the same two calls a production refresh or the streaming
+      // embedDupGate runs; the corpus/batch split is the in-query cut
       val emb = quantized(s, d, withBucket = true)
+        .select(col("vec_id"), col("qarr"), col("nrm"), col("bucket"))
       val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
       val flagged = emb.crossJoin(broadcast(cut))
-      val newv = flagged.filter(col("vec_id") >= col("cutv"))
-        .select(col("vec_id").as("new_id"), col("qarr").as("q_qarr"),
-          col("nrm").as("nq"), col("bucket")).persist()
-      val corp = flagged.filter(col("vec_id") < col("cutv"))
-        .select(col("vec_id").as("corpus_id"), col("qarr"),
-          col("nrm").as("nc"), col("bucket"))
-      // the corpus streams through its bucket join unshuffled — the probe
-      // side (new batch) broadcasts, exactly like the LSH band probe
-      val scored = corp.join(broadcast(newv), Seq("bucket"))
-        .select(col("new_id"), col("corpus_id"),
-          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-        .withColumn("cos", col("dot").cast(DoubleType)
-          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      val per = scored.groupBy(col("new_id"))
-        .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos"))
-      newv.select(col("new_id").as("vec_id"))
-        .join(broadcast(per.withColumnRenamed("new_id", "vec_id")), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
-          (coalesce(col("best_cos"), lit(0.0)) >= 0.95).as("is_dup"))
-        .orderBy(col("vec_id"))
+      val newIdx = flagged.filter(col("vec_id") >= col("cutv"))
+        .drop("cutv").persist()
+      val corpIdx = flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
+      probeEmbedIndex(newIdx, corpIdx).orderBy(col("vec_id"))
     },
 
     // IVF (inverted-file) top-k — the coarse-quantization ANN scale path:

@@ -300,14 +300,15 @@ object Pipelines {
   }
 
   /** size-tiered merge: when more than `k` complete runs exist, merge the
-    * `k` smallest into the next `crun=` (doc_id-dedup'd — signature rows
-    * are a function of doc_id, so this is exact and also heals duplicates
-    * left by a crash between a previous merge's `_SUCCESS` and its input
+    * `k` smallest into the next `crun=` (`idCol`-dedup'd — index rows are a
+    * function of the id, so this is exact and also heals duplicates left
+    * by a crash between a previous merge's `_SUCCESS` and its input
     * deletes), then delete the inputs strictly after the new `_SUCCESS`.
     * Merge work is bounded by the small tier; the whole index is never
     * rewritten in one job, and the run count stays ≤ k+1. */
   private def mergeSmallRuns(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, base: Path, k: Int): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, base: Path, k: Int,
+      idCol: String = "doc_id"): Unit = {
     val runs = completeRuns(fs, base)
     if (runs.size <= k) return
     val victims = runs
@@ -320,11 +321,74 @@ object Pipelines {
     val dst = new Path(base, f"crun=$nextId%012d")
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     spark.read.parquet(victims.map(_.toString): _*)
-      .dropDuplicates("doc_id")
+      .dropDuplicates(idCol)
       .coalesce(n)
       .write.mode("overwrite").parquet(dst.toString)
     victims.foreach(p => fs.delete(p, true))
   }
+
+  /** Streaming EMBEDDING dedup admit gate — the vector mirror of
+    * [[nearDupGate]], over the same size-tiered run index machinery: every
+    * micro-batch of `(vec_id, embedding)` rows is quantized into the
+    * (qarr, nrm, bucket) index layout (VectorOps.embeddingIndex — total,
+    * one row per vector), probed against the persisted index
+    * (VectorOps.probeEmbedIndex — corpus streams through its bucket join
+    * unshuffled, batch side broadcasts, exact integer-cosine verify at
+    * `threshold`), admitted vectors flow to `out`, and the admitted index
+    * rows seal as this batch's `run=`.
+    *
+    * Same crash/replay story as the text gate: the admit set is STAGED to
+    * disk before any side effect; runs are named by batchId so a replayed
+    * batch whose run is already sealed writes nothing; and replayed
+    * vectors are dropped BOTH by cosine self-match and by an explicit
+    * id-level guard (index ids semi-joined against the broadcast batch id
+    * set) — the id guard also catches an upstream retry that re-sends an
+    * already-admitted vec_id with a perturbed payload, which a pure
+    * cosine probe could otherwise double-admit. `intraBatch = true` adds
+    * the first-wins within-batch pass (VectorOps.intraBatchEmbedDups).
+    * Compaction: [[mergeSmallRuns]] keyed by vec_id, run count ≤
+    * compactEvery+1, never a whole-index rewrite. */
+  def embedDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
+      out: DataFrame => Unit, threshold: Double = 0.95,
+      intraBatch: Boolean = false,
+      compactEvery: Int = CompactEvery): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.VectorOps
+        val spark = batch.sparkSession
+        val sigBase = new Path(s"$indexDir/sig")
+        val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val runs = completeRuns(fs, sigBase)
+        val vecs = batch.toDF().persist()
+        val newIdx = VectorOps.embeddingIndex(vecs).persist()
+        val indexDropped =
+          if (runs.nonEmpty) {
+            val idx = spark.read.parquet(runs.map(_.toString): _*)
+            val cosDropped = VectorOps.probeEmbedIndex(newIdx, idx, threshold)
+              .filter(col("is_dup")).select(col("vec_id"))
+            val replayed = idx.select(col("vec_id"))
+              .join(broadcast(newIdx.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+            cosDropped.union(replayed)
+          } else newIdx.select(col("vec_id")).limit(0)
+        val dropped =
+          if (intraBatch)
+            indexDropped.union(VectorOps.intraBatchEmbedDups(newIdx, threshold)).distinct()
+          else indexDropped.distinct()
+        val admittedIds = vecs.select(col("vec_id")).distinct()
+          .join(dropped, Seq("vec_id"), "left_anti")
+        val staging = s"$indexDir/staging"
+        newIdx.join(admittedIds, Seq("vec_id"))
+          .write.mode("overwrite").parquet(staging)
+        val staged = spark.read.parquet(staging)
+        out(vecs.join(staged.select(col("vec_id")), Seq("vec_id")))
+        val runDir = new Path(sigBase, f"run=$batchId%012d")
+        if (!fs.exists(new Path(runDir, "_SUCCESS")))
+          staged.write.mode("overwrite").parquet(runDir.toString)
+        if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery, "vec_id")
+        newIdx.unpersist(); vecs.unpersist()
+        ()
+      }
 
   /** S12 cursor advance WITH audit history (scan_raw_txs.py:132-137): the
     * reference upserts the single `moc_indexer` cursor doc and keeps an

@@ -28,6 +28,17 @@ object Replicate {
           lit(s" zr$i wq"), pmod(col("doc_id"), lit(13L)).cast("string")))
     }.reduce(_ unionByName _)
     out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // embeddings: vec_id-shifted copies with the FIRST component nudged per
+    // replica — replicas stay near- (not exact) duplicates in cosine, so
+    // the embedding dedup candidate graph grows with the factor too
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    val vshift = e.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val eout = (0 until n).map { i =>
+      e.withColumn("vec_id", col("vec_id") + lit(i.toLong * vshift))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> IF(j = 0, x + cast(${i * 5e-4} as float), x))"))
+    }.reduce(_ unionByName _)
+    eout.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     spark.stop()
   }
 }
