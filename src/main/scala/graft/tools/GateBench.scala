@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.Pipelines
 
-/** Throughput smoke for the streaming near-dup admit gate: feeds the
-  * `documents` table through [[Pipelines.nearDupGate]] in N micro-batches
-  * (both probe modes, fresh index each) and prints one JSON line with
-  * wall-clock and docs/s. The corpus is collected once to feed
+/** Throughput smoke for the streaming admit gates: feeds the `documents`
+  * table through [[Pipelines.nearDupGate]] (both probe modes) and the
+  * `embeddings` table through [[Pipelines.embedDupGate]] in N
+  * micro-batches (fresh index each) and prints one JSON line with
+  * wall-clock and rows/s per mode. The corpus is collected once to feed
   * MemoryStream — that is the test harness's delivery mechanism, not the
   * gate's data path (the gate only ever sees per-batch DataFrames).
   * Usage: runMain graft.tools.GateBench [sfDir] [nBatches]
@@ -52,14 +53,39 @@ object GateBench {
       ((System.nanoTime() - t0) / 1e9, admitted)
     }
 
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val perVBatch = math.max(1, vecs.length / nBatches)
+
+    def driveEmbed(): (Double, Long) = {
+      val base = java.nio.file.Files.createTempDirectory("graft-egatebench").toString
+      val in = MemoryStream[(Long, Seq[Float])]
+      var admitted = 0L
+      val q = Pipelines.embedDupGate(
+        in.toDF().toDF("vec_id", "embedding"),
+        s"$base/index", s"$base/ckpt",
+        out => admitted += out.count()).start()
+      val t0 = System.nanoTime()
+      try {
+        vecs.grouped(perVBatch).foreach { g =>
+          in.addData(g.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ((System.nanoTime() - t0) / 1e9, admitted)
+    }
+
     val (tB, aB) = drive(shuffleProbe = false)
     val (tS, aS) = drive(shuffleProbe = true)
+    val (tE, aE) = driveEmbed()
     val n = docs.length
+    val nv = vecs.length
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // scalastyle:off println
     println(s"""{"metric":"gate_docs_per_sec","docs":$n,"batches":$nBatches,""" +
       s""""broadcast":{"sec":${fmt(tB)},"admitted":$aB,"docs_per_sec":${fmt(n / tB)}},""" +
       s""""shuffle":{"sec":${fmt(tS)},"admitted":$aS,"docs_per_sec":${fmt(n / tS)}},""" +
+      s""""embed":{"sec":${fmt(tE)},"vecs":$nv,"admitted":$aE,"vecs_per_sec":${fmt(nv / tE)}},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
