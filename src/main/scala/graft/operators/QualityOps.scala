@@ -76,30 +76,23 @@ object QualityOps {
   private val QMicroMax = 1000000L
   private val SelBucket = 4096L
 
-  /** (doc_id, source, n_tok, qmicro): the tx_quality composite score in
-    * integer micro-units plus the whitespace token count — the shared
-    * per-document base of the selection operators. Narrow map, no shuffle. */
+  /** (doc_id, source, n_tok, qmicro): the tx_quality composite score
+    * (TextOps.qualityScore — the ONE shared definition) in integer
+    * micro-units plus the whitespace token count — the shared per-document
+    * base of the selection operators. Narrow map, no shuffle. */
   private def qualityDocs(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .withColumn("l", split(col("text"), " "))
       .select(
         col("doc_id"), col("source"),
         size(col("l")).cast(LongType).as("n_tok"),
-        (lit(0.4) * (size(array_distinct(col("l"))).cast(DoubleType) / size(col("l")))
-          + lit(0.4) * (lit(1.0)
-            - expr(s"size(filter(l, t -> array_contains(${graft.operators.TextOps.stopList}, t)))")
-              .cast(DoubleType) / size(col("l")))
-          + lit(0.2) * least(size(col("l")).cast(DoubleType) / 100.0, lit(1.0))).as("quality"))
-      .withColumn("qmicro", floor(col("quality") * 1000000.0).cast(LongType))
-      .drop("quality")
+        floor(TextOps.qualityScore("l") * 1000000.0).cast(LongType).as("qmicro"))
 
   /** the same base as DuckDB SQL (CTE named `ql`). */
   private def qualityDocsSql: String =
     s"""ql AS (
        |  SELECT doc_id, source, len(l) AS n_tok,
-       |    CAST(floor((0.4*(CAST(len(list_distinct(l)) AS DOUBLE)/len(l))
-       |      + 0.4*(1.0 - CAST(len(list_filter(l, t -> list_contains(${graft.operators.TextOps.stopListSql}, t))) AS DOUBLE)/len(l))
-       |      + 0.2*least(CAST(len(l) AS DOUBLE)/100.0, 1.0))*1000000.0) AS BIGINT) AS qmicro
+       |    CAST(floor((${TextOps.qualityScoreSql("l")})*1000000.0) AS BIGINT) AS qmicro
        |  FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents))""".stripMargin
 
   def queries: Seq[Q] = Seq(

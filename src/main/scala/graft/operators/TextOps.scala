@@ -37,6 +37,24 @@ object TextOps {
   private[operators] def stopList: String = Stop.map(s => s"'$s'").mkString("array(", ",", ")")
   private[operators] def stopListSql: String = Stop.map(s => s"'$s'").mkString("[", ",", "]")
 
+  /** the composite quality score — ONE definition (per engine) shared by
+    * tx_quality, tx_curation's quality gate, and QualityOps' selection
+    * operators, so the weights/stoplist can never drift between them. The
+    * argument is the space-split token-array column name; the IEEE
+    * expression tree is identical on both engines (exact compare-safe). */
+  private[operators] def qualityScore(l: String): Column =
+    lit(0.4) * (size(array_distinct(col(l))).cast(DoubleType) / size(col(l))) +
+      lit(0.4) * (lit(1.0) -
+        expr(s"size(filter($l, t -> array_contains($stopList, t)))").cast(DoubleType)
+          / size(col(l))) +
+      lit(0.2) * least(size(col(l)).cast(DoubleType) / 100.0, lit(1.0))
+
+  /** the same score as DuckDB SQL over token-list expression `l`. */
+  private[operators] def qualityScoreSql(l: String): String =
+    s"0.4*(CAST(len(list_distinct($l)) AS DOUBLE)/len($l)) " +
+      s"+ 0.4*(1.0 - CAST(len(list_filter($l, t -> list_contains($stopListSql, t))) AS DOUBLE)/len($l)) " +
+      s"+ 0.2*least(CAST(len($l) AS DOUBLE)/100.0, 1.0)"
+
   /** normalized text: lower, trim, collapse whitespace — the canonical form
     * every fingerprint/dedup query keys on. */
   private def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -483,16 +501,13 @@ object TextOps {
     // → exact compare. One narrow map, codegen'd (higher-order functions).
     Q(
       "tx_quality",
-      s"""SELECT doc_id, n_tokens,
-         |  stop_ratio, uniq_ratio, mean_tok_len,
-         |  0.4*uniq_ratio + 0.4*(1.0-stop_ratio) + 0.2*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) AS quality
-         |FROM (
-         |  SELECT doc_id,
-         |    len(l) AS n_tokens,
-         |    CAST(len(list_filter(l, t -> list_contains($stopListSql, t))) AS DOUBLE)/len(l) AS stop_ratio,
-         |    CAST(len(list_distinct(l)) AS DOUBLE)/len(l) AS uniq_ratio,
-         |    CAST(length(text)-(len(l)-1) AS DOUBLE)/len(l) AS mean_tok_len
-         |  FROM (SELECT doc_id, text, string_split(text,' ') AS l FROM documents))
+      s"""SELECT doc_id,
+         |  len(l) AS n_tokens,
+         |  CAST(len(list_filter(l, t -> list_contains($stopListSql, t))) AS DOUBLE)/len(l) AS stop_ratio,
+         |  CAST(len(list_distinct(l)) AS DOUBLE)/len(l) AS uniq_ratio,
+         |  CAST(length(text)-(len(l)-1) AS DOUBLE)/len(l) AS mean_tok_len,
+         |  ${qualityScoreSql("l")} AS quality
+         |FROM (SELECT doc_id, text, string_split(text,' ') AS l FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       T.documents(s, d)
         .withColumn("l", split(col("text"), " "))
@@ -503,10 +518,8 @@ object TextOps {
             / size(col("l"))).as("stop_ratio"),
           (size(array_distinct(col("l"))).cast(DoubleType) / size(col("l"))).as("uniq_ratio"),
           ((length(col("text")) - (size(col("l")) - 1)).cast(DoubleType) / size(col("l")))
-            .as("mean_tok_len"))
-        .withColumn("quality",
-          lit(0.4) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio"))
-            + lit(0.2) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)))
+            .as("mean_tok_len"),
+          qualityScore("l").as("quality"))
         .orderBy(col("doc_id"))
     },
 
@@ -749,10 +762,7 @@ object TextOps {
          |    ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1),
          |quality AS (
-         |  SELECT doc_id,
-         |    0.4*(CAST(len(list_distinct(l)) AS DOUBLE)/len(l))
-         |    + 0.4*(1.0 - CAST(len(list_filter(l, t -> list_contains($stopListSql, t))) AS DOUBLE)/len(l))
-         |    + 0.2*least(CAST(len(l) AS DOUBLE)/100.0, 1.0) AS q
+         |  SELECT doc_id, ${qualityScoreSql("l")} AS q
          |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
          |SELECT d.lang,
          |  COUNT(*) AS n_in,
@@ -774,12 +784,7 @@ object TextOps {
         .select(col("doc_id")).withColumn("is_exact_keep", lit(true))
       val quality = docs
         .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"),
-          (lit(0.4) * (size(array_distinct(col("l"))).cast(DoubleType) / size(col("l")))
-            + lit(0.4) * (lit(1.0) -
-              expr(s"size(filter(l, t -> array_contains($stopList, t)))").cast(DoubleType)
-                / size(col("l")))
-            + lit(0.2) * least(size(col("l")).cast(DoubleType) / 100.0, lit(1.0))).as("q"))
+        .select(col("doc_id"), qualityScore("l").as("q"))
       docs.select(col("doc_id"), col("lang"))
         .join(exactKeep, Seq("doc_id"), "left")
         .join(dropped, Seq("doc_id"), "left")

@@ -203,7 +203,12 @@ object Pipelines {
     * Replay semantics: a re-delivered batch finds its own signatures
     * already in the index, so every replayed document is flagged as a
     * near-dup of itself and admits nothing twice — the index doubles as
-    * the effectively-once guard for the admit stream. (A crash between
+    * the effectively-once guard for the admit stream. An explicit id-level
+    * guard (index doc_ids semi-joined against the broadcast batch id set)
+    * additionally drops a retried doc_id whose TEXT changed between
+    * deliveries — that row would self-match below the jaccard threshold
+    * and double-admit on the signature check alone. Duplicate doc_ids
+    * inside one micro-batch collapse to a single row before signing. (A crash between
     * `out` and the index append can re-emit one batch downstream; the
     * transactional fix is the same Delta/document-store swap described on
     * [[upsertBatch]].) The admitted signatures are STAGED to
@@ -224,7 +229,12 @@ object Pipelines {
         val sigBase = new Path(s"$indexDir/sig")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val runs = completeRuns(fs, sigBase)
-        val docs = batch.toDF().persist()
+        // per-id dedup FIRST: an at-least-once source can deliver the same
+        // doc_id twice in ONE micro-batch — without this the admit join
+        // would emit it twice and the sealed run would hold two signature
+        // rows for one id (breaking compaction's rows-are-a-function-of-id
+        // dedup)
+        val docs = batch.toDF().dropDuplicates(Seq("doc_id")).persist()
         val newSig = TextOps.minhashSignaturesTotal(docs).persist()
         val indexDropped =
           if (runs.nonEmpty) {
@@ -234,7 +244,14 @@ object Pipelines {
                 TextOps.probeNearDupIndexShuffle(newSig, TextOps.bandIndex(sigIdx))
               else
                 TextOps.probeNearDupIndex(newSig, sigIdx, TextOps.bandTable(sigIdx))
-            verdicts.filter(col("is_neardup")).select(col("doc_id"))
+            // id-level replay guard alongside the signature self-match: an
+            // upstream retry that re-sends an ADMITTED doc_id with changed
+            // text would self-match below the jaccard threshold and admit
+            // twice — ids already in the index always drop (and the index
+            // can never hold two signature rows for one id)
+            val replayed = sigIdx.select(col("doc_id"))
+              .join(broadcast(newSig.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+            verdicts.filter(col("is_neardup")).select(col("doc_id")).union(replayed)
           } else newSig.select(col("doc_id")).limit(0)
         val dropped =
           if (intraBatch) indexDropped.union(TextOps.intraBatchNearDups(newSig)).distinct()
@@ -360,7 +377,10 @@ object Pipelines {
         val sigBase = new Path(s"$indexDir/sig")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val runs = completeRuns(fs, sigBase)
-        val vecs = batch.toDF().persist()
+        // per-id dedup FIRST — embeddingIndex has no per-id aggregation, so
+        // a doc_id delivered twice in one micro-batch would otherwise
+        // produce two index rows and a multiplied admit join downstream
+        val vecs = batch.toDF().dropDuplicates(Seq("vec_id")).persist()
         val newIdx = VectorOps.embeddingIndex(vecs).persist()
         val indexDropped =
           if (runs.nonEmpty) {

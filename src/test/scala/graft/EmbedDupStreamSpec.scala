@@ -83,6 +83,30 @@ class EmbedDupStreamSpec extends AnyFunSuite {
     assert(admitted === Seq(1L), "retried id 1 must admit exactly once")
   }
 
+  test("a vec_id delivered twice in ONE micro-batch admits one row, not an amplified join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-eddup").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Pipelines.embedDupGate(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir)).start()
+    try {
+      in.addData((1L, e1), (1L, e1), (2L, e2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(1L, 2L), "duplicate delivery must collapse to one admit row")
+    // and the sealed index holds exactly one row per id
+    val indexed = Pipelines.readNearDupIndex(spark, s"$base/index")
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(indexed === Seq(1L, 2L))
+  }
+
   test("intra-batch pass keeps exactly one of two near-dups arriving together") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-edintra").toString

@@ -116,6 +116,56 @@ class NearDupStreamSpec extends AnyFunSuite {
       "lower-id near-dup 10 wins; 11 drops in its own batch; 12 unrelated admits")
   }
 
+  test("id guard: a retried doc_id with CHANGED text does not double-admit") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ndretry").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir)).start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      q.processAllAvailable()
+      // upstream retry re-sends id 1 with COMPLETELY different text: the
+      // signature self-match is below threshold — the id guard must drop it
+      in.addData((1L, "colorless green ideas sleep furiously under a bright winter moon"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(admitted === Seq(1L), "retried id 1 must admit exactly once")
+    val indexed = Pipelines.readNearDupIndex(spark, s"$base/index")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(indexed === Seq(1L), "the index must hold one signature row for id 1")
+  }
+
+  test("a doc_id delivered twice in ONE micro-batch admits one row") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-nddup").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir)).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "colorless green ideas sleep furiously under a bright winter moon"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(1L, 2L), "duplicate delivery must collapse to one admit row")
+  }
+
   test("short documents admit (total signatures) and replays still self-dedup") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-ndshort").toString
