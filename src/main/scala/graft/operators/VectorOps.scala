@@ -54,6 +54,11 @@ object VectorOps {
   private def dotOf(a: String, b: String): Column =
     toCol(IntDotExpr(toExpr(expr(a)), toExpr(expr(b))))
 
+  /** exact-integer cosine: dot/(√na·√nb) — the ONE deterministic 3-op IEEE
+    * tree every scorer in this file shares (and every oracle replicates). */
+  private def cosFrom(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
   /** 8-bit sign-bucket: bit i set iff embedding[i] >= 0 (i = 1..8,
     * 1-indexed) — an axis-aligned random-hyperplane LSH code. */
   private def signBucket(emb: String): Column =
@@ -102,8 +107,7 @@ object VectorOps {
       .join(broadcast(nv), Seq("bucket"))
       .select(col("new_id"), col("corpus_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-      .withColumn("cos", col("dot").cast(DoubleType)
-        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     val per = scored.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos"))
     newIdx.select(col("vec_id"))
@@ -125,9 +129,7 @@ object VectorOps {
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_b"),
-        (toCol(IntDotExpr(toExpr(col("qa")), toExpr(col("qb")))).cast(DoubleType)
-          / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
-          .as("cos"))
+        cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_b").as("vec_id")).distinct()
   }
@@ -170,8 +172,7 @@ object VectorOps {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-      .withColumn("cos", col("dot").cast(DoubleType)
-        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     rankTopK(pairs, 5)
   }
 
@@ -188,8 +189,7 @@ object VectorOps {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-      .withColumn("cos", col("dot").cast(DoubleType)
-        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     rankTopK(pairs, 5)
   }
 
@@ -230,8 +230,7 @@ object VectorOps {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         dotOf("q_q8", "q8").as("dot8"), col("n8q"), col("n8c"))
-      .withColumn("cos8", col("dot8").cast(DoubleType)
-        / (sqrt(col("n8q").cast(DoubleType)) * sqrt(col("n8c").cast(DoubleType))))
+      .withColumn("cos8", cosFrom(col("dot8"), col("n8q"), col("n8c")))
     val top15 = udaf(BoundedTopK[Double](15))
     val cand = pairs8.groupBy(col("q_id"))
       .agg(top15(-col("cos8"), col("n_id")).as("top"))
@@ -244,8 +243,7 @@ object VectorOps {
         col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-      .withColumn("cos", col("dot").cast(DoubleType)
-        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     rankTopK(scored, 5)
   }
 
@@ -267,21 +265,25 @@ object VectorOps {
           "acc + if(element_at(embedding, t*8 + i) >= cast(0 as float), " +
           "cast(pow(2, i-1) as int), 0))"))
       .drop("embedding")
+    // candidate ids only through the dedup shuffle — the 64-element query
+    // array rejoins BROADCAST afterwards (the topkQuant shape), instead of
+    // riding every candidate row across the wire
     val q = codes.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
-        col("nrm").as("nq"), col("t"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
     val cand = codes.select(col("vec_id").as("n_id"), col("t"), col("bucket"))
       .join(q, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_qarr"), col("nq"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates(Seq("q_id", "n_id"))
+    val qSide = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"), col("nrm").as("nq"))
     val pairs = cand
       .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
         Seq("n_id"))
+      .join(broadcast(qSide), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-      .withColumn("cos", col("dot").cast(DoubleType)
-        / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     rankTopK(pairs, 5)
   }
 
@@ -475,8 +477,7 @@ object VectorOps {
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           dotOf("qa", "qb").as("dot"), col("na"), col("nb"))
-        .withColumn("cos", col("dot").cast(DoubleType)
-          / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+        .withColumn("cos", cosFrom(col("dot"), col("na"), col("nb")))
         .filter(col("cos") >= 0.95)
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -598,8 +599,7 @@ object VectorOps {
       val scored = cand.join(qSide, Seq("q_id")).join(nSide, Seq("n_id"))
         .select(col("q_id"), col("n_id"),
           dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-        .withColumn("cos", col("dot").cast(DoubleType)
-          / (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType))))
+        .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
       rankTopK(scored, 5)
     },
 

@@ -268,12 +268,7 @@ object Pipelines {
           .write.mode("overwrite").parquet(staging)
         val staged = spark.read.parquet(staging)
         out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
-        // seal this batch's run — named by batchId, so a replayed batch
-        // whose run already exists (complete) writes nothing instead of
-        // appending duplicates
-        val runDir = new Path(sigBase, f"run=$batchId%012d")
-        if (!fs.exists(new Path(runDir, "_SUCCESS")))
-          staged.write.mode("overwrite").parquet(runDir.toString)
+        sealRun(fs, sigBase, batchId, staged)
         if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery)
         newSig.unpersist(); docs.unpersist()
         ()
@@ -295,6 +290,17 @@ object Pipelines {
 
   private def runNo(p: Path): Long =
     p.getName.dropWhile(c => !c.isDigit).toLong
+
+  /** seal one batch's admitted index rows as `run=<batchId>` — named by
+    * batchId, so a replayed batch whose run already exists (complete)
+    * writes nothing instead of appending duplicates. Shared by both admit
+    * gates. */
+  private def sealRun(fs: org.apache.hadoop.fs.FileSystem, sigBase: Path,
+      batchId: Long, staged: DataFrame): Unit = {
+    val runDir = new Path(sigBase, f"run=$batchId%012d")
+    if (!fs.exists(new Path(runDir, "_SUCCESS")))
+      staged.write.mode("overwrite").parquet(runDir.toString)
+  }
 
   /** the COMPLETE (`_SUCCESS`-marked) runs of a tiered index directory —
     * per-batch `run=` seals plus merged `crun=` tiers. */
@@ -402,9 +408,7 @@ object Pipelines {
           .write.mode("overwrite").parquet(staging)
         val staged = spark.read.parquet(staging)
         out(vecs.join(staged.select(col("vec_id")), Seq("vec_id")))
-        val runDir = new Path(sigBase, f"run=$batchId%012d")
-        if (!fs.exists(new Path(runDir, "_SUCCESS")))
-          staged.write.mode("overwrite").parquet(runDir.toString)
+        sealRun(fs, sigBase, batchId, staged)
         if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery, "vec_id")
         newIdx.unpersist(); vecs.unpersist()
         ()
