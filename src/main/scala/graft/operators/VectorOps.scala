@@ -37,6 +37,14 @@ import graft.plans.IntDotExpr
   * (TakeOrdered-style agg, k·|Q| rows). The LSH variants shuffle once on an
   * 8-bit sign-bucket key (2^8 buckets here; at scale r·b hyperplane codes
   * with multiple tables), bounding candidate fan-out per bucket.
+  *
+  * Deliberately NOT a Catalyst rewrite rule: a `cos(a,b) >= θ` join cannot
+  * be soundly bucketized — no hyperplane/bucket predicate is implied by the
+  * cosine threshold (ss_recall measures exactly how much the bucket
+  * restriction loses), so an automatic Join→LSH rule would silently change
+  * results. Approximation stays an explicit operator choice
+  * (brute/lsh/lsh4/ivf/quant), unlike the SEMANTICS-PRESERVING rewrites
+  * that do run as rules (the as-of join, the block-range strategy).
   */
 object VectorOps {
 
