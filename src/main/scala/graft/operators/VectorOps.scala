@@ -63,9 +63,20 @@ object VectorOps {
     toCol(IntDotExpr(toExpr(expr(a)), toExpr(expr(b))))
 
   /** exact-integer cosine: dot/(√na·√nb) — the ONE deterministic 3-op IEEE
-    * tree every scorer in this file shares (and every oracle replicates). */
-  private def cosFrom(dot: Column, na: Column, nb: Column): Column =
-    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+    * tree every scorer in this file shares (and every oracle replicates).
+    * TOTAL over zero-norm vectors: cosine is undefined there, and under
+    * ANSI mode the raw division THROWS (a zero embedding reaching
+    * probeEmbedIndex would kill a whole streaming batch —
+    * EmbedDupStreamSpec pins it). Convention: zero-vs-zero scores 1.0 (an
+    * empty embedding duplicates an empty embedding, mirroring how
+    * minhashSignaturesTotal makes identical short docs collide), zero-vs-
+    * nonzero scores 0.0. The guard never fires on the oracle-paired data
+    * (no zero vectors), so oracle trees are unchanged where they compare. */
+  private[operators] def cosFrom(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0,
+      when(na === 0 && nb === 0, lit(1.0)).otherwise(lit(0.0)))
+      .otherwise(dot.cast(DoubleType)
+        / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))))
 
   /** 8-bit sign-bucket: bit i set iff embedding[i] >= 0 (i = 1..8,
     * 1-indexed) — an axis-aligned random-hyperplane LSH code. */

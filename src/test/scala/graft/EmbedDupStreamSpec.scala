@@ -129,6 +129,34 @@ class EmbedDupStreamSpec extends AnyFunSuite {
       "first-wins: lower id 1 admits, near-dup 2 drops, orthogonal 3 admits")
   }
 
+  test("zero vectors: the first admits, later ones drop (zero-vs-zero scores 1.0)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-edzero").toString
+    val admittedDir = s"$base/admitted"
+    val zero = v(0, 0, 0, 0, 0, 0, 0, 0)
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Pipelines.embedDupGate(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir)).start()
+    try {
+      in.addData((1L, zero), (2L, e1))
+      q.processAllAvailable()
+      // a second zero vector: cosine is undefined (0/0 — the raw ANSI
+      // division would kill the batch), so cosFrom's total convention
+      // applies: zero-vs-zero scores 1.0 and the duplicate-in-spirit zero
+      // drops instead of piling up in the index
+      in.addData((3L, zero))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(1L, 2L),
+      "first zero vector admits; the second collapses onto it")
+  }
+
   test("run compaction bounds the index file count with verdicts unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val baseC = Files.createTempDirectory("graft-edcomp").toString
