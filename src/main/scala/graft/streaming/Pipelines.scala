@@ -200,6 +200,11 @@ object Pipelines {
     * past Spark's broadcast ceiling. The default broadcast probe is the
     * small-batch fast path.
     *
+    * `doc_id` must be NON-NULL (it is the document-store natural key, as
+    * in every reference collection): a null id matches neither the drop
+    * set nor the replay guard, so its rows would re-admit on every
+    * delivery. Same contract as the keyed upsert sinks.
+    *
     * Replay semantics: a re-delivered batch finds its own signatures
     * already in the index, so every replayed document is flagged as a
     * near-dup of itself and admits nothing twice — the index doubles as
@@ -370,7 +375,8 @@ object Pipelines {
     * cosine probe could otherwise double-admit. `intraBatch = true` adds
     * the first-wins within-batch pass (VectorOps.intraBatchEmbedDups).
     * Compaction: [[mergeSmallRuns]] keyed by vec_id, run count ≤
-    * compactEvery+1, never a whole-index rewrite. */
+    * compactEvery+1, never a whole-index rewrite. `vec_id` must be
+    * NON-NULL — same natural-key contract as [[nearDupGate]]. */
   def embedDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, threshold: Double = 0.95,
       intraBatch: Boolean = false,
