@@ -71,10 +71,8 @@ object QualityOps {
   // ── corpus-selection parameters: quality in integer micro-units (the
   //    tx_quality composite ∈ [0,1] → qmicro ∈ [0, 1e6], exact on both
   //    engines since the score is a deterministic IEEE tree and floor×1e6
-  //    is two more exact ops), 4096-micro-unit range buckets for the
-  //    quality-ordered cumsum.
+  //    is two more exact ops).
   private val QMicroMax = 1000000L
-  private val SelBucket = 4096L
 
   /** (doc_id, source, n_tok, qmicro): the tx_quality composite score
     * (TextOps.qualityScore — the ONE shared definition) in integer
@@ -492,13 +490,19 @@ object QualityOps {
     // budget is spent" (here: half the corpus's tokens), the final step of
     // a curation funnel. Documents are laid out in quality-descending order
     // (tie-broken by doc_id) and admitted while the running token total
-    // fits. The global ordered cumsum is the same two-pass shape as
-    // tx_chunk_pack: a local window per 4096-micro-unit quality range
-    // bucket + the two-level prefix sum over bucket totals — the order key
-    // is the bucket key, so no partition ever sees more than one quality
-    // band and nothing funnels through a single-partition window. (At
-    // 100 TB, bands can be rebalanced from a quantile sketch if the
-    // quality distribution turns out spiky.)
+    // fits. The global ordered cumsum is two-pass like tx_chunk_pack, but
+    // the buckets are EQUI-DEPTH: repartitionByRange on the full
+    // (inv, doc_id) sort key lets Spark's range partitioner sample the
+    // actual distribution and split even exact-value tie masses by doc_id —
+    // no partition sees more than ~n/partitions rows NO MATTER how the
+    // quality distribution clusters (a fixed-width value band would funnel
+    // a spiky corpus through one window). Partition ids are ordered ranges
+    // of the sort key, so they serve directly as Prefix bucket ids; the
+    // bucket boundaries are sampling-dependent but the reconstructed global
+    // cumsum is not. `ranged` is persisted so the window pass and the
+    // totals pass see ONE sampled partitioning (RangePartitioner re-samples
+    // per execution — two lineages could otherwise disagree on bucket
+    // membership and corrupt the offsets).
     Q(
       "tx_budget_select",
       s"""WITH $qualityDocsSql,
@@ -508,15 +512,18 @@ object QualityOps {
          |      FROM ql)
          |SELECT c.doc_id, c.qmicro, c.n_tok, c.cum, c.cum <= b.budget AS admitted
          |FROM c, b ORDER BY c.doc_id""".stripMargin) { (s, d) =>
-      val base = qualityDocs(s, d)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranged = qualityDocs(s, d)
         .withColumn("inv", lit(QMicroMax) - col("qmicro"))
-        .withColumn("bkt", expr(s"inv div $SelBucket"))
-      val budget = base.agg(expr("sum(n_tok) div 2").as("budget"))
+        .repartitionByRange(nPart, col("inv"), col("doc_id"))
+        .withColumn("bkt", spark_partition_id().cast(LongType))
+        .persist()
+      val budget = ranged.agg(expr("sum(n_tok) div 2").as("budget"))
       val wLocal = Window.partitionBy(col("bkt")).orderBy(col("inv"), col("doc_id"))
-      val totals = base.groupBy(col("bkt")).agg(sum(col("n_tok")).as("tot"))
+      val totals = ranged.groupBy(col("bkt")).agg(sum(col("n_tok")).as("tot"))
       val offsets = graft.core.Prefix.exclusiveCumsum(
         totals, Seq.empty, "bkt", expr("bkt div 256"), "tot")
-      base
+      ranged
         .withColumn("cum_local", sum(col("n_tok")).over(wLocal))
         .join(broadcast(offsets), Seq("bkt"))
         .withColumn("cum", col("offset") + col("cum_local"))
