@@ -499,10 +499,12 @@ object QualityOps {
     // a spiky corpus through one window). Partition ids are ordered ranges
     // of the sort key, so they serve directly as Prefix bucket ids; the
     // bucket boundaries are sampling-dependent but the reconstructed global
-    // cumsum is not. `ranged` is persisted so the window pass and the
-    // totals pass see ONE sampled partitioning (RangePartitioner re-samples
-    // per execution — two lineages could otherwise disagree on bucket
-    // membership and corrupt the offsets).
+    // cumsum is not. `ranged` is localCheckpoint'd so the window pass and
+    // the totals pass see ONE sampled partitioning (RangePartitioner
+    // re-samples per execution — two lineages could otherwise disagree on
+    // bucket membership and corrupt the offsets; a checkpoint pins the
+    // assignment structurally where a cache pin only holds until
+    // eviction).
     Q(
       "tx_budget_select",
       s"""WITH $qualityDocsSql,
@@ -513,11 +515,18 @@ object QualityOps {
          |SELECT c.doc_id, c.qmicro, c.n_tok, c.cum, c.cum <= b.budget AS admitted
          |FROM c, b ORDER BY c.doc_id""".stripMargin) { (s, d) =>
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // localCheckpoint, not persist: the window pass and the totals pass
+      // BOTH consume `bkt`, and bkt is only meaningful if they see one
+      // sampled RangePartitioner execution. A cache pin gives that only
+      // while every partition stays cached; checkpointing truncates the
+      // lineage so bucket assignment is STRUCTURALLY fixed — a consumer
+      // can never silently recompute through a fresh range sample (it
+      // would fail loudly on storage loss instead of corrupting cumsums).
       val ranged = qualityDocs(s, d)
         .withColumn("inv", lit(QMicroMax) - col("qmicro"))
         .repartitionByRange(nPart, col("inv"), col("doc_id"))
         .withColumn("bkt", spark_partition_id().cast(LongType))
-        .persist()
+        .localCheckpoint()
       val budget = ranged.agg(expr("sum(n_tok) div 2").as("budget"))
       val wLocal = Window.partitionBy(col("bkt")).orderBy(col("inv"), col("doc_id"))
       val totals = ranged.groupBy(col("bkt")).agg(sum(col("n_tok")).as("tot"))

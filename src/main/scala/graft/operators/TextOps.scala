@@ -354,13 +354,17 @@ object TextOps {
       .filter(col("fps").isNotNull)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
-  /** pairs sharing >= 2 winnow fingerprints (no ordering — callers add). */
-  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val f = winnowFps(s, d)
-    val grouped = f.groupBy(col("fp"))
+  /** df-capped fingerprint groups (fp, docs) — fingerprints shared by more
+    * than 20 documents are dropped as non-discriminative boilerplate, the
+    * cap that bounds every pair expansion. */
+  private def fpGroups(s: SparkSession, d: String): DataFrame =
+    winnowFps(s, d).groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= 20)
-      .persist()
+
+  /** pair expansion of [[fpGroups]]: pairs sharing >= 2 capped
+    * fingerprints. */
+  private def pairsFromGroups(grouped: DataFrame): DataFrame =
     grouped
       .select(explode(expr(
         "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
@@ -368,7 +372,10 @@ object TextOps {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-  }
+
+  /** pairs sharing >= 2 winnow fingerprints (no ordering — callers add). */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromGroups(fpGroups(s, d).persist())
 
   /** Connected components over an undirected pair graph `(doc_a, doc_b)`:
     * returns one `(doc_id, label)` row per node, label = min node id of
@@ -682,16 +689,24 @@ object TextOps {
 
     // DIRECTIONAL containment (quote/subset detection — the asymmetric
     // relation near-dup symmetric Jaccard misses): `inner` is contained in
-    // `outer` when >= 60% of inner's winnow fingerprints also appear in
-    // outer. Same df-capped fingerprint machinery as dd_winnow — each
-    // undirected pair expands to its two directions and divides by the
-    // contained side's own fingerprint count; candidate volume is the
-    // winnow pair graph, never all-pairs. A containment-heavy corpus (news
-    // wire + quoting blogs) dedups on this where plain near-dup keeps both.
+    // `outer` when >= 60% of inner's DISCRIMINATIVE (df-capped) winnow
+    // fingerprints also appear in outer. Numerator and denominator share
+    // ONE universe — the same df ≤ 20 fingerprint set the pair stage
+    // counts shared hits in. (Round 5 divided the capped numerator by the
+    // UNCAPPED per-doc count, which systematically deflated quote-heavy
+    // docs whose shared fingerprints are common and, under replica-heavy
+    // corpora, paid a full per-(doc,fp) aggregation over the uncapped
+    // table — the capped universe SHRINKS when replication pushes
+    // fingerprints past the cap, so this is also what holds the 8× scale
+    // ratio down.) Each undirected pair expands to its two directions;
+    // candidate volume is the winnow pair graph, never all-pairs. A
+    // containment-heavy corpus (news wire + quoting blogs) dedups on this
+    // where plain near-dup keeps both.
     Q(
       "dd_containment",
       s"""WITH $WinnowPairsCte,
-         |cnt AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS nfp
+         |        FROM (SELECT unnest(docs) AS doc_id FROM grouped) GROUP BY doc_id),
          |dirp AS (
          |  SELECT doc_a AS inner_id, doc_b AS outer_id, n_shared FROM pairs WHERE n_shared >= 2
          |  UNION ALL
@@ -701,9 +716,12 @@ object TextOps {
          |FROM dirp p JOIN cnt c ON c.doc_id = p.inner_id
          |WHERE CAST(p.n_shared AS DOUBLE)/c.nfp >= 0.6
          |ORDER BY inner_id, outer_id""".stripMargin) { (s, d) =>
-      val cnt = winnowFps(s, d)
+      // ONE capped group table feeds both the pair expansion and the
+      // per-doc denominator — persisted, two consumers
+      val grouped = fpGroups(s, d).persist()
+      val cnt = grouped.select(explode(col("docs")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-      val pairs = winnowPairs(s, d)
+      val pairs = pairsFromGroups(grouped)
       val dirp = pairs
         .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"), col("n_shared"))
         .union(pairs

@@ -34,9 +34,12 @@ import graft.plans.IntDotExpr
   * Scale design (100 TB): no all-pairs on the full corpus. The brute-force
   * top-k broadcasts the (small) query set and folds each pair's dot product
   * inside one narrow projection — no shuffle until the per-query top-k
-  * (TakeOrdered-style agg, k·|Q| rows). The LSH variants shuffle once on an
-  * 8-bit sign-bucket key (2^8 buckets here; at scale r·b hyperplane codes
-  * with multiple tables), bounding candidate fan-out per bucket.
+  * (TakeOrdered-style agg, k·|Q| rows). The DEDUP index joins on
+  * multi-table sign codes ([[embedCodeTable]]: 4 tables × 16-bit
+  * dimension-slice codes, 4·2^16 possible keys) so the candidate set stays
+  * dup-sized as the corpus grows; the single-8-bit-bucket variant survives
+  * only as `ss_topk_lsh`, the deliberately-naive table whose recall
+  * collapse `ss_recall` measures.
   *
   * Deliberately NOT a Catalyst rewrite rule: a `cos(a,b) >= θ` join cannot
   * be soundly bucketized — no hyperplane/bucket predicate is implied by the
@@ -78,6 +81,19 @@ object VectorOps {
       .otherwise(dot.cast(DoubleType)
         / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))))
 
+  /** the oracle-side mirror of [[cosFrom]] — TOTAL over zero norms with the
+    * same convention (0/0 → 1.0, 0/x → 0.0). Every oracle cosine goes
+    * through this so Spark and DuckDB agree at the DEFINITION site instead
+    * of depending on the dataset containing no zero-norm vectors (a future
+    * Replicate variant introducing one would otherwise diverge silently —
+    * NaN/Inf vs 1.0/0.0 — rather than fail loudly). On nonzero norms the
+    * ELSE branch is the identical 3-op IEEE tree as before, so existing
+    * hashes are unchanged. */
+  private def cosSql(dot: String, na: String, nb: String): String =
+    s"CASE WHEN $na = 0 OR $nb = 0 THEN " +
+      s"(CASE WHEN $na = 0 AND $nb = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) " +
+      s"ELSE CAST($dot AS DOUBLE)/(sqrt($na)*sqrt($nb)) END"
+
   /** 8-bit sign-bucket: bit i set iff embedding[i] >= 0 (i = 1..8,
     * 1-indexed) — an axis-aligned random-hyperplane LSH code. */
   private def signBucket(emb: String): Column =
@@ -96,41 +112,115 @@ object VectorOps {
     else base
   }
 
-  // ── reusable embedding dedup-index API (dd_incremental_embed;
+  // ── reusable embedding dedup-index API (dd_incremental_embed[_big];
   //    streaming: Pipelines.embedDupGate) — the vector mirror of TextOps'
-  //    minhashSignatures / probeNearDupIndex ──
+  //    minhashSignatures / probeNearDupIndex / probeNearDupIndexShuffle ──
 
-  /** `(vec_id, qarr, nrm, bucket)` index rows for an arbitrary
-    * `(vec_id, embedding)` frame — the persisted layout of the embedding
-    * dedup index AND the probe-side preparation (quantized integer
-    * components, integer squared norm, 8-bit sign bucket). Narrow map, no
-    * shuffle, total: every vector gets exactly one row. */
+  /** multi-table sign-code parameters for the dedup index: 4 tables × 16-bit
+    * codes over dimension slices 1-16, 17-32, 33-48, 49-64. The round-5
+    * layout was ONE 8-bit code — 256 possible join keys, which bounds
+    * nothing at corpus scale (a probe's candidate set is ~|corpus|·|batch|
+    * /256 pairs: a 0.4%-sampled all-pairs, quadratic at 10^9 vectors).
+    * 4·2^16 keys keep candidates dup-sized: a pair collides only when some
+    * FULL 16-dim slice sign-agrees, which near-identical vectors almost
+    * always do (a small perturbation flips only near-zero components) and
+    * unrelated isotropic vectors do with probability ~4·2^-16 — the key
+    * cardinality grows with the corpus exactly like the text index's
+    * 4×64-bit minhash band keys. Candidate counts at 8×/32× and the recall
+    * trade are measured in README. */
+  private[operators] val EmbedCodeTables = 4
+  private[operators] val EmbedCodeBits = 16
+
+  /** `(vec_id, qarr, nrm)` index rows for an arbitrary `(vec_id, embedding)`
+    * frame — the persisted layout of the embedding dedup index AND the
+    * probe-side preparation (quantized integer components, integer squared
+    * norm). Narrow map, no shuffle, total: every vector gets exactly one
+    * row. Like the text gate's signature table, the persisted index carries
+    * NO code columns — [[embedCodeTable]] derives them row-locally at probe
+    * time, so each batch writes one index row per vector and the code
+    * parameters can be retuned without rewriting the corpus. */
   def embeddingIndex(df: DataFrame): DataFrame =
     df.withColumn("qarr", quantArr("embedding"))
       .withColumn("nrm", normOf("qarr"))
-      .withColumn("bucket", signBucket("embedding").cast(LongType))
-      .select(col("vec_id"), col("qarr"), col("nrm"), col("bucket"))
+      .select(col("vec_id"), col("qarr"), col("nrm"))
+
+  /** the multi-table code table of an [[embeddingIndex]] frame:
+    * `(vec_id, qarr, nrm, bkey)`, EmbedCodeTables rows per vector, with
+    * `bkey` = table ordinal · 2^bits + the slice's sign bits. Signs are
+    * read from qarr — floor quantization preserves the `>= 0` comparison
+    * exactly — and a slice index beyond a short vector's length contributes
+    * no bit (try_element_at yields NULL, NULL >= 0 is NULL), so any
+    * dimension count probes correctly. Row-local explode; no shuffle. */
+  def embedCodeTable(idx: DataFrame): DataFrame =
+    idx.select(col("vec_id"), col("qarr"), col("nrm"),
+        explode(expr(s"sequence(0, ${EmbedCodeTables - 1})")).as("t"))
+      .withColumn("bkey",
+        col("t").cast(LongType) * (1L << EmbedCodeBits) + expr(
+          s"aggregate(sequence(1, $EmbedCodeBits), cast(0 as bigint), (acc, i) -> " +
+            s"acc + if(try_element_at(qarr, t*$EmbedCodeBits + i) >= cast(0 as bigint), " +
+            s"cast(pow(2, i-1) as bigint), cast(0 as bigint)))"))
+      .drop("t")
 
   /** probe a persisted embedding index with a new batch → one verdict row
     * per new vector (vec_id, n_cand, best_cos, is_dup at `threshold`).
     * Both sides are [[embeddingIndex]] layouts. The corpus streams through
-    * its bucket join UNSHUFFLED — the batch side broadcasts (band-probe
-    * shape); candidates are exact-integer-cosine verified in-line. */
+    * its code join UNSHUFFLED — the batch-derived code table broadcasts
+    * (band-probe shape); candidates are exact-integer-cosine verified
+    * in-line. A pair colliding in several tables appears once per table:
+    * cos is a function of the pair, so the per-pair max() dedups exactly
+    * and `n_cand` counts DISTINCT candidates. Everything after the code
+    * join is candidate-sized and shuffles on batch-derived keys only. */
   def probeEmbedIndex(newIdx: DataFrame, corpusIdx: DataFrame,
       threshold: Double = 0.95): DataFrame = {
-    val nv = newIdx.select(col("vec_id").as("new_id"), col("qarr").as("q_qarr"),
-      col("nrm").as("nq"), col("bucket"))
-    val scored = corpusIdx
+    val nv = embedCodeTable(newIdx).select(col("vec_id").as("new_id"),
+      col("qarr").as("q_qarr"), col("nrm").as("nq"), col("bkey"))
+    val scored = embedCodeTable(corpusIdx)
       .select(col("vec_id").as("corpus_id"), col("qarr"), col("nrm").as("nc"),
-        col("bucket"))
-      .join(broadcast(nv), Seq("bucket"))
+        col("bkey"))
+      .join(broadcast(nv), Seq("bkey"))
       .select(col("new_id"), col("corpus_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
       .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
-    val per = scored.groupBy(col("new_id"))
+    perVectorVerdicts(newIdx, scored, threshold, broadcastPer = true)
+  }
+
+  /** Large-batch probe: same verdicts as [[probeEmbedIndex]], but the batch
+    * side is NEVER broadcast — the mirror of TextOps.
+    * probeNearDupIndexShuffle for the day the embedding batch outgrows
+    * Spark's broadcast ceiling (~8 GB against a 100 TB corpus). The batch's
+    * code table shuffle-joins the corpus's code table on `bkey` with
+    * `hint("shuffle_hash")` pinning the join away from broadcast no matter
+    * what AQE estimates; the pair dedup, per-vector verdict agg, and the
+    * final left join all shuffle on batch-derived keys. */
+  def probeEmbedIndexShuffle(newIdx: DataFrame, corpusIdx: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val nv = embedCodeTable(newIdx).select(col("vec_id").as("new_id"),
+      col("qarr").as("q_qarr"), col("nrm").as("nq"), col("bkey"))
+    val scored = embedCodeTable(corpusIdx)
+      .select(col("vec_id").as("corpus_id"), col("qarr"), col("nrm").as("nc"),
+        col("bkey"))
+      .join(nv.hint("shuffle_hash"), Seq("bkey"))
+      .select(col("new_id"), col("corpus_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    perVectorVerdicts(newIdx, scored, threshold, broadcastPer = false)
+  }
+
+  /** shared verdict tail of the two probe modes: per-pair dedup (max over
+    * table collisions), per-vector candidate count + best cosine, left join
+    * back onto the full batch id set so silent vectors verdict as
+    * (0, 0.0, false). `broadcastPer` picks the small-batch broadcast join
+    * vs the shuffle_hash-pinned large-batch join. */
+  private def perVectorVerdicts(newIdx: DataFrame, scored: DataFrame,
+      threshold: Double, broadcastPer: Boolean): DataFrame = {
+    val pair = scored.groupBy(col("new_id"), col("corpus_id"))
+      .agg(max(col("cos")).as("cos"))
+    val per = pair.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos"))
+      .withColumnRenamed("new_id", "vec_id")
     newIdx.select(col("vec_id"))
-      .join(broadcast(per.withColumnRenamed("new_id", "vec_id")), Seq("vec_id"), "left")
+      .join(if (broadcastPer) broadcast(per) else per.hint("shuffle_hash"),
+        Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
@@ -139,13 +229,15 @@ object VectorOps {
 
   /** vec_ids that are a near-dup (cos >= threshold) of a LOWER-id vector in
     * the SAME [[embeddingIndex]] frame — first-wins intra-batch admission,
-    * mirroring TextOps.intraBatchNearDups. Bucket self-join, batch-sized. */
+    * mirroring TextOps.intraBatchNearDups. Code-table self-join,
+    * batch-sized; the trailing distinct() absorbs multi-table collisions. */
   def intraBatchEmbedDups(idx: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val a = idx.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
-      col("nrm").as("na"), col("bucket"))
-    val b = idx.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
-      col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val codes = embedCodeTable(idx)
+    val a = codes.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
+      col("nrm").as("na"), col("bkey"))
+    val b = codes.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
+      col("nrm").as("nb"), col("bkey"))
+    a.join(b, Seq("bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_b"),
         cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
@@ -177,6 +269,56 @@ object VectorOps {
       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE)*10000000.0) AS BIGINT) AS v
       |  FROM embeddings),
       |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB-side mirror of [[embedCodeTable]]: one `(vec_id, bkey)` row per
+    * (vector, table) — sign bits read from the quantized `flat` values,
+    * matching the Spark side's qarr signs bit for bit. */
+  private val EmbedCodesSql =
+    s"""codes AS (
+       |  SELECT vec_id, t*${1L << EmbedCodeBits} +
+       |    sum(CASE WHEN v >= 0 THEN CAST(pow(2, (i-1)%$EmbedCodeBits) AS BIGINT) ELSE 0 END) AS bkey
+       |  FROM (SELECT vec_id, i, v, (i-1)//$EmbedCodeBits AS t FROM flat)
+       |  GROUP BY vec_id, t)""".stripMargin
+
+  /** one oracle for both incremental embedding-dedup paths (broadcast probe
+    * and large-batch shuffle probe) — identical verdicts required of both,
+    * the same single-oracle contract as IncrementalLshSql on the text side. */
+  private lazy val IncrementalEmbedSql =
+    s"""$FlatCte,
+       |$EmbedCodesSql,
+       |cut AS (SELECT (max(vec_id)*9)//10 AS cutv FROM embeddings),
+       |newv AS (SELECT e.vec_id FROM embeddings e, cut WHERE e.vec_id >= cut.cutv),
+       |cand AS (
+       |  SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM codes n JOIN codes c ON n.bkey = c.bkey, cut
+       |  WHERE n.vec_id >= cut.cutv AND c.vec_id < cut.cutv),
+       |dots AS (SELECT cd.new_id, cd.corpus_id, sum(a.v*b.v) AS dot
+       |         FROM cand cd JOIN flat a ON a.vec_id = cd.new_id
+       |         JOIN flat b ON b.vec_id = cd.corpus_id AND b.i = a.i
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT new_id, corpus_id, ${cosSql("dot", "na.nrm", "nb.nrm")} AS cos
+       |           FROM dots JOIN norms na ON na.vec_id = new_id
+       |           JOIN norms nb ON nb.vec_id = corpus_id),
+       |per AS (SELECT new_id, count(*) AS n_cand, max(cos) AS best_cos
+       |        FROM scored GROUP BY new_id)
+       |SELECT n.vec_id, coalesce(p.n_cand, 0) AS n_cand,
+       |  coalesce(p.best_cos, 0.0) AS best_cos,
+       |  coalesce(p.best_cos, 0.0) >= 0.95 AS is_dup
+       |FROM newv n LEFT JOIN per p ON p.new_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+
+  /** shared corpus/batch vec_id split (top-10% slice = the "new batch") for
+    * the two incremental embedding paths; the batch index is persisted —
+    * it feeds the code join AND the final verdict anchor. */
+  private def embedIncrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = embeddingIndex(
+      T.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
+    val flagged = emb.crossJoin(broadcast(cut))
+    val newIdx = flagged.filter(col("vec_id") >= col("cutv")).drop("cutv").persist()
+    val corpIdx = flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
+    (newIdx, corpIdx)
+  }
 
   /** brute-force cosine top-k (query set = vec_id < 16, k = 5): broadcast
     * queries, pairwise codegen'd integer dot folds, bounded top-k agg.
@@ -215,13 +357,13 @@ object VectorOps {
   /** the brute top-k CTE chain (prefix `b`) shared by the ss_topk_brute and
     * ss_recall oracles. */
   private val BruteTopSql =
-    """bq AS (SELECT * FROM flat WHERE vec_id < 16),
+    s"""bq AS (SELECT * FROM flat WHERE vec_id < 16),
       |bdots AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
       |  FROM bq q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
       |  GROUP BY 1, 2),
       |bscored AS (
-      |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+      |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
       |  FROM bdots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
       |btop AS (
       |  SELECT q_id, n_id, cos, rnk FROM (
@@ -308,7 +450,7 @@ object VectorOps {
 
   /** the multi-table LSH CTE chain (prefix `m`), sharing `flat`/`norms`. */
   private val Lsh4TopSql =
-    """mb AS (
+    s"""mb AS (
       |  SELECT e.vec_id, tt.t,
       |    list_sum(list_transform(range(1, 9),
       |      i -> CASE WHEN e.embedding[tt.t*8 + i] >= 0
@@ -324,7 +466,7 @@ object VectorOps {
       |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
       |  GROUP BY 1, 2),
       |mscored AS (
-      |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+      |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
       |  FROM mdots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
       |mtop AS (
       |  SELECT q_id, n_id, cos, rnk FROM (
@@ -334,7 +476,7 @@ object VectorOps {
 
   /** the SQ8 top-k CTE chain (prefix `q`), sharing `flat`/`norms`. */
   private val QuantTopSql =
-    """mx AS (SELECT vec_id, MAX(abs(v)) AS maxabs FROM flat GROUP BY vec_id HAVING MAX(abs(v)) > 0),
+    s"""mx AS (SELECT vec_id, MAX(abs(v)) AS maxabs FROM flat GROUP BY vec_id HAVING MAX(abs(v)) > 0),
       |f8 AS (SELECT f.vec_id, f.i, (f.v*127)//mx.maxabs AS v8 FROM flat f JOIN mx USING (vec_id)),
       |n8 AS (SELECT vec_id, sum(v8*v8) AS nrm8 FROM f8 GROUP BY vec_id),
       |q8 AS (SELECT * FROM f8 WHERE vec_id < 16),
@@ -343,7 +485,7 @@ object VectorOps {
       |  FROM q8 q JOIN f8 c ON q.i = c.i AND q.vec_id <> c.vec_id
       |  GROUP BY 1, 2),
       |scored8 AS (
-      |  SELECT q_id, n_id, CAST(dot8 AS DOUBLE)/(sqrt(na.nrm8)*sqrt(nb.nrm8)) AS cos8
+      |  SELECT q_id, n_id, ${cosSql("dot8", "na.nrm8", "nb.nrm8")} AS cos8
       |  FROM dots8 JOIN n8 na ON na.vec_id = q_id JOIN n8 nb ON nb.vec_id = n_id),
       |qcand AS (SELECT q_id, n_id FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, n_id) AS r8
@@ -355,13 +497,89 @@ object VectorOps {
       |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
       |  GROUP BY 1, 2),
       |qscored AS (
-      |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+      |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
       |  FROM qdots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
       |qtop AS (
       |  SELECT q_id, n_id, cos, rnk FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
       |    FROM qscored)
       |  WHERE rnk <= 5)""".stripMargin
+
+  /** IVF (inverted-file) top-k: label-mean centroids in exact integer
+    * arithmetic, nearest-cell assignment + nprobe=2 probe cells in one
+    * BoundedTopK aggregation pass, exact integer-cosine rerank inside the
+    * probed posting lists only. Shared by `ss_topk_ivf` and the `ss_recall`
+    * panel. */
+  private def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false)
+    val n = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val flat = emb.select(col("vec_id"), col("label"),
+        posexplode(col("qarr")).as(Seq("i0", "v")))
+      .withColumn("i", col("i0") + 1).drop("i0")
+    val cent = flat.groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
+      .join(broadcast(n), Seq("label"))
+      .select(col("label").as("cl"), col("i"), expr("s div cnt").as("cv"))
+    val dist = flat.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("cl"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+    // nearest cell AND nprobe cells in ONE aggregation pass over the
+    // N×K (vec_id, cell) stream — no window rank, no persist of the
+    // pair stream: min_by/BoundedTopK both partial-aggregate map-side
+    // (the top-2 buffer is two (d2, cl) pairs per group); d2 stays Long
+    // (squared integer distances overflow a Double's 53-bit mantissa).
+    val top2 = udaf(BoundedTopK[Long](2))
+    // persisted: two consumers (assignments + probes) — but it is the
+    // SMALL post-aggregation table (one row per vector), not the N×K
+    // distance stream the old plan cached.
+    val cells = dist.groupBy(col("vec_id"))
+      .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cell"),
+        top2(col("d2"), col("cl")).as("cells"))
+      .persist()
+    val assign = cells.select(col("vec_id"), col("cell"))
+    val probe = cells.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), explode(col("cells")("_2")).as("cell"))
+    val cand = probe.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val qSide = emb.select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
+      col("nrm").as("nq"))
+    val nSide = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
+    val scored = cand.join(qSide, Seq("q_id")).join(nSide, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    rankTopK(scored, 5)
+  }
+
+  /** the IVF top-k CTE chain (prefix `iv`), sharing `flat`/`norms`. */
+  private val IvfTopSql =
+    s"""ivn AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+       |ivcsum AS (SELECT e.label, f.i, SUM(f.v) AS s
+       |           FROM flat f JOIN embeddings e USING (vec_id) GROUP BY e.label, f.i),
+       |ivcent AS (SELECT c.label AS cl, c.i, c.s // n.cnt AS cv
+       |           FROM ivcsum c JOIN ivn n USING (label)),
+       |ivdist AS (SELECT f.vec_id, c.cl, SUM((f.v - c.cv)*(f.v - c.cv)) AS d2
+       |           FROM flat f JOIN ivcent c ON f.i = c.i GROUP BY f.vec_id, c.cl),
+       |ivranked AS (SELECT vec_id, cl,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |             FROM ivdist),
+       |ivassign AS (SELECT vec_id, cl AS cell FROM ivranked WHERE rn = 1),
+       |ivprobe AS (SELECT vec_id AS q_id, cl AS cell FROM ivranked
+       |            WHERE vec_id < 16 AND rn <= 2),
+       |ivcand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |           FROM ivprobe p JOIN ivassign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |ivdots AS (SELECT c.q_id, c.n_id, SUM(qf.v * nf.v) AS dot
+       |           FROM ivcand c JOIN flat qf ON qf.vec_id = c.q_id
+       |           JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+       |           GROUP BY c.q_id, c.n_id),
+       |ivscored AS (SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
+       |             FROM ivdots JOIN norms nq ON nq.vec_id = q_id
+       |             JOIN norms nc ON nc.vec_id = n_id),
+       |ivtop AS (
+       |  SELECT q_id, n_id, cos, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM ivscored)
+       |  WHERE rnk <= 5)""".stripMargin
 
   /** the LSH top-k CTE chain (prefix `l`), sharing `flat`/`norms`. */
   private val LshTopSql =
@@ -373,7 +591,7 @@ object VectorOps {
        |  FROM lq q JOIN lc c ON q.i = c.i AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |  GROUP BY 1, 2),
        |lscored AS (
-       |  SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
+       |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
        |  FROM ldots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
        |ltop AS (
        |  SELECT q_id, n_id, cos, rnk FROM (
@@ -426,22 +644,28 @@ object VectorOps {
     // is starved has recall 0 while the mean looks fine) — per-query rows
     // keep the eval honest. Measured on this data: the SQ8 rerank recovers
     // the exact top-5 (recall 1.0 — the int8 candidate pass keeps 3k before
-    // the full-precision rerank); the SINGLE-table 8-bit sign-LSH collapses
-    // (~0.01 — one hyperplane code is a candidate PRUNER, not a ranker);
-    // the four-table union (ss_topk_lsh4) multiplies recall ~6× (~0.08) at
-    // ~4× candidate cost. On isotropic synthetic embeddings even
-    // multi-table hyperplane codes prune hard — the quantify-then-rerank
-    // paths (SQ8, IVF) are the robust defaults, and this row is the
-    // evidence.
+    // the full-precision rerank); IVF at nprobe=2 lands at 0.375 (coarse
+    // cells capture real neighborhood structure where hyperplane signs
+    // don't); the SINGLE-table 8-bit sign-LSH collapses (~0.01 — one
+    // hyperplane code is a candidate PRUNER, not a ranker); the four-table
+    // union (ss_topk_lsh4) multiplies recall ~6× (~0.08) at ~4× candidate
+    // cost. On isotropic synthetic embeddings even multi-table hyperplane
+    // codes prune hard — the quantize-then-rerank paths (SQ8, IVF) are the
+    // robust defaults, and this row is the evidence.
     Q(
       "ss_recall",
       s"""$FlatCte,
          |$BruteTopSql,
          |$LshTopSql,
          |$Lsh4TopSql,
-         |$QuantTopSql
+         |$QuantTopSql,
+         |$IvfTopSql
          |SELECT method, q_id, n_hits, CAST(n_hits AS DOUBLE)/5.0 AS recall_at_5
          |FROM (
+         |  SELECT 'ivf' AS method, b.q_id, count(v.n_id) AS n_hits
+         |  FROM btop b LEFT JOIN ivtop v ON v.q_id = b.q_id AND v.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |  UNION ALL
          |  SELECT 'lsh' AS method, b.q_id, count(l.n_id) AS n_hits
          |  FROM btop b LEFT JOIN ltop l ON l.q_id = b.q_id AND l.n_id = b.n_id
          |  GROUP BY b.q_id
@@ -461,7 +685,8 @@ object VectorOps {
           .groupBy(col("q_id"))
           .agg(count(col("hit")).as("n_hits"))
           .select(lit(method).as("method"), col("q_id"), col("n_hits"))
-      recallOf("lsh", topkLsh(s, d))
+      recallOf("ivf", topkIvf(s, d))
+        .union(recallOf("lsh", topkLsh(s, d)))
         .union(recallOf("lsh4", topkLsh4(s, d)))
         .union(recallOf("quant", topkQuant(s, d)))
         .select(col("method"), col("q_id"), col("n_hits"),
@@ -469,82 +694,78 @@ object VectorOps {
         .orderBy(col("method"), col("q_id"))
     },
 
-    // Embedding near-duplicate pairs: sign-bucket LSH candidates, exact
-    // integer cosine verify, threshold 0.95. Shuffles once on the bucket
-    // key; candidate volume bounded per bucket (skewed buckets at scale are
-    // handled by AQE skew-join or multi-probe codes).
+    // Embedding near-duplicate pairs: multi-table sign-code candidates
+    // (embedCodeTable — 4×16-bit dimension-slice codes), exact integer
+    // cosine verify, threshold 0.95. Shuffles once on the code key; a pair
+    // colliding in several tables dedups through the per-pair max (cos is a
+    // function of the pair). Candidate volume per key shrinks with the
+    // 4·2^16 key space instead of saturating 256 buckets — the layout that
+    // keeps the candidate set dup-sized at corpus scale (README records the
+    // measured candidate counts at 8×/32×).
     Q(
       "dd_embed_cosine",
       s"""$FlatCte,
-         |bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
-         |f AS (SELECT fl.*, b.bucket FROM flat fl JOIN bkt b USING (vec_id)),
+         |$EmbedCodesSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM codes a JOIN codes b ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
          |dots AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v*b.v) AS dot
-         |  FROM f a JOIN f b ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT vec_a, vec_b,
-         |  CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) AS cos
-         |FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
-         |WHERE CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) >= 0.95
+         |  SELECT cd.vec_a, cd.vec_b, sum(a.v*b.v) AS dot
+         |  FROM cand cd JOIN flat a ON a.vec_id = cd.vec_a
+         |  JOIN flat b ON b.vec_id = cd.vec_b AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT vec_a, vec_b, ${cosSql("dot", "na.nrm", "nb.nrm")} AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = vec_a
+         |  JOIN norms nb ON nb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val emb = quantized(s, d, withBucket = true)
-      val a = emb.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
-        col("nrm").as("na"), col("bucket"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
-        col("nrm").as("nb"), col("bucket"))
-      a.join(b, Seq("bucket"))
+      val codes = embedCodeTable(embeddingIndex(
+        T.embeddings(s, d).select(col("vec_id"), col("embedding"))))
+      val a = codes.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
+        col("nrm").as("na"), col("bkey"))
+      val b = codes.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
+        col("nrm").as("nb"), col("bkey"))
+      a.join(b, Seq("bkey"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          dotOf("qa", "qb").as("dot"), col("na"), col("nb"))
-        .withColumn("cos", cosFrom(col("dot"), col("na"), col("nb")))
+          cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
+        .groupBy(col("vec_a"), col("vec_b"))
+        .agg(max(col("cos")).as("cos"))
         .filter(col("cos") >= 0.95)
-        .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     }.copy(bench = true),
 
     // Incremental EMBEDDING dedup — the vector analog of dd_incremental_lsh:
     // a new batch (the top-10%-of-vec_id slice) probed against the existing
-    // corpus's sign-bucket index, exact integer-cosine verify at 0.95, one
-    // admit/drop verdict per new vector. The corpus side is joined on its
-    // bucket key with the BATCH side broadcast, so the corpus is never
-    // re-shuffled by the probe (in production the bucketed index is
-    // persisted and the probe streams through it) — the continuous-ingest
-    // shape for embedding-space dedup of a multimodal corpus.
+    // corpus's multi-table code index, exact integer-cosine verify at 0.95,
+    // one admit/drop verdict per new vector. The corpus side is joined on
+    // its code key with the BATCH side broadcast, so the corpus is never
+    // re-shuffled by the probe (in production the persisted index streams
+    // through it) — the continuous-ingest shape for embedding-space dedup
+    // of a multimodal corpus.
     Q(
       "dd_incremental_embed",
-      s"""$FlatCte,
-         |bkt AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
-         |cut AS (SELECT (max(vec_id)*9)//10 AS cutv FROM embeddings),
-         |newv AS (SELECT b.vec_id, b.bucket FROM bkt b, cut WHERE b.vec_id >= cut.cutv),
-         |corp AS (SELECT b.vec_id, b.bucket FROM bkt b, cut WHERE b.vec_id < cut.cutv),
-         |cand AS (SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
-         |         FROM newv n JOIN corp c ON n.bucket = c.bucket),
-         |dots AS (SELECT cd.new_id, cd.corpus_id, sum(a.v*b.v) AS dot
-         |         FROM cand cd JOIN flat a ON a.vec_id = cd.new_id
-         |         JOIN flat b ON b.vec_id = cd.corpus_id AND b.i = a.i
-         |         GROUP BY 1, 2),
-         |scored AS (SELECT new_id, corpus_id,
-         |             CAST(dot AS DOUBLE)/(sqrt(na.nrm)*sqrt(nb.nrm)) AS cos
-         |           FROM dots JOIN norms na ON na.vec_id = new_id
-         |           JOIN norms nb ON nb.vec_id = corpus_id),
-         |per AS (SELECT new_id, count(*) AS n_cand, max(cos) AS best_cos
-         |        FROM scored GROUP BY new_id)
-         |SELECT n.vec_id, coalesce(p.n_cand, 0) AS n_cand,
-         |  coalesce(p.best_cos, 0.0) AS best_cos,
-         |  coalesce(p.best_cos, 0.0) >= 0.95 AS is_dup
-         |FROM newv n LEFT JOIN per p ON p.new_id = n.vec_id
-         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      IncrementalEmbedSql) { (s, d) =>
       // the reusable index/probe API (embeddingIndex / probeEmbedIndex) —
       // the same two calls a production refresh or the streaming
       // embedDupGate runs; the corpus/batch split is the in-query cut
-      val emb = quantized(s, d, withBucket = true)
-        .select(col("vec_id"), col("qarr"), col("nrm"), col("bucket"))
-      val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
-      val flagged = emb.crossJoin(broadcast(cut))
-      val newIdx = flagged.filter(col("vec_id") >= col("cutv"))
-        .drop("cutv").persist()
-      val corpIdx = flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
+      val (newIdx, corpIdx) = embedIncrementalSplit(s, d)
       probeEmbedIndex(newIdx, corpIdx).orderBy(col("vec_id"))
+    },
+
+    // The SAME incremental embedding-dedup semantics through the LARGE-batch
+    // path (shuffle_hash join on the code key, batch side never broadcast)
+    // against the SAME oracle — proving broadcast- and shuffle-path verdict
+    // equality row for row, exactly like dd_incremental_lsh/_big on the
+    // text side. This is the plan that survives the daily embedding batch
+    // outgrowing Spark's broadcast ceiling; PlanSpec gates that nothing
+    // batch-derived broadcasts.
+    Q(
+      "dd_incremental_embed_big",
+      IncrementalEmbedSql) { (s, d) =>
+      val (newIdx, corpIdx) = embedIncrementalSplit(s, d)
+      probeEmbedIndexShuffle(newIdx, corpIdx).orderBy(col("vec_id"))
     },
 
     // IVF (inverted-file) top-k — the coarse-quantization ANN scale path:
@@ -555,71 +776,13 @@ object VectorOps {
     // assignment relation is persisted (two consumers: assignments +
     // probes); at 100 TB the posting lists are the partitioning key, so
     // the rerank shuffle touches ~nprobe/k of the corpus instead of all
-    // of it.
+    // of it. Recall vs brute truth is MEASURED by ss_recall.
     Q(
       "ss_topk_ivf",
       s"""$FlatCte,
-         |n AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
-         |csum AS (SELECT e.label, f.i, SUM(f.v) AS s
-         |         FROM flat f JOIN embeddings e USING (vec_id) GROUP BY e.label, f.i),
-         |cent AS (SELECT c.label AS cl, c.i, c.s // n.cnt AS cv FROM csum c JOIN n USING (label)),
-         |dist AS (SELECT f.vec_id, c.cl, SUM((f.v - c.cv)*(f.v - c.cv)) AS d2
-         |         FROM flat f JOIN cent c ON f.i = c.i GROUP BY f.vec_id, c.cl),
-         |ranked AS (SELECT vec_id, cl,
-         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-         |           FROM dist),
-         |assign AS (SELECT vec_id, cl AS cell FROM ranked WHERE rn = 1),
-         |probe AS (SELECT vec_id AS q_id, cl AS cell FROM ranked WHERE vec_id < 16 AND rn <= 2),
-         |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
-         |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
-         |dots AS (SELECT c.q_id, c.n_id, SUM(qf.v * nf.v) AS dot
-         |         FROM cand c JOIN flat qf ON qf.vec_id = c.q_id
-         |         JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
-         |         GROUP BY c.q_id, c.n_id),
-         |scored AS (SELECT q_id, n_id, CAST(dot AS DOUBLE)/(sqrt(nq.nrm)*sqrt(nc.nrm)) AS cos
-         |           FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
-         |SELECT q_id, n_id, cos, rnk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val emb = quantized(s, d, withBucket = false)
-      val n = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
-      val flat = emb.select(col("vec_id"), col("label"),
-          posexplode(col("qarr")).as(Seq("i0", "v")))
-        .withColumn("i", col("i0") + 1).drop("i0")
-      val cent = flat.groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
-        .join(broadcast(n), Seq("label"))
-        .select(col("label").as("cl"), col("i"), expr("s div cnt").as("cv"))
-      val dist = flat.join(broadcast(cent), Seq("i"))
-        .groupBy(col("vec_id"), col("cl"))
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-      // nearest cell AND nprobe cells in ONE aggregation pass over the
-      // N×K (vec_id, cell) stream — no window rank, no persist of the
-      // pair stream: min_by/BoundedTopK both partial-aggregate map-side
-      // (the top-2 buffer is two (d2, cl) pairs per group); d2 stays Long
-      // (squared integer distances overflow a Double's 53-bit mantissa).
-      val top2 = udaf(BoundedTopK[Long](2))
-      // persisted: two consumers (assignments + probes) — but it is the
-      // SMALL post-aggregation table (one row per vector), not the N×K
-      // distance stream the old plan cached.
-      val cells = dist.groupBy(col("vec_id"))
-        .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cell"),
-          top2(col("d2"), col("cl")).as("cells"))
-        .persist()
-      val assign = cells.select(col("vec_id"), col("cell"))
-      val probe = cells.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("q_id"), explode(col("cells")("_2")).as("cell"))
-      val cand = probe.join(assign, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("n_id")).distinct()
-      val qSide = emb.select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
-        col("nrm").as("nq"))
-      val nSide = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
-      val scored = cand.join(qSide, Seq("q_id")).join(nSide, Seq("n_id"))
-        .select(col("q_id"), col("n_id"),
-          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-        .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
-      rankTopK(scored, 5)
+         |$IvfTopSql
+         |SELECT q_id, n_id, cos, rnk FROM ivtop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkIvf(s, d)
     },
 
     // L2 normalization (embedding preprocessing): components divided by

@@ -71,10 +71,17 @@ object Pipelines {
     * with a different `nBuckets` (which would silently strand rows in
     * old buckets) or pointing at a pre-marker flat layout fails fast.
     * Production can still swap in a transactional table format (Delta
-    * MERGE) or Mongo upserts behind DocumentSink. Bucket jobs run
-    * serially here; they are independent and can run concurrently on a
-    * real cluster.
+    * MERGE) or Mongo upserts behind DocumentSink.
+    *
+    * Touched-bucket merge jobs are INDEPENDENT (disjoint directories,
+    * disjoint key ranges) and run through a bounded pool of
+    * [[UpsertPoolSize]] concurrent Spark jobs, so per-batch latency tracks
+    * the LARGEST touched bucket, not the sum of all of them — the
+    * generation protocol needs no cross-bucket coordination, which
+    * StreamingSpec's concurrent-submission case pins.
     */
+  val UpsertPoolSize = 8
+
   def upsertBatch(spark: SparkSession, stateDir: String,
       batch: DataFrame, keys: Seq[String],
       nBuckets: Int = StateBuckets): Unit = {
@@ -86,7 +93,7 @@ object Pipelines {
     val batchB = batch.withColumn("__bkt", bkt).persist()
     val touched = batchB.select(col("__bkt")).distinct()
       .collect().map(_.getLong(0)).sorted
-    touched.foreach { b =>
+    def mergeBucket(b: Long): Unit = {
       val bDir = new Path(s"$stateDir/__gbkt=$b")
       val cur = latestGen(fs, bDir)
       val bBatch = batchB.filter(col("__bkt") === b).drop("__bkt")
@@ -105,6 +112,18 @@ object Pipelines {
       fs.listStatus(bDir).map(_.getPath)
         .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
         .foreach(p => fs.delete(p, true))
+    }
+    val par = math.min(UpsertPoolSize, touched.length)
+    if (par <= 1) touched.foreach(mergeBucket)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val es = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(es)
+      try Await.result(
+        Future.sequence(touched.toSeq.map(b => Future(mergeBucket(b)))),
+        Duration.Inf)
+      finally es.shutdown()
     }
     batchB.unpersist()
   }
@@ -213,14 +232,20 @@ object Pipelines {
     * additionally drops a retried doc_id whose TEXT changed between
     * deliveries — that row would self-match below the jaccard threshold
     * and double-admit on the signature check alone. Duplicate doc_ids
-    * inside one micro-batch collapse to a single row before signing. (A crash between
-    * `out` and the index append can re-emit one batch downstream; the
-    * transactional fix is the same Delta/document-store swap described on
-    * [[upsertBatch]].) The admitted signatures are STAGED to
-    * `<indexDir>/staging` before `out` runs and the index append copies
-    * from that on-disk table, so a cache eviction mid-batch can never
-    * recompute the admit set against an index that already contains this
-    * batch's own signatures.
+    * inside one micro-batch collapse to a single row before signing — to a
+    * DETERMINISTIC winner (max payload struct), so a replay of a batch
+    * that carried two different payloads under one id admits and seals the
+    * same row both times. (A crash between `out` and the index append can
+    * re-emit one batch downstream; the transactional fix is the same
+    * Delta/document-store swap described on [[upsertBatch]].) The admitted
+    * signatures are STAGED to `<indexDir>/staging` before `out` runs, and
+    * after `out` returns the staging directory is RENAMED into the index
+    * as this batch's run — one parquet write per batch total (the rename
+    * is a metadata op, not a second job), and a cache eviction mid-batch
+    * can never recompute the admit set against an index that already
+    * contains this batch's own signatures. `out` must consume its frame
+    * synchronously: the staged files it reads move into the index when it
+    * returns.
     */
   def nearDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, intraBatch: Boolean = false,
@@ -238,8 +263,8 @@ object Pipelines {
         // doc_id twice in ONE micro-batch — without this the admit join
         // would emit it twice and the sealed run would hold two signature
         // rows for one id (breaking compaction's rows-are-a-function-of-id
-        // dedup)
-        val docs = batch.toDF().dropDuplicates(Seq("doc_id")).persist()
+        // dedup). Deterministic winner, so replays reseal identical rows.
+        val docs = dedupDeterministic(batch.toDF(), "doc_id").persist()
         val newSig = TextOps.minhashSignaturesTotal(docs).persist()
         val indexDropped =
           if (runs.nonEmpty) {
@@ -273,11 +298,26 @@ object Pipelines {
           .write.mode("overwrite").parquet(staging)
         val staged = spark.read.parquet(staging)
         out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
-        sealRun(fs, sigBase, batchId, staged)
+        sealRun(fs, sigBase, batchId, new Path(staging))
         if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery)
         newSig.unpersist(); docs.unpersist()
         ()
       }
+
+  /** collapse duplicate `key` rows of one micro-batch to a DETERMINISTIC
+    * winner — the max over the struct of the remaining columns (strings and
+    * arrays are totally ordered), so replays of the same logical batch
+    * admit and seal the same payload even when an at-least-once source
+    * re-sends an id with a CHANGED payload inside one batch (a plain
+    * dropDuplicates keeps whichever row a task saw first). Same single
+    * shuffle as dropDuplicates. */
+  private def dedupDeterministic(df: DataFrame, key: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    if (others.isEmpty) df.dropDuplicates(Seq(key))
+    else df.groupBy(col(key))
+      .agg(max(struct(others.map(col): _*)).as("__payload"))
+      .select(col(key) +: others.map(c => col(s"__payload.`$c`").as(c)): _*)
+  }
 
   private def genNo(p: Path): Long = p.getName.stripPrefix("gen=").toLong
 
@@ -296,15 +336,24 @@ object Pipelines {
   private def runNo(p: Path): Long =
     p.getName.dropWhile(c => !c.isDigit).toLong
 
-  /** seal one batch's admitted index rows as `run=<batchId>` — named by
-    * batchId, so a replayed batch whose run already exists (complete)
-    * writes nothing instead of appending duplicates. Shared by both admit
-    * gates. */
+  /** seal one batch's admitted index rows as `run=<batchId>` by RENAMING
+    * the already-written staging directory into place — a metadata op, not
+    * a second parquet job (the staged files carry their `_SUCCESS`, so the
+    * run is complete the instant the rename lands). Named by batchId, so a
+    * replayed batch whose run already exists (complete) seals nothing
+    * instead of appending duplicates; a partial run left by a kill between
+    * delete and rename is invisible (no `_SUCCESS`) and replaced here.
+    * Shared by both admit gates. */
   private def sealRun(fs: org.apache.hadoop.fs.FileSystem, sigBase: Path,
-      batchId: Long, staged: DataFrame): Unit = {
+      batchId: Long, staging: Path): Unit = {
     val runDir = new Path(sigBase, f"run=$batchId%012d")
-    if (!fs.exists(new Path(runDir, "_SUCCESS")))
-      staged.write.mode("overwrite").parquet(runDir.toString)
+    if (!fs.exists(new Path(runDir, "_SUCCESS"))) {
+      if (fs.exists(runDir)) fs.delete(runDir, true)
+      if (!fs.exists(sigBase)) fs.mkdirs(sigBase)
+      if (!fs.rename(staging, runDir))
+        throw new IllegalStateException(
+          s"could not seal $runDir from staged admit set $staging")
+    }
   }
 
   /** the COMPLETE (`_SUCCESS`-marked) runs of a tiered index directory —
@@ -358,29 +407,41 @@ object Pipelines {
   /** Streaming EMBEDDING dedup admit gate — the vector mirror of
     * [[nearDupGate]], over the same size-tiered run index machinery: every
     * micro-batch of `(vec_id, embedding)` rows is quantized into the
-    * (qarr, nrm, bucket) index layout (VectorOps.embeddingIndex — total,
-    * one row per vector), probed against the persisted index
-    * (VectorOps.probeEmbedIndex — corpus streams through its bucket join
+    * (qarr, nrm) index layout (VectorOps.embeddingIndex — total, one row
+    * per vector; the multi-table sign codes are derived row-locally at
+    * probe time by VectorOps.embedCodeTable, exactly as the text gate
+    * derives bands from signatures), probed against the persisted index
+    * (VectorOps.probeEmbedIndex — corpus streams through its code join
     * unshuffled, batch side broadcasts, exact integer-cosine verify at
     * `threshold`), admitted vectors flow to `out`, and the admitted index
     * rows seal as this batch's `run=`.
     *
+    * `shuffleProbe = true` switches to VectorOps.probeEmbedIndexShuffle:
+    * identical verdicts, but the micro-batch side is never broadcast — the
+    * mode for embedding-ingest bursts past Spark's broadcast ceiling,
+    * mirroring [[nearDupGate]]'s flag (EmbedDupStreamSpec pins cross-mode
+    * admit-set equality).
+    *
     * Same crash/replay story as the text gate: the admit set is STAGED to
-    * disk before any side effect; runs are named by batchId so a replayed
-    * batch whose run is already sealed writes nothing; and replayed
-    * vectors are dropped BOTH by cosine self-match and by an explicit
-    * id-level guard (index ids semi-joined against the broadcast batch id
-    * set) — the id guard also catches an upstream retry that re-sends an
-    * already-admitted vec_id with a perturbed payload, which a pure
-    * cosine probe could otherwise double-admit. `intraBatch = true` adds
-    * the first-wins within-batch pass (VectorOps.intraBatchEmbedDups).
-    * Compaction: [[mergeSmallRuns]] keyed by vec_id, run count ≤
-    * compactEvery+1, never a whole-index rewrite. `vec_id` must be
-    * NON-NULL — same natural-key contract as [[nearDupGate]]. */
+    * disk before any side effect and RENAMED into the index after `out`
+    * returns (one parquet write per batch); runs are named by batchId so a
+    * replayed batch whose run is already sealed writes nothing; and
+    * replayed vectors are dropped BOTH by cosine self-match and by an
+    * explicit id-level guard (index ids semi-joined against the broadcast
+    * batch id set) — the id guard also catches an upstream retry that
+    * re-sends an already-admitted vec_id with a perturbed payload, which a
+    * pure cosine probe could otherwise double-admit. Duplicate vec_ids
+    * inside one micro-batch collapse to a deterministic winner (max
+    * payload struct). `intraBatch = true` adds the first-wins within-batch
+    * pass (VectorOps.intraBatchEmbedDups). Compaction: [[mergeSmallRuns]]
+    * keyed by vec_id, run count ≤ compactEvery+1, never a whole-index
+    * rewrite. `vec_id` must be NON-NULL — same natural-key contract as
+    * [[nearDupGate]]. */
   def embedDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, threshold: Double = 0.95,
       intraBatch: Boolean = false,
-      compactEvery: Int = CompactEvery): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactEvery: Int = CompactEvery,
+      shuffleProbe: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -390,15 +451,18 @@ object Pipelines {
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val runs = completeRuns(fs, sigBase)
         // per-id dedup FIRST — embeddingIndex has no per-id aggregation, so
-        // a doc_id delivered twice in one micro-batch would otherwise
-        // produce two index rows and a multiplied admit join downstream
-        val vecs = batch.toDF().dropDuplicates(Seq("vec_id")).persist()
+        // a vec_id delivered twice in one micro-batch would otherwise
+        // produce two index rows and a multiplied admit join downstream.
+        // Deterministic winner, so replays reseal identical rows.
+        val vecs = dedupDeterministic(batch.toDF(), "vec_id").persist()
         val newIdx = VectorOps.embeddingIndex(vecs).persist()
         val indexDropped =
           if (runs.nonEmpty) {
             val idx = spark.read.parquet(runs.map(_.toString): _*)
-            val cosDropped = VectorOps.probeEmbedIndex(newIdx, idx, threshold)
-              .filter(col("is_dup")).select(col("vec_id"))
+            val cosDropped =
+              (if (shuffleProbe) VectorOps.probeEmbedIndexShuffle(newIdx, idx, threshold)
+               else VectorOps.probeEmbedIndex(newIdx, idx, threshold))
+                .filter(col("is_dup")).select(col("vec_id"))
             val replayed = idx.select(col("vec_id"))
               .join(broadcast(newIdx.select(col("vec_id"))), Seq("vec_id"), "left_semi")
             cosDropped.union(replayed)
@@ -414,7 +478,7 @@ object Pipelines {
           .write.mode("overwrite").parquet(staging)
         val staged = spark.read.parquet(staging)
         out(vecs.join(staged.select(col("vec_id")), Seq("vec_id")))
-        sealRun(fs, sigBase, batchId, staged)
+        sealRun(fs, sigBase, batchId, new Path(staging))
         if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery, "vec_id")
         newIdx.unpersist(); vecs.unpersist()
         ()

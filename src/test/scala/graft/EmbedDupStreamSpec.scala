@@ -59,6 +59,33 @@ class EmbedDupStreamSpec extends AnyFunSuite {
     assert(indexed === Seq(1L, 2L, 4L))
   }
 
+  test("shuffleProbe mode admits identically to the broadcast probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-edshuf").toString
+    val admittedDir = s"$base/admitted"
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Pipelines.embedDupGate(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir),
+      shuffleProbe = true).start()
+    try {
+      in.addData((1L, e1), (2L, e2))
+      q.processAllAvailable()
+      in.addData((3L, e1near), (4L, e3))
+      q.processAllAvailable()
+      // replay through the large-batch path self-dedups the same way
+      in.addData((3L, e1near), (4L, e3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(1L, 2L, 4L),
+      "the shuffle probe must reproduce the broadcast probe's admits")
+  }
+
   test("id guard: a retried vec_id with a perturbed payload does not double-admit") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-edretry").toString

@@ -165,6 +165,26 @@ class PlanSpec extends AnyFunSuite {
       "band probe should be a shuffled hash join")
   }
 
+  test("incremental embed probe never shuffles the corpus for a join") {
+    val p = plan("dd_incremental_embed")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "probe/verify joins must broadcast the batch-derived side")
+    assert(p.contains("BroadcastHashJoin"),
+      "code probe should be a broadcast hash join")
+  }
+
+  test("large-batch embed probe never broadcasts the batch side") {
+    val df = QueryRegistry.byName("dd_incremental_embed_big").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only broadcast allowed is the 1-row scalar cut (nested-loop);
+    // every batch-derived table must cross the cluster as a shuffle
+    assert(!p.contains("BroadcastHashJoin"),
+      "batch-derived side broadcast in the large-batch embed path")
+    assert(p.contains("ShuffledHashJoin"),
+      "code probe should be a shuffled hash join")
+  }
+
   test("argmin/top-k partial-aggregates — no window over the ranked stream") {
     Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_lsh4", "ss_topk_ivf",
         "ss_topk_quant", "ss_kmeans_assign", "w1b_topk_per_key").foreach { n =>

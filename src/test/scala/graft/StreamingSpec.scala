@@ -155,6 +155,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) === "V1" && got(2L) === "v2" && got.size === 200)
   }
 
+  test("concurrent bucket merges (bounded pool) preserve the generation protocol") {
+    val dir = Files.createTempDirectory("graft-cstate").toString + "/state"
+    val sink = new graft.streaming.ParquetDocumentSink(spark, dir)
+    // every one of the 32 buckets touched → 4× UpsertPoolSize merge jobs
+    // racing through the pool, twice, with an overlapping key range
+    sink.upsert((1L to 500L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
+    sink.upsert((250L to 750L).map(k => (k, s"w$k")).toDF("k", "v"), Seq("k"))
+    val got = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(got.size === 750)
+    assert(got(100L) === "v100" && got(249L) === "v249"
+      && got(250L) === "w250" && got(750L) === "w750")
+    // the generation protocol held under concurrency: every bucket resolves
+    // to exactly ONE complete generation (older ones retired)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__gbkt="))
+    assert(bucketDirs.length === Pipelines.StateBuckets)
+    bucketDirs.foreach { b =>
+      val gens = b.listFiles().filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      assert(gens.length === 1,
+        s"${b.getName}: expected one generation, got ${gens.map(_.getName).mkString(",")}")
+      assert(new java.io.File(gens.head, "_SUCCESS").exists(),
+        s"${b.getName}: newest generation incomplete")
+    }
+  }
+
   test("bucket swap survives a kill at any point (generation dirs + marker guards)") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     val dir = Files.createTempDirectory("graft-crash").toString + "/state"
