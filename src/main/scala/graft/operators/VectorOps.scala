@@ -145,39 +145,57 @@ object VectorOps {
       .select(col("vec_id"), col("qarr"), col("nrm"))
 
   /** the multi-table code table of an [[embeddingIndex]] frame:
-    * `(vec_id, qarr, nrm, bkey)`, EmbedCodeTables rows per vector, with
-    * `bkey` = table ordinal · 2^bits + the slice's sign bits. Signs are
-    * read from qarr — floor quantization preserves the `>= 0` comparison
-    * exactly — and a slice index beyond a short vector's length contributes
-    * no bit (try_element_at yields NULL, NULL >= 0 is NULL), so any
-    * dimension count probes correctly. Row-local explode; no shuffle. */
+    * `(vec_id, qarr, nrm, codes, t, bkey)` — EmbedCodeTables rows per
+    * vector, `codes` = the vector's 4 raw slice codes in-row, `bkey` =
+    * table ordinal · 2^bits + codes(t). Signs are read from qarr — floor
+    * quantization preserves the `>= 0` comparison exactly — and a slice
+    * index beyond a short vector's length contributes no bit
+    * (try_element_at yields NULL, NULL >= 0 is NULL), so any dimension
+    * count probes correctly. Row-local explode; no shuffle. Carrying the
+    * full code array lets a join dedup multi-table collisions with
+    * [[firstTableMatch]] — a row-local filter instead of a per-pair
+    * aggregation shuffle. */
   def embedCodeTable(idx: DataFrame): DataFrame =
-    idx.select(col("vec_id"), col("qarr"), col("nrm"),
-        explode(expr(s"sequence(0, ${EmbedCodeTables - 1})")).as("t"))
-      .withColumn("bkey",
-        col("t").cast(LongType) * (1L << EmbedCodeBits) + expr(
+    idx.select(col("vec_id"), col("qarr"), col("nrm"))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, ${EmbedCodeTables - 1}), t -> " +
           s"aggregate(sequence(1, $EmbedCodeBits), cast(0 as bigint), (acc, i) -> " +
-            s"acc + if(try_element_at(qarr, t*$EmbedCodeBits + i) >= cast(0 as bigint), " +
-            s"cast(pow(2, i-1) as bigint), cast(0 as bigint)))"))
-      .drop("t")
+          s"acc + if(try_element_at(qarr, t*$EmbedCodeBits + i) >= cast(0 as bigint), " +
+          s"cast(pow(2, i-1) as bigint), cast(0 as bigint))))"))
+      .select(col("vec_id"), col("qarr"), col("nrm"), col("codes"),
+        posexplode(col("codes")).as(Seq("t", "code")))
+      .withColumn("bkey",
+        col("t").cast(LongType) * (1L << EmbedCodeBits) + col("code"))
+      .drop("code")
+
+  /** exactly-once pair emission for a code-table join: TRUE iff the join's
+    * table `t` is the FIRST table where the two vectors' codes agree — so a
+    * pair colliding in several tables survives on exactly one row, as a
+    * row-local codegen'd filter (zip_with + array_position over two 4-long
+    * arrays) instead of a candidate-sized dedup shuffle. */
+  private def firstTableMatch(codesA: String, codesB: String): Column =
+    expr(s"array_position(zip_with($codesA, $codesB, (x, y) -> x = y), true)") ===
+      col("t").cast(LongType) + 1L
 
   /** probe a persisted embedding index with a new batch → one verdict row
     * per new vector (vec_id, n_cand, best_cos, is_dup at `threshold`).
     * Both sides are [[embeddingIndex]] layouts. The corpus streams through
     * its code join UNSHUFFLED — the batch-derived code table broadcasts
     * (band-probe shape); candidates are exact-integer-cosine verified
-    * in-line. A pair colliding in several tables appears once per table:
-    * cos is a function of the pair, so the per-pair max() dedups exactly
-    * and `n_cand` counts DISTINCT candidates. Everything after the code
-    * join is candidate-sized and shuffles on batch-derived keys only. */
+    * in-line. A pair colliding in several tables is kept exactly once by
+    * the row-local [[firstTableMatch]] filter (no dedup shuffle), so
+    * `n_cand` counts DISTINCT candidates. Everything after the code join
+    * is candidate-sized and shuffles on batch-derived keys only. */
   def probeEmbedIndex(newIdx: DataFrame, corpusIdx: DataFrame,
       threshold: Double = 0.95): DataFrame = {
     val nv = embedCodeTable(newIdx).select(col("vec_id").as("new_id"),
-      col("qarr").as("q_qarr"), col("nrm").as("nq"), col("bkey"))
+      col("qarr").as("q_qarr"), col("nrm").as("nq"), col("codes").as("ncodes"),
+      col("bkey"))
     val scored = embedCodeTable(corpusIdx)
       .select(col("vec_id").as("corpus_id"), col("qarr"), col("nrm").as("nc"),
-        col("bkey"))
+        col("codes"), col("t"), col("bkey"))
       .join(broadcast(nv), Seq("bkey"))
+      .filter(firstTableMatch("ncodes", "codes"))
       .select(col("new_id"), col("corpus_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
       .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
@@ -195,27 +213,28 @@ object VectorOps {
   def probeEmbedIndexShuffle(newIdx: DataFrame, corpusIdx: DataFrame,
       threshold: Double = 0.95): DataFrame = {
     val nv = embedCodeTable(newIdx).select(col("vec_id").as("new_id"),
-      col("qarr").as("q_qarr"), col("nrm").as("nq"), col("bkey"))
+      col("qarr").as("q_qarr"), col("nrm").as("nq"), col("codes").as("ncodes"),
+      col("bkey"))
     val scored = embedCodeTable(corpusIdx)
       .select(col("vec_id").as("corpus_id"), col("qarr"), col("nrm").as("nc"),
-        col("bkey"))
+        col("codes"), col("t"), col("bkey"))
       .join(nv.hint("shuffle_hash"), Seq("bkey"))
+      .filter(firstTableMatch("ncodes", "codes"))
       .select(col("new_id"), col("corpus_id"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
       .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     perVectorVerdicts(newIdx, scored, threshold, broadcastPer = false)
   }
 
-  /** shared verdict tail of the two probe modes: per-pair dedup (max over
-    * table collisions), per-vector candidate count + best cosine, left join
-    * back onto the full batch id set so silent vectors verdict as
-    * (0, 0.0, false). `broadcastPer` picks the small-batch broadcast join
-    * vs the shuffle_hash-pinned large-batch join. */
+  /** shared verdict tail of the two probe modes: per-vector candidate count
+    * + best cosine over the exactly-once pair stream ([[firstTableMatch]]
+    * already dedup'd table collisions row-locally), left join back onto the
+    * full batch id set so silent vectors verdict as (0, 0.0, false).
+    * `broadcastPer` picks the small-batch broadcast join vs the
+    * shuffle_hash-pinned large-batch join. */
   private def perVectorVerdicts(newIdx: DataFrame, scored: DataFrame,
       threshold: Double, broadcastPer: Boolean): DataFrame = {
-    val pair = scored.groupBy(col("new_id"), col("corpus_id"))
-      .agg(max(col("cos")).as("cos"))
-    val per = pair.groupBy(col("new_id"))
+    val per = scored.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos"))
       .withColumnRenamed("new_id", "vec_id")
     newIdx.select(col("vec_id"))
@@ -234,11 +253,12 @@ object VectorOps {
   def intraBatchEmbedDups(idx: DataFrame, threshold: Double = 0.95): DataFrame = {
     val codes = embedCodeTable(idx)
     val a = codes.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
-      col("nrm").as("na"), col("bkey"))
+      col("nrm").as("na"), col("codes").as("ca"), col("t"), col("bkey"))
     val b = codes.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
-      col("nrm").as("nb"), col("bkey"))
+      col("nrm").as("nb"), col("codes").as("cb"), col("bkey"))
     a.join(b, Seq("bkey"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(firstTableMatch("ca", "cb"))
       .select(col("vec_b"),
         cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -697,11 +717,12 @@ object VectorOps {
     // Embedding near-duplicate pairs: multi-table sign-code candidates
     // (embedCodeTable — 4×16-bit dimension-slice codes), exact integer
     // cosine verify, threshold 0.95. Shuffles once on the code key; a pair
-    // colliding in several tables dedups through the per-pair max (cos is a
-    // function of the pair). Candidate volume per key shrinks with the
-    // 4·2^16 key space instead of saturating 256 buckets — the layout that
-    // keeps the candidate set dup-sized at corpus scale (README records the
-    // measured candidate counts at 8×/32×).
+    // colliding in several tables is emitted exactly once by the row-local
+    // first-matching-table filter (no dedup aggregation). Candidate volume
+    // per key shrinks with the 4·2^16 key space instead of saturating 256
+    // buckets — the layout that keeps the candidate set dup-sized at
+    // corpus scale (README records the measured candidate counts at
+    // 8×/32×).
     Q(
       "dd_embed_cosine",
       s"""$FlatCte,
@@ -723,15 +744,14 @@ object VectorOps {
       val codes = embedCodeTable(embeddingIndex(
         T.embeddings(s, d).select(col("vec_id"), col("embedding"))))
       val a = codes.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
-        col("nrm").as("na"), col("bkey"))
+        col("nrm").as("na"), col("codes").as("ca"), col("t"), col("bkey"))
       val b = codes.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),
-        col("nrm").as("nb"), col("bkey"))
+        col("nrm").as("nb"), col("codes").as("cb"), col("bkey"))
       a.join(b, Seq("bkey"))
         .filter(col("vec_a") < col("vec_b"))
+        .filter(firstTableMatch("ca", "cb"))
         .select(col("vec_a"), col("vec_b"),
           cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
-        .groupBy(col("vec_a"), col("vec_b"))
-        .agg(max(col("cos")).as("cos"))
         .filter(col("cos") >= 0.95)
         .orderBy(col("vec_a"), col("vec_b"))
     }.copy(bench = true),

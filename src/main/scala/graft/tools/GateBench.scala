@@ -57,14 +57,15 @@ object GateBench {
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
     val perVBatch = math.max(1, vecs.length / nBatches)
 
-    def driveEmbed(): (Double, Long) = {
+    def driveEmbed(shuffleProbe: Boolean): (Double, Long) = {
       val base = java.nio.file.Files.createTempDirectory("graft-egatebench").toString
       val in = MemoryStream[(Long, Seq[Float])]
       var admitted = 0L
       val q = Pipelines.embedDupGate(
         in.toDF().toDF("vec_id", "embedding"),
         s"$base/index", s"$base/ckpt",
-        out => admitted += out.count()).start()
+        out => admitted += out.count(),
+        shuffleProbe = shuffleProbe).start()
       val t0 = System.nanoTime()
       try {
         vecs.grouped(perVBatch).foreach { g =>
@@ -77,7 +78,8 @@ object GateBench {
 
     val (tB, aB) = drive(shuffleProbe = false)
     val (tS, aS) = drive(shuffleProbe = true)
-    val (tE, aE) = driveEmbed()
+    val (tE, aE) = driveEmbed(shuffleProbe = false)
+    val (tES, aES) = driveEmbed(shuffleProbe = true)
     val n = docs.length
     val nv = vecs.length
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -86,6 +88,7 @@ object GateBench {
       s""""broadcast":{"sec":${fmt(tB)},"admitted":$aB,"docs_per_sec":${fmt(n / tB)}},""" +
       s""""shuffle":{"sec":${fmt(tS)},"admitted":$aS,"docs_per_sec":${fmt(n / tS)}},""" +
       s""""embed":{"sec":${fmt(tE)},"vecs":$nv,"admitted":$aE,"vecs_per_sec":${fmt(nv / tE)}},""" +
+      s""""embed_shuffle":{"sec":${fmt(tES)},"admitted":$aES,"vecs_per_sec":${fmt(nv / tES)}},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
