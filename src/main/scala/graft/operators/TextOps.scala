@@ -259,7 +259,7 @@ object TextOps {
   /** shared corpus/batch doc_id split (top-10% slice = the "new batch") for
     * the two incremental-LSH paths; both signature tables persisted — each
     * feeds two consumers (bands + verify). */
-  private def incrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def incrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
     val cutDf = docs.agg(expr("(max(doc_id)*9) div 10").as("cutv"))
     val flagged = docs.crossJoin(broadcast(cutDf))
@@ -1130,6 +1130,65 @@ object TextOps {
         .filter(col("hamming") <= ShThresh)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // INTRA-document dedup — repeated-passage removal WITHIN one document
+    // (the within-doc analog of dd_boilerplate's cross-doc pass): the token
+    // stream is tiled into non-overlapping 3-token chunks, a chunk repeated
+    // later in the same document is dropped (first occurrence wins), and
+    // the survivors reassemble in original order. The contract covers the
+    // tiled region; a 1-2-token tail is out of scope by definition (n_chunks
+    // counts tiles). Shapes: one row-local chunking map, two
+    // map-side-combining shuffles keyed by (doc_id, chunk) then doc_id —
+    // per-doc state is bounded by the doc's own chunk count, so the pass is
+    // a linear scan at any corpus size; no cross-document state at all.
+    Q(
+      "dd_intradoc",
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(cs) AS chunk, unnest(range(0, len(cs))) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_transform(range(0, len(l)//3),
+        |                         k -> l[3*k+1]||' '||l[3*k+2]||' '||l[3*k+3]) AS cs
+        |        FROM d)),
+        |kept AS (SELECT doc_id, chunk, min(pos) AS keep_pos, count(*) AS n_occ
+        |         FROM ch GROUP BY doc_id, chunk),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+        |          CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(chunk, ' ' ORDER BY keep_pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN agg a USING(doc_id) ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("l"))
+      // guard the sequence: Spark's sequence(0, -1) would generate a
+      // DESCENDING range for a <3-token doc instead of an empty one
+      val chunks = docs.select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(l) >= 3
+          |THEN transform(sequence(0, (size(l) div 3) - 1),
+          |               k -> concat_ws(' ', slice(l, 3*k+1, 3)))
+          |ELSE cast(array() as array<string>) END""".stripMargin))
+        .as(Seq("pos", "chunk")))
+      val kept = chunks.groupBy(col("doc_id"), col("chunk"))
+        .agg(min(col("pos")).as("keep_pos"), count(lit(1)).as("n_occ"))
+      // collect_list is order-nondeterministic; the array_sort over
+      // (keep_pos, chunk) structs restores the deterministic original order
+      // (keep_pos is unique per doc — one chunk per position)
+      val agg = kept.groupBy(col("doc_id")).agg(
+        sum(col("n_occ")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("keep_pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -330,7 +330,7 @@ object VectorOps {
   /** shared corpus/batch vec_id split (top-10% slice = the "new batch") for
     * the two incremental embedding paths; the batch index is persisted —
     * it feeds the code join AND the final verdict anchor. */
-  private def embedIncrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def embedIncrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = embeddingIndex(
       T.embeddings(s, d).select(col("vec_id"), col("embedding")))
     val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))

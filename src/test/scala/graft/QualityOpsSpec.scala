@@ -100,6 +100,66 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(spent <= budget && spent + bestRejectedTok > budget)
   }
 
+  test("tx_classifier_train: weights are non-trivial and one row per feature bucket") {
+    val rows = run("tx_classifier_train").collect()
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.distinct.length === buckets.length, "duplicate bucket rows")
+    assert(buckets.contains(-1L), "bias bucket missing")
+    assert(buckets.contains(-2L) && buckets.contains(-3L), "engineered buckets missing")
+    // the pocket pick is a trained epoch, not the zero init
+    assert(rows.exists(_.getLong(1) !== 0L), "all-zero weight vector")
+  }
+
+  test("tx_classifier_score: every doc scored, pred = sign(margin), accuracy beats 0.7") {
+    val df = run("tx_classifier_score").cache()
+    val nDocs = core.Tables.documents(spark, sf).count()
+    val rows = df.collect()
+    assert(rows.length.toLong === nDocs, "a document failed to score")
+    rows.foreach { r =>
+      val (margin, pred, label, correct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(pred === (if (margin > 0) 1L else -1L))
+      assert(correct === (pred === label))
+    }
+    val acc = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(acc > 0.7, f"train-set accuracy $acc%.3f below floor")
+    df.unpersist()
+  }
+
+  test("tx_shard_pack: offsets replay the hash-order running token total") {
+    val rows = run("tx_shard_pack")
+      .select("doc_id", "h", "n_tok", "shard", "shard_off").collect()
+    var cum = 0L
+    rows.sortBy(r => (r.getLong(1), r.getLong(0))).foreach { r =>
+      assert(r.getLong(3) === cum / 4096, s"doc ${r.getLong(0)} shard")
+      assert(r.getLong(4) === cum % 4096, s"doc ${r.getLong(0)} shard_off")
+      cum += r.getLong(2)
+    }
+    // the permutation is a genuine shuffle: hash order differs from id order
+    val byH = rows.sortBy(r => (r.getLong(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    assert(byH !== byH.sorted, "hash order degenerated to id order")
+  }
+
+  test("dd_intradoc: chunk accounting holds and clean text is dedup-idempotent") {
+    val rows = run("dd_intradoc")
+      .select("doc_id", "n_chunks", "n_kept", "clean_text").collect()
+    assert(rows.nonEmpty)
+    var dropped = 0L
+    rows.foreach { r =>
+      val (nChunks, nKept, clean) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nKept <= nChunks)
+      val toks = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(toks === 3 * nKept, s"doc ${r.getLong(0)} clean token count")
+      // survivors are distinct chunks: re-chunking the clean text drops nothing
+      val chunks = (if (clean.isEmpty) Array.empty[String] else clean.split(" "))
+        .grouped(3).map(_.mkString(" ")).toSeq
+      assert(chunks.distinct.length === chunks.length,
+        s"doc ${r.getLong(0)} clean text still has a repeated chunk")
+      dropped += nChunks - nKept
+    }
+    assert(dropped > 0, "corpus has no repeated passage at all — generator drifted?")
+  }
+
   test("tx_domain_mix: rates are in (0,1], uniform target, kept mass never exceeds the target") {
     val rows = run("tx_domain_mix")
       .select("source", "n_docs", "tok", "target", "rate", "keep_tokens").collect()
