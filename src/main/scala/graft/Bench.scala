@@ -49,15 +49,36 @@ object Bench {
     }
     // Locale.ROOT: the f interpolator formats with the JVM default locale,
     // and a comma-decimal locale would make this line unparseable JSON
-    def obj(m: Seq[(String, Double)]) = m
-      .map { case (k, v) =>
-        val num = String.format(java.util.Locale.ROOT, "%.4f",
-          Double.box(if (java.lang.Double.isFinite(v)) v else 0.0))
-        "\"" + k + "\":" + num
-      }
+    def fmt(v: Double, pat: String) = String.format(java.util.Locale.ROOT, pat,
+      Double.box(if (java.lang.Double.isFinite(v)) v else 0.0))
+    def obj(m: Seq[(String, Double)], pat: String = "%.4f") = m
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, pat) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"sf":"$sfDir"}""")
+    // Full per-query detail (all queries + spreads) goes to a FILE; the
+    // stdout line must stay well under 2000 characters because the driver
+    // records only the LAST 2000 chars of this process's output and parses
+    // the JSON line out of that window — a full 144-query line (~9 KB) gets
+    // its head truncated and parses as null (BENCH_r5/r6 post-mortem).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"sf":"$sfDir"}""")
+    // stdout: headline = the heaviest queries, greedily added while the
+    // line stays under budget; the remainder is summarized, never dropped
+    // silently (n + seconds of everything not listed).
+    val byWeight = results.sortBy(-_._2)
+    val budget = 1500
+    val head = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var used = 0
+    byWeight.foreach { case (k, v) =>
+      val cost = k.length + 10
+      if (used + cost <= budget) { head += (k -> v); used += cost }
+    }
+    val rest = byWeight.drop(head.size)
+    val sortedSpreads = spreads.map(_._2).sorted
+    val spreadMedian =
+      if (sortedSpreads.isEmpty) 0.0 else sortedSpreads(sortedSpreads.size / 2)
+    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

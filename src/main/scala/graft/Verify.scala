@@ -23,13 +23,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A failed query must be LOUD: round 6 lost half the registry because
+    // failures were only stderr lines — absent from the correctness report,
+    // they read as "not attempted" rather than "broken". Collect them and
+    // write _failures.json next to the results so any breakage is a visible
+    // artifact, not a silent hole.
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +54,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    println(s"[verify] ${selected.size - failures.size}/${selected.size} queries dumped" +
+      (if (failures.nonEmpty) s"; FAILED: ${failures.map(_._1).mkString(",")}" else ""))
     spark.stop()
   }
 }

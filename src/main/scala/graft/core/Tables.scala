@@ -13,24 +13,6 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). We read nanos as Long
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    * exactly what DuckDB does when it reads the same file (verified: its
-    * TIMESTAMP(NANOS) parquet read yields µs TIMESTAMP, truncating), so the
-    * oracle compare sees identical values.
-    */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    // The flag is set at session-build time by Verify/Bench/tests (the
-    // loader stays pure there); this set is a defensive no-op for sessions
-    // built outside the engine's entry points, where the alternative is a
-    // hard PARQUET_TYPE_ILLEGAL failure. It is idempotent (same value every
-    // time), so reads cannot become order-dependent on it.
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
-
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -38,9 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** events.ts: the driver has written this column with different physical
+    * parquet encodings across testdata generations — int64 TIMESTAMP(NANOS)
+    * (which Spark 4 surfaces as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain timestamp[us]
+    * (surfaced as TIMESTAMP / TIMESTAMP_NTZ depending on isAdjustedToUTC).
+    * The engine must not assume the writer's choice, so we branch on the
+    * schema Spark actually infers and normalize every variant to a session
+    * TimestampType at microsecond precision — the same value DuckDB's reader
+    * produces for each encoding (nanos truncate to µs there too), keeping the
+    * oracle compare exact. Sessions pin spark.sql.session.timeZone=UTC, so
+    * the NTZ→TZ cast is instant-preserving.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected int64-nanos, timestamp, or timestamp_ntz)")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -110,6 +110,30 @@ class EmbedDupStreamSpec extends AnyFunSuite {
     assert(admitted === Seq(1L), "retried id 1 must admit exactly once")
   }
 
+  test("conflicting same-id payloads in ONE batch pick the max-struct winner, order-free") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-edconflict").toString
+
+    // same vec_id, two DIFFERENT embeddings in one delivery — the winner
+    // must be the max payload struct regardless of arrival order (array<float>
+    // orders lexicographically: e2 = [0,1,...] < e1 = [1,0,...], so e1 wins)
+    def runOnce(tag: String, rows: (Long, Seq[Float])*): Seq[(Long, Seq[Float])] = {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = Pipelines.embedDupGate(
+        in.toDF().toDF("vec_id", "embedding"),
+        s"$base/index-$tag", s"$base/ckpt-$tag",
+        out => out.write.mode("append").parquet(s"$base/admitted-$tag")).start()
+      try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+      spark.read.parquet(s"$base/admitted-$tag")
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().sortBy(_._1).toSeq
+    }
+    val fwd = runOnce("fwd", (1L, e2), (1L, e1))
+    val rev = runOnce("rev", (1L, e1), (1L, e2))
+    assert(fwd === Seq((1L, e1)), s"expected max-struct payload e1 to win, got $fwd")
+    assert(rev === fwd, "intra-batch winner depends on arrival order")
+  }
+
   test("a vec_id delivered twice in ONE micro-batch admits one row, not an amplified join") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-eddup").toString

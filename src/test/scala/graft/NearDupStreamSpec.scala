@@ -91,6 +91,60 @@ class NearDupStreamSpec extends AnyFunSuite {
       "the shuffle probe must reproduce the broadcast probe's admits")
   }
 
+  test("conflicting same-id payloads in ONE batch collapse to the deterministic max winner") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ndconflict").toString
+    val admittedDir = s"$base/admitted"
+
+    val loser  = "aardvark anthology about ancient archives and autumn afternoons"
+    val winner = "zebra zephyrs zigzag zealously over zinc zeppelins at zero hour"
+
+    def runOnce(tag: String): Seq[(Long, String)] = {
+      val in = MemoryStream[(Long, String)]
+      val q = Pipelines.nearDupGate(
+        in.toDF().toDF("doc_id", "text"),
+        s"$base/index-$tag", s"$base/ckpt-$tag",
+        out => out.write.mode("append").parquet(s"$admittedDir-$tag")).start()
+      try {
+        // an at-least-once source re-sends id 1 within ONE micro-batch,
+        // each delivery carrying a DIFFERENT text
+        in.addData((1L, loser), (1L, winner))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$admittedDir-$tag")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    }
+
+    // order within the batch must not matter: the winner is max(payload
+    // struct), not arrival order — two runs with reversed delivery order
+    // admit the identical row (a plain dropDuplicates would keep whichever
+    // row a task saw first and could seal either payload)
+    val a = runOnce("fwd")
+    assert(a === Seq((1L, winner)), s"expected the max-struct payload to win, got $a")
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Pipelines.nearDupGate(
+      in2.toDF().toDF("doc_id", "text"),
+      s"$base/index-rev", s"$base/ckpt-rev",
+      out => out.write.mode("append").parquet(s"$admittedDir-rev")).start()
+    try {
+      in2.addData((1L, winner), (1L, loser))
+      q2.processAllAvailable()
+      // replay the same conflicting pair: id guard + self-match admit nothing
+      in2.addData((1L, winner), (1L, loser))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val b = spark.read.parquet(s"$admittedDir-rev")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(b === a, "winner depends on intra-batch arrival order or replays double-admit")
+
+    // the sealed index also carries exactly one signature row for id 1
+    val idxIds = Pipelines.readNearDupIndex(spark, s"$base/index-rev")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(idxIds === Seq(1L))
+  }
+
   test("intraBatch flag: of two near-dups arriving in ONE batch, exactly the first admits") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-ndintra").toString

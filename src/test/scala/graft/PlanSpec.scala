@@ -195,6 +195,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_budget_select's bucket assignment is structurally pinned") {
+    // Two consumers (the per-bucket window and the bucket-totals cumsum)
+    // read the range-partitioned frame; its spark_partition_id() bucket ids
+    // are only consistent across them if BOTH see one materialized
+    // RangePartitioner execution. The query localCheckpoints the ranged
+    // frame, so the analyzed plan must scan a checkpointed RDD and contain
+    // NO live range-repartition — a dropped pin reintroduces
+    // REPARTITION_BY_RANGE into the lineage and two consumers could each
+    // trigger a fresh, differently-sampled partitioning (corrupted cumsum).
+    val df = QueryRegistry.byName("tx_budget_select").fn(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("LogicalRDD"),
+      "ranged frame is not checkpoint-pinned (no LogicalRDD scan in the plan)")
+    assert(!analyzed.contains("RepartitionByExpression"),
+      "live range repartition in the lineage — bucket ids can re-sample per consumer")
+  }
+
   test("int_dot multiply-accumulate stays inside whole-stage codegen") {
     val p = plan("ss_topk_brute")
     assert(p.contains("int_dot"), "int_dot expression missing from plan")

@@ -122,6 +122,55 @@ class SchemasSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.events tolerates every physical ts encoding the driver has used") {
+    // Round 6 post-mortem: the driver regenerated testdata and events.ts
+    // flipped physical type from int64 TIMESTAMP(NANOS) to timestamp[us],
+    // silently breaking every events-backed query. This pins the loader's
+    // normalization: all writer encodings must yield identical TimestampType
+    // rows. (Spark cannot write TIMESTAMP(NANOS); under
+    // spark.sql.legacy.parquet.nanosAsLong=true it surfaces as LongType,
+    // which a plain int64 nanos column exercises identically.)
+    val base = java.nio.file.Files.createTempDirectory("graft-tsdrift").toString
+    val rows = Seq(
+      (1L, 1704067200123456L, 10L, "signup", 1.5),  // 2024-01-01T00:00:00.123456Z
+      (2L, 1704153600987654L, 11L, "error", 2.5))
+    val micros = rows.toDF("event_id", "us", "user_id", "event_type", "value")
+
+    // variant 1: int64 nanos (no logical type) — the nanosAsLong-era shape
+    micros.withColumn("ts", col("us") * 1000L).drop("us")
+      .write.parquet(s"$base/nanos/events.parquet")
+    // variant 2: TIMESTAMP_NTZ micros — the current driver encoding
+    //            (isAdjustedToUTC=false, timeUnit=microseconds)
+    micros.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      .drop("us").write.parquet(s"$base/ntz/events.parquet")
+    // variant 3: adjusted-to-UTC TIMESTAMP micros
+    withConf("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") {
+      micros.withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .write.parquet(s"$base/tz/events.parquet")
+    }
+
+    def load(v: String) = {
+      val df = graft.core.Tables.events(spark, s"$base/$v")
+      assert(df.schema("ts").dataType === TimestampType, s"$v: ts type")
+      df.select("event_id", "ts", "user_id", "event_type", "value")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    }
+    val (n, z, t) = (load("nanos"), load("ntz"), load("tz"))
+    assert(n.toSeq === z.toSeq, "nanos vs ntz")
+    assert(z.toSeq === t.toSeq, "ntz vs tz")
+    // µs precision survives end-to-end (the nanos path truncates, not rounds)
+    assert(n(0)(1).asInstanceOf[java.sql.Timestamp].getNanos === 123456000)
+  }
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("cursor advance overwrites the singleton and appends to moc_indexer_history") {
     import graft.streaming.Pipelines
     val dir = java.nio.file.Files.createTempDirectory("graft-cursor").toString
