@@ -181,11 +181,17 @@ object QualityOps {
   }
 
   /** present-row standardized features (doc_id, bucket, dz = z − z0);
-    * persisted — every epoch reads it twice. */
+    * persisted PRE-PARTITIONED on doc_id — every epoch reads it twice
+    * (margins groupBy(doc_id) + the update's mis join, both keyed doc_id),
+    * so hashing it once before the cache makes all 2×epochs downstream
+    * exchanges on this multi-million-row table vanish: the cached
+    * partitioning satisfies the groupBy's clustering and co-locates the
+    * join, leaving only the ≤67-row bucket aggregation to shuffle. */
   private def classifierFeatZ(feat: DataFrame, stats: DataFrame): DataFrame =
     feat.join(broadcast(stats), Seq("bucket"))
       .select(col("doc_id"), col("bucket"),
         expr("IF(bucket = -1, cnt, ((cnt*1000 - mu)*1000) div sd1 - z0)").as("dz"))
+      .repartition(col("doc_id"))
       .persist()
 
   /** per-document integer margins under weight table `w` via the sparse
@@ -219,7 +225,18 @@ object QualityOps {
     val feat = classifierFeatures(s, d)
     val stats = classifierStats(s, d, feat).localCheckpoint()
     val fz = classifierFeatZ(feat, stats)
-    val lab = classifierLabels(s, d)
+    val lab = labelsPartitioned(s, d)
+    trainedWeightsFrom(fz, stats, lab)
+  }
+
+  /** labels hash-partitioned on doc_id and persisted: every epoch's mistake
+    * pass joins them against the doc_id-clustered margins, so pinning the
+    * layout once removes the label-side exchange from all epochs. */
+  private def labelsPartitioned(s: SparkSession, d: String): DataFrame =
+    classifierLabels(s, d).repartition(col("doc_id")).persist()
+
+  private def trainedWeightsFrom(fz: DataFrame, stats: DataFrame,
+      lab: DataFrame): DataFrame = {
     var w = stats.select(col("bucket")).withColumn("w", lit(0L)).localCheckpoint()
     var best: (Long, DataFrame) = (Long.MaxValue, w)
     for (e <- 1 to ClsEpochs + 1) {
@@ -836,11 +853,15 @@ object QualityOps {
          |  l.label,
          |  (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.label AS correct
          |FROM lab l JOIN mf m USING(doc_id) ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      // ONE feature build feeds training and scoring: trainedWeightsFrom
+      // consumes the same persisted fz/stats/lab the final margin pass
+      // reads (calling trainedWeights(s, d) here would cache and compute
+      // the whole feature pipeline a second time).
       val feat = classifierFeatures(s, d)
       val stats = classifierStats(s, d, feat).localCheckpoint()
       val fz = classifierFeatZ(feat, stats)
-      val lab = classifierLabels(s, d)
-      val w = trainedWeights(s, d)
+      val lab = labelsPartitioned(s, d)
+      val w = trainedWeightsFrom(fz, stats, lab)
       val pred = when(col("margin") > 0, 1L).otherwise(-1L)
       lab.join(classifierMargins(fz, stats, w), Seq("doc_id"))
         .select(col("doc_id"), col("margin"), pred.as("pred"), col("label"),
