@@ -815,6 +815,38 @@ object QualityOps {
         .orderBy(col("source"))
     },
 
+    // APPLY the domain mixture — the sampling step tx_domain_mix only
+    // computes rates for: each document admits iff a deterministic 60-bit
+    // hash of its doc_id falls under its source's per-million rate. The
+    // hash is the sampler (uniform by md5, reproducible across reruns and
+    // engines — no RNG state to version, the property a 100 TB curation
+    // rerun needs), and the rate stays INTEGER per-million
+    // (least(1e6, target*1e6 div tok)) so admission is pure integer
+    // comparison on both engines. Shapes: two tiny aggregations, one
+    // broadcast of the K-row rate table, then a narrow map over the corpus
+    // — nothing corpus-sized shuffles.
+    Q(
+      "tx_mix_apply",
+      s"""WITH $qualityDocsSql,
+         |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok FROM ql GROUP BY source),
+         |tot AS (SELECT CAST(sum(tok)//count(*) AS BIGINT) AS target FROM per),
+         |r AS (SELECT per.source,
+         |        least(1000000, (tot.target*1000000)//per.tok) AS rpm FROM per, tot)
+         |SELECT q.doc_id, q.source, q.n_tok, r.rpm,
+         |  (${sid60Sql("CAST(q.doc_id AS VARCHAR)")} % 1000000) < r.rpm AS admitted
+         |FROM ql q JOIN r USING(source) ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val ql = qualityDocs(s, d)
+      val per = ql.groupBy(col("source")).agg(sum(col("n_tok")).as("tok"))
+      val tot = per.agg(expr("sum(tok) div count(*)").as("target"))
+      val r = per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1000000L), expr("(target*1000000) div tok")).as("rpm"))
+      ql.join(broadcast(r), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rpm"),
+          (sid60(col("doc_id").cast(StringType)) % 1000000L < col("rpm")).as("admitted"))
+        .orderBy(col("doc_id"))
+    },
+
     // Distributed quality-classifier TRAINING — hashed bag-of-words + two
     // engineered features, integer-standardized, trained by a POCKETED
     // full-batch perceptron (the fastText-linear shape) that distills the

@@ -764,6 +764,43 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // LEAKAGE-SAFE train/val split: the naive per-document hash split puts
+    // near-duplicate documents on both sides (the val set then "measures"
+    // memorization of training twins). Split by near-dup CLUSTER instead:
+    // every member of a winnow-pair connected component hashes on its
+    // cluster id, singletons on their own doc_id, so a whole duplicate
+    // family lands on ONE side by construction. ~10% val via a 60-bit md5
+    // hash of the cluster id — deterministic, engine-independent, no RNG
+    // state. Spark cost = dd_cluster (the CC label pass) + one narrow map;
+    // the split itself adds no shuffle beyond the label join.
+    Q(
+      "tx_train_val_split",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |p2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |edges AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN (${sid60Sql(
+             "CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)")} % 100) < 10
+         |    THEN 'val' ELSE 'train' END AS side
+         |FROM documents d LEFT JOIN lab l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val labels = connectedComponents(winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
+      T.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        .withColumn("side",
+          when(sid60(col("cluster_id").cast(StringType)) % 100L < 10L, "val")
+            .otherwise("train"))
+        .select(col("doc_id"), col("cluster_id"), col("side"))
+        .orderBy(col("doc_id"))
+    },
+
     // End-to-end curation funnel — the composite a training-data pipeline
     // actually runs: exact dedup (keep min doc_id per normalized
     // fingerprint) → near-dup drop (greedy: the larger doc_id of every

@@ -927,6 +927,63 @@ object VectorOps {
     // Centroid aggregation per label (the building block of IVF coarse
     // quantization): exact integer component sums, then double means — the
     // kind of vector agg a 100 TB IVF index build runs per partition list.
+    // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): duplicates
+    // are found only WITHIN a cluster — here the embeddings' precomputed
+    // `label` partition (in production, the k-means assignment
+    // ss_kmeans_assign computes) — so the candidate space is the sum of
+    // per-cluster pair counts, never corpus², and the self-join shuffles
+    // on the cluster key (cluster count grows with the corpus at scale,
+    // so the key is not low-cardinality in production; the 10-label
+    // testdata is the miniature). Within a cluster, a vector drops iff a
+    // LOWER-id vector sits within the cosine threshold — keep-min-id, the
+    // same deterministic convention as exact dedup's min-winner. The
+    // threshold (0.4) is calibrated to the synthetic corpus's similarity
+    // scale (near-orthogonal embeddings: within-label cosines top out
+    // ~0.51); a real embedding corpus runs the same plan at ~0.95. Exact
+    // integer quantized cosine (the shared cosFrom/cosSql definition), so
+    // the drop set is bitwise identical on both engines.
+    Q(
+      "dd_semantic",
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, qe,
+         |  CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         |p AS (
+         |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(list_sum(list_transform(range(1, len(a.qe)+1),
+         |      i -> a.qe[i]*b.qe[i])) AS BIGINT) AS dot,
+         |    a.nrm AS na, b.nrm AS nb
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |hits AS (
+         |  SELECT vec_b AS vec_id, min(vec_a) AS kept_match
+         |  FROM p WHERE ${cosSql("dot", "na", "nb")} >= 0.4 GROUP BY vec_b)
+         |SELECT n.vec_id, CAST(n.label AS BIGINT) AS label,
+         |  (h.vec_id IS NOT NULL) AS is_dropped, h.kept_match
+         |FROM n LEFT JOIN hits h ON n.vec_id = h.vec_id
+         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          quantArr("embedding").as("qe"))
+        .withColumn("nrm", normOf("qe"))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("qe").as("qa"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("qe").as("qb"), col("nrm").as("nb"))
+      val hits = a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(cosFrom(dotOf("qa", "qb"), col("na"), col("nb")) >= 0.4)
+        // keep-min winner via partial-agged min, not a window over pairs
+        .groupBy(col("vec_b").as("vec_id"))
+        .agg(min(col("vec_a")).as("kept_match"))
+      e.select(col("vec_id"), col("label"))
+        .join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          col("kept_match").isNotNull.as("is_dropped"), col("kept_match"))
+        .orderBy(col("vec_id"))
+    },
+
     Q(
       "ss_centroids",
       """SELECT label, n,
