@@ -140,6 +140,25 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned window in tx_quality_cutoff: $cw")
   }
 
+  test("round-7 curation operators keep their scale shapes") {
+    // semantic dedup: pair space bounded by the cluster-key equi-join —
+    // never a cartesian — and the keep-min winner is a partial aggregate,
+    // not a window over the pair stream
+    val ps = plan("dd_semantic")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      "dd_semantic pair space must be the cluster equi-join")
+    assert(!ps.contains("Window ["), "dd_semantic must partial-aggregate the winner")
+    // mix application: the K-row rate table broadcasts; the corpus side is
+    // one narrow map (no corpus-sized shuffle beyond the per-source agg)
+    val pm = plan("tx_mix_apply")
+    assert(pm.contains("BroadcastHashJoin"), "rate table must broadcast")
+    // leakage-safe split: the corpus joins the CC label table on doc_id —
+    // no window, no cartesian; label side is the checkpointed CC output
+    val pv = plan("tx_train_val_split")
+    assert(!pv.contains("Window [") && !pv.contains("CartesianProduct"),
+      "tx_train_val_split must stay a label join + narrow map")
+  }
+
   test("incremental LSH probe never shuffles the corpus for a join") {
     val p = plan("dd_incremental_lsh")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
