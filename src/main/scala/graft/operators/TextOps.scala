@@ -670,6 +670,74 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // EXACT repeated-substring profile (the signal behind exact-substring
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    // Models Better"): per document, the fraction of its DISTINCT 16-char
+    // window hashes that also occur in at least one other document —
+    // catches verbatim cross-document reuse at a granularity winnow
+    // near-dup (which samples windows) deliberately blurs. Shapes: the
+    // window hashes are a narrow codegen'd map (the same O(n·w) polynomial
+    // both engines compute), then TWO map-side-combining shuffles — df per
+    // hash, counts per doc — with the hash⇄doc join co-partitioned on the
+    // hash key it just aggregated on. Nothing is corpus² and no window
+    // function touches the exploded stream; the fan-out is bounded at one
+    // df row per (doc, hash). Sub-16-char docs report zero windows and a
+    // NULL fraction on both engines.
+    Q(
+      "dd_substring", {
+        val w = 16
+        val consts = (0 until w).map(j =>
+          BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+        val terms = consts.zipWithIndex.map { case (c, j) =>
+          s"CAST(ascii(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $c"
+        }.mkString(" + ")
+        s"""WITH hs AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(text) < $w THEN []
+           |      ELSE list_distinct(list_transform(range(1, length(text) - ${w - 2}),
+           |        i -> ($terms) % ${RollingHash.M}))
+           |    END AS hd
+           |  FROM documents),
+           |f AS (SELECT doc_id, unnest(hd) AS h FROM hs),
+           |dfh AS (SELECT h, count(*) AS df FROM f GROUP BY h),
+           |agg AS (
+           |  SELECT f.doc_id, count(*) AS n_win,
+           |    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+           |  FROM f JOIN dfh d USING (h) GROUP BY f.doc_id)
+           |SELECT hs.doc_id,
+           |  COALESCE(a.n_win, 0) AS n_win,
+           |  COALESCE(a.n_shared, 0) AS n_shared,
+           |  CASE WHEN a.n_win > 0
+           |    THEN CAST(a.n_shared AS DOUBLE)/a.n_win ELSE NULL END AS dup_frac
+           |FROM hs LEFT JOIN agg a USING (doc_id)
+           |ORDER BY hs.doc_id""".stripMargin
+      }) { (s, d) =>
+      val w = 16
+      val consts = (0 until w).map(j =>
+        BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+      val terms = consts.zipWithIndex.map { case (c, j) =>
+        s"cast(ascii(substring(text, i + $j, 1)) as bigint) * ${c}L"
+      }.mkString(" + ")
+      val docs = T.documents(s, d).select(col("doc_id"),
+        expr(s"""CASE WHEN length(text) < $w THEN array()
+                 | ELSE array_distinct(transform(sequence(1, length(text) - ${w - 1}),
+                 |   i -> ($terms) % ${RollingHash.M}L)) END""".stripMargin).as("hd"))
+      val f = docs.select(col("doc_id"), explode(col("hd")).as("h"))
+      val dfh = f.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val agg = f.join(dfh, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_win"), lit(0L)).as("n_win"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(col("n_win") > 0,
+            col("n_shared").cast(DoubleType) / col("n_win")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── Deduplication ─────────────────────────────────────────────────────
 
     // Winnowing near-dup (the MOSS scheme over tx_rolling_fp's hashes):
