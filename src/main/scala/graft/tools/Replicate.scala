@@ -40,6 +40,21 @@ object Replicate {
           s"transform(embedding, (x, j) -> IF(j = 0, x + cast(${i * 5e-4} as float), x))"))
     }.reduce(_ unionByName _)
     eout.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // events: id/user-shifted copies with the timestamp nudged forward per
+    // replica (i seconds) — replicas are distinct rows in every key space
+    // the MOC-side queries shuffle on (event_id, user_id, ts windows), so
+    // an N× replica genuinely multiplies join/window/as-of work instead of
+    // collapsing into duplicate groups. The ts nudge keeps per-user event
+    // ORDER intact (sessions/as-of shift, not reorder).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val eshift = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val ushift = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    val evout = (0 until n).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * eshift))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * ushift))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECOND"))
+    }.reduce(_ unionByName _)
+    evout.write.mode("overwrite").parquet(s"$dst/events.parquet")
     spark.stop()
   }
 }
