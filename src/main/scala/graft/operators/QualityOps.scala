@@ -847,6 +847,48 @@ object QualityOps {
         .orderBy(col("doc_id"))
     },
 
+    // DATASET CARD — the per-language summary a curation pipeline emits at
+    // the end (and the first thing a consumer of the corpus reads): doc and
+    // token counts, mean quality, exact-duplicate rate, short-doc rate.
+    // Composes the SHARED definitions (qualityScore, the normalized md5
+    // fingerprint) so the card can never drift from the operators it
+    // summarizes. Shapes: one narrow map per doc, one fingerprint groupBy
+    // (map-side combined) joined back co-partitioned, one K-row language
+    // rollup — two shuffles total, both on uniform keys; the mean is the
+    // one deterministic IEEE division over exact integer sums.
+    Q(
+      "tx_dataset_card",
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, len(l) AS n_tok,
+         |    CAST(floor((${TextOps.qualityScoreSql("l")})*1000000.0) AS BIGINT) AS qmicro,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM (SELECT doc_id, lang, text, string_split(text,' ') AS l FROM documents)),
+         |fdf AS (SELECT fp, count(*) AS df FROM base GROUP BY fp)
+         |SELECT b.lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(b.qmicro) AS BIGINT) AS DOUBLE)/count(*) AS avg_qmicro,
+         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(CASE WHEN b.n_tok < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+         |FROM base b JOIN fdf f USING (fp)
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin) { (s, d) =>
+      val base = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          size(col("l")).cast(LongType).as("n_tok"),
+          floor(TextOps.qualityScore("l") * 1000000.0).cast(LongType).as("qmicro"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      val fdf = base.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      base.join(fdf, Seq("fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (sum(col("qmicro")).cast(DoubleType) / count(lit(1))).as("avg_qmicro"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("n_tok") < 10, 1L).otherwise(0L)).as("n_short"))
+        .orderBy(col("lang"))
+    },
+
     // Distributed quality-classifier TRAINING — hashed bag-of-words + two
     // engineered features, integer-standardized, trained by a POCKETED
     // full-batch perceptron (the fastText-linear shape) that distills the
