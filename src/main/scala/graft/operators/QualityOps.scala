@@ -80,6 +80,16 @@ object QualityOps {
   //    exact on both engines — no learning-rate float, no transcendental
   //    loss, no summation-order sensitivity.
   private val ClsBuckets = 64L
+  // 12 epochs, NO early stop, deliberately: the per-epoch mistake counts
+  // OSCILLATE rather than plateau (measured on the round-7 sf0.1 corpus via
+  // the oracle's unrolled recurrence: 5000, 1452, 1326, 1253, 1353, 1461,
+  // 1951, 1407, 1189, 1265, 1956, 1327, 1216 — the pocket minimum lands on
+  // w_8, epoch 9), so a patience rule would (a) have cut training before
+  // the best weights on this very corpus and (b) need the identical stop
+  // decision unrolled into the DuckDB oracle to keep the compare exact.
+  // The fixed sweep costs ~0.55 s/epoch at sf0.1 after the doc_id feature
+  // layout pin; if the epoch count ever needs tuning, re-measure the
+  // mistake sequence first — don't assume it plateaus.
   private val ClsEpochs = 12
   // label threshold ~ the corpus qmicro median, so the distilled rule is a
   // genuinely two-class target instead of a constant
