@@ -247,10 +247,28 @@ object QualityOps {
 
   private def trainedWeightsFrom(fz: DataFrame, stats: DataFrame,
       lab: DataFrame): DataFrame = {
-    var w = stats.select(col("bucket")).withColumn("w", lit(0L)).localCheckpoint()
-    var best: (Long, DataFrame) = (Long.MaxValue, w)
+    val s = fz.sparkSession
+    // The weight table is ≤67 rows, so the epoch state lives on the DRIVER
+    // as an integer map (the same bounded-collect shape as BPE's per-round
+    // argmax): each epoch ships the weights into the margin pass as a
+    // LITERAL map expression instead of a broadcast-joined frame. This
+    // removes every per-epoch broadcast-materialization and checkpoint job
+    // — the loop is two scheduler jobs per epoch (mistake pass, 67-row
+    // update collect) — while the arithmetic stays the identical exact
+    // integer algebra (Long sums are associative; Σ z0·w moves to the
+    // driver unchanged).
+    val z0 = stats.select(col("bucket"), col("z0")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = z0.keys.toSeq.sorted
+    var w: Map[Long, Long] = buckets.map(_ -> 0L).toMap
+    var best: (Long, Map[Long, Long]) = (Long.MaxValue, w)
     for (e <- 1 to ClsEpochs + 1) {
-      val mis = lab.join(classifierMargins(fz, stats, w), Seq("doc_id"))
+      val c = buckets.iterator.map(b => z0(b) * w(b)).sum
+      val wvCol = element_at(typedLit(w), col("bucket"))
+      val margins = fz
+        .groupBy(col("doc_id"))
+        .agg((sum(col("dz") * wvCol) + lit(c)).as("margin"))
+      val mis = lab.join(margins, Seq("doc_id"))
         .filter(col("label") * col("margin") <= 0)
         .select(col("doc_id"), col("label")).persist()
       val row = mis.agg(count(lit(1)).as("nm"),
@@ -260,15 +278,14 @@ object QualityOps {
       if (e <= ClsEpochs) {
         val upd = fz.join(mis, Seq("doc_id"))
           .groupBy(col("bucket")).agg(sum(col("label") * col("dz")).as("dwp"))
-        w = w.join(upd, Seq("bucket"), "left")
-          .join(broadcast(stats.select(col("bucket"), col("z0"))), Seq("bucket"))
-          .select(col("bucket"),
-            (col("w") + coalesce(col("dwp"), lit(0L)) + col("z0") * lit(sl)).as("w"))
-          .localCheckpoint()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = buckets.map(b =>
+          b -> (w(b) + upd.getOrElse(b, 0L) + z0(b) * sl)).toMap
       }
       mis.unpersist()
     }
-    best._2
+    import s.implicits._
+    best._2.toSeq.toDF("bucket", "w")
   }
 
   /** the classifier's CTE chain — feat/lab, standardization stats, sparse
