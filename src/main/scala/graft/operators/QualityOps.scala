@@ -270,19 +270,26 @@ object QualityOps {
         .agg((sum(col("dz") * wvCol) + lit(c)).as("margin"))
       val mis = lab.join(margins, Seq("doc_id"))
         .filter(col("label") * col("margin") <= 0)
-        .select(col("doc_id"), col("label")).persist()
-      val row = mis.agg(count(lit(1)).as("nm"),
-        coalesce(sum(col("label")), lit(0L)).as("sl")).collect()(0)
-      val (nm, sl) = (row.getLong(0), row.getLong(1))
+        .select(col("doc_id"), col("label"))
+      // ONE job per epoch: the per-bucket update aggregation ALSO yields the
+      // doc-level mistake count and label sum, because every document
+      // carries exactly one bias (-1) row in fz — count/sum(label) over the
+      // bias rows of the mistake join ARE nm and sl. (cnt/slb on the other
+      // buckets are computed and ignored — 67 spare longs.)
+      val rows = fz.join(mis, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("label") * col("dz")).as("dwp"),
+          count(lit(1)).as("cnt"), sum(col("label")).as("slb"))
+        .collect()
+      val bias = rows.find(_.getLong(0) == -1L)
+      val nm = bias.map(_.getLong(2)).getOrElse(0L)
+      val sl = bias.map(_.getLong(3)).getOrElse(0L)
       if (e >= 2 && nm < best._1) best = (nm, w) // w here is w_(e-1)
       if (e <= ClsEpochs) {
-        val upd = fz.join(mis, Seq("doc_id"))
-          .groupBy(col("bucket")).agg(sum(col("label") * col("dz")).as("dwp"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val upd = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
         w = buckets.map(b =>
           b -> (w(b) + upd.getOrElse(b, 0L) + z0(b) * sl)).toMap
       }
-      mis.unpersist()
     }
     import s.implicits._
     best._2.toSeq.toDF("bucket", "w")
