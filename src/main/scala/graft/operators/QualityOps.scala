@@ -685,6 +685,110 @@ object QualityOps {
         .orderBy(col("doc_id"))
     },
 
+    // Tokenizer FERTILITY per language — subword tokens per whitespace word
+    // under the real corpus-trained BPE vocabulary: the number that tells a
+    // pretraining pipeline how a tokenizer taxes each language's token
+    // budget (fertility ≫ 1 → the language pays more sequence length for
+    // the same text). Reuses the true greedy-merge encoder expression and
+    // its provably-equivalent chained-replace oracle; one codegen'd narrow
+    // map + a K-row rollup, integer sums with the one IEEE division at the
+    // end.
+    Q(
+      "tx_bpe_fertility", {
+        val chain = Bpe.CorpusMerges.foldLeft(
+          "regexp_replace(w, '(.)', '<\\1>', 'g')") { case (acc, (a, b)) =>
+          s"replace($acc, '<$a><$b>', '<$a$b>')"
+        }
+        s"""WITH per AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN agg IS NULL THEN 0
+           |         ELSE len(string_split(trim(BOTH '<>' FROM agg), '><')) END AS n_bpe,
+           |    n_words
+           |  FROM (
+           |    SELECT doc_id, lang,
+           |      list_aggregate(
+           |        list_transform(list_filter(string_split(text,' '), w -> w <> ''),
+           |          w -> $chain), 'string_agg', '') AS agg,
+           |      len(list_filter(string_split(text,' '), w -> w <> '')) AS n_words
+           |    FROM documents))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
+           |    / CAST(sum(n_words) AS BIGINT) AS fertility
+           |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      val toks = toCol(BpeEncodeExpr(toExpr(col("text"))))
+      T.documents(s, d)
+        .select(col("lang"),
+          size(toks).cast(LongType).as("n_bpe"),
+          size(expr("filter(split(text, ' '), w -> w != '')"))
+            .cast(LongType).as("n_words"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("n_bpe"),
+          sum(col("n_words")).as("n_words"),
+          (sum(col("n_bpe")).cast(DoubleType) / sum(col("n_words")))
+            .as("fertility"))
+        .orderBy(col("lang"))
+    },
+
+    // Bigram-LM fluency proxy (the CCNet/KenLM quality-filter shape made
+    // ENGINE-EXACT): score each document by the mean scaled conditional
+    // likelihood of its bigrams under the corpus's own add-one-smoothed
+    // bigram model — integer per-million ((c2·1e6) div (c1 + V)) instead of
+    // log-probability, because ln() is not bit-identical across engines
+    // while integer division is; the ORDERING (what a quality cutoff
+    // consumes) is preserved for fixed document length. Gibberish scores
+    // near zero (unseen bigrams), formulaic text scores high. Shapes: two
+    // map-side-combining count shuffles (bigram, unigram), the corpus
+    // joins each on its uniform key, one per-doc rollup — the tx_rarity
+    // cost envelope, nothing corpus².
+    Q(
+      "tx_lm_score",
+      """WITH tok AS (
+        |  SELECT doc_id, l, len(l) AS n FROM
+        |    (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS l
+        |     FROM documents)),
+        |bg AS (
+        |  SELECT doc_id, l[i] AS a, l[i+1] AS b
+        |  FROM tok, unnest(range(1, n)) AS r(i) WHERE n >= 2),
+        |uni AS (SELECT a, count(*) AS c1 FROM (SELECT unnest(l[1:-2]) AS a FROM tok) GROUP BY a),
+        |big AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+        |v AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(l) AS w FROM tok)),
+        |sc AS (
+        |  SELECT g.doc_id, (b2.c2*1000000)//(u.c1 + v.vsz) AS p
+        |  FROM bg g JOIN big b2 USING (a, b) JOIN uni u USING (a), v),
+        |scd AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sp FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id, greatest(t.n - 1, 0) AS n_bigrams,
+        |  CASE WHEN t.n >= 2 THEN sd.sp//(t.n - 1) ELSE NULL END AS lm_ppm
+        |FROM tok t LEFT JOIN scd sd USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val tok = T.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> w != '')").as("l"))
+        .withColumn("n", size(col("l")).cast(LongType))
+      val bg = tok.filter(col("n") >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, cast(n as int) - 1), i -> struct(l[i-1] AS a, l[i] AS b))")).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val uni = tok.filter(col("n") >= 2)
+        .select(explode(expr("slice(l, 1, cast(n as int) - 1)")).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("c1"))
+      val big = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      val v = tok.select(explode(col("l")).as("w"))
+        .agg(countDistinct(col("w")).as("vsz"))
+      val sc = bg.join(big, Seq("a", "b")).join(uni, Seq("a"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), expr("(c2*1000000) div (c1 + vsz)").as("p"))
+        .groupBy(col("doc_id")).agg(sum(col("p")).as("sp"))
+      tok.select(col("doc_id"),
+          greatest(col("n") - 1, lit(0L)).as("n_bigrams"), col("n"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          when(col("n") >= 2, expr("sp div (n - 1)")).as("lm_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Chunk + sequence packing (pretraining concat-and-chop): lay each
     // language's documents end to end in doc_id order and chop the token
     // stream into 512-token sequences; report the sequence span each
