@@ -175,4 +175,38 @@ class QualityOpsSpec extends AnyFunSuite {
       if (r.getLong(2) <= target) assert(rate === 1.0 && r.getLong(5) === r.getLong(2))
     }
   }
+
+  test("tx_train_val_split: no near-dup pair straddles train and val, ~10% val") {
+    // the operator's entire reason to exist: every winnow near-dup pair
+    // must land on ONE side (a split that lets twins straddle leaks
+    // training data into the eval set)
+    val split = run("tx_train_val_split")
+      .select("doc_id", "cluster_id", "side").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = run("dd_winnow").select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty, "corpus has no near-dup pair at all — generator drifted?")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a)._2 === split(b)._2,
+        s"near-dup pair ($a, $b) straddles train/val")
+      assert(split(a)._1 === split(b)._1, s"pair ($a, $b) in different clusters")
+    }
+    // the hash split is ~10% val on cluster ids (loose band — small corpus)
+    val valFrac = split.values.count(_._2 == "val").toDouble / split.size
+    assert(valFrac > 0.02 && valFrac < 0.25, s"val fraction $valFrac far from 10%")
+    // deterministic: a rerun reproduces the exact assignment
+    val again = run("tx_train_val_split")
+      .select("doc_id", "side").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.forall { case (id, (_, side)) => again(id) == side })
+  }
+
+  test("tx_lm_score: formulaic text outscores gibberish through the corpus model") {
+    val rows = run("tx_lm_score").select("doc_id", "n_bigrams", "lm_ppm").collect()
+    assert(rows.forall(r => r.isNullAt(2) || r.getLong(2) >= 0))
+    // every >=2-token doc scores; the score band is nontrivial (not constant)
+    val scores = rows.filter(!_.isNullAt(2)).map(_.getLong(2))
+    assert(scores.nonEmpty && scores.distinct.length > 10,
+      "lm scores collapsed to a near-constant — smoothing or counts broken")
+  }
 }
