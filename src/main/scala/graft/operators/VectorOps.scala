@@ -927,6 +927,69 @@ object VectorOps {
     // Centroid aggregation per label (the building block of IVF coarse
     // quantization): exact integer component sums, then double means — the
     // kind of vector agg a 100 TB IVF index build runs per partition list.
+    // k-NN GRAPH build — top-3 approximate neighbors for EVERY corpus
+    // vector (not a 16-query slice): the construction pass of graph-based
+    // ANN (NSW/HNSW layer-0) and of SemDeDup-style pipelines that need a
+    // neighbor list per item. Candidates come from the 4-table sign-LSH
+    // union (per-table bucket-bounded fan-out, a shuffle join on
+    // (table, bucket) — with BOTH sides corpus-sized nothing broadcasts,
+    // unlike the query-slice variants), exact integer-cosine scoring, and
+    // the BoundedTopK partial aggregation so the candidate stream collapses
+    // to ≤3 entries per vector before the final shuffle. Isolated vectors
+    // (empty candidate set) simply have no rows — the graph is sparse by
+    // construction.
+    Q(
+      "ss_knn_graph",
+      s"""$FlatCte,
+         |mb AS (
+         |  SELECT e.vec_id, tt.t,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> CASE WHEN e.embedding[tt.t*8 + i] >= 0
+         |           THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+         |  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt),
+         |gcand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
+         |    AND q.vec_id <> c.vec_id),
+         |gdots AS (
+         |  SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
+         |  FROM gcand c JOIN flat qf ON qf.vec_id = c.q_id
+         |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+         |  GROUP BY 1, 2),
+         |gscored AS (
+         |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
+         |  FROM gdots JOIN norms nq ON nq.vec_id = q_id
+         |  JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM gscored)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = quantized(s, d, withBucket = false)
+      val codes = emb.select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(0, 3)")).as("t"))
+        .withColumn("bucket", expr(
+          "aggregate(sequence(1, 8), 0, (acc, i) -> " +
+            "acc + if(element_at(embedding, t*8 + i) >= cast(0 as float), " +
+            "cast(pow(2, i-1) as int), 0))"))
+        .select(col("vec_id"), col("t"), col("bucket"))
+      val cand = codes.select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+        .join(codes.select(col("vec_id").as("n_id"), col("t"), col("bucket")),
+          Seq("t", "bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+        .dropDuplicates(Seq("q_id", "n_id"))
+      val payload = emb.select(col("vec_id"), col("qarr"), col("nrm"))
+      val pairs = cand
+        .join(payload.select(col("vec_id").as("n_id"),
+          col("qarr"), col("nrm").as("nc")), Seq("n_id"))
+        .join(payload.select(col("vec_id").as("q_id"),
+          col("qarr").as("q_qarr"), col("nrm").as("nq")), Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+        .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+      rankTopK(pairs, 3)
+    },
+
     // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): duplicates
     // are found only WITHIN a cluster — here the embeddings' precomputed
     // `label` partition (in production, the k-means assignment
