@@ -61,8 +61,12 @@ object Bench {
     // the JSON line out of that window — a full 144-query line (~9 KB) gets
     // its head truncated and parses as null (BENCH_r5/r6 post-mortem).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+    // best-effort: an unwritable cwd must not take down the stdout report
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"sf":"$sfDir"}""")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] full dump failed: ${e.getMessage}")
+    }
     // stdout: headline = the heaviest queries, greedily added while the
     // line stays under budget; the remainder is summarized, never dropped
     // silently (n + seconds of everything not listed).
