@@ -23,6 +23,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // one diagnostic line per input table: the physical schema Spark infers
+    // from the driver-owned parquet. When a testdata regeneration changes a
+    // physical type (round 6: events.ts nanos → micros), this line in the
+    // round artifacts shows the drift immediately instead of leaving it to
+    // be reverse-engineered from 72 analysis errors.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) {
+      try {
+        val sch = spark.read.parquet(s"$sfDir/$t.parquet").schema
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        System.err.println(s"[verify] schema $t: $sch")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] schema $t: UNREADABLE ${e.getMessage}")
+      }
+    }
     // A failed query must be LOUD: round 6 lost half the registry because
     // failures were only stderr lines — absent from the correctness report,
     // they read as "not attempted" rather than "broken". Collect them and
