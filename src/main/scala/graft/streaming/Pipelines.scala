@@ -175,6 +175,51 @@ object Pipelines {
     * index in one job. */
   val CompactEvery = 16
 
+  /** Running DATASET-CARD sink: fold a batch of admitted documents into the
+    * per-language running summary at `cardDir` (docs, tokens, short-doc
+    * count — the live form of the `tx_dataset_card` batch query). The merge
+    * is ADDITIVE read-modify-write keyed by lang, written as a generation
+    * dir swap (the [[readState]]/`latestGen` convention), so a reader
+    * racing a crash sees the consistent previous card. Additive counters
+    * are only correct if every document folds exactly once — which is
+    * precisely what the admit gates guarantee downstream of `out` (their
+    * replay guard drops re-delivered documents BEFORE they reach the
+    * sink), so composing `cardSink` under a gate yields effectively-once
+    * counting with no dedup state of its own (CurationStreamSpec pins the
+    * replay case). The card is K rows; the batch side is one
+    * map-side-combining rollup. */
+  def cardSink(spark: SparkSession, cardDir: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val inc = batch
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("n_tok") < 10, 1L).otherwise(0L)).as("n_short"))
+    val root = new Path(cardDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = if (fs.exists(root)) Some(latestGen(fs, root)).filter(g =>
+      fs.exists(new Path(g, "_SUCCESS"))) else None
+    val merged = cur match {
+      case Some(g) =>
+        spark.read.parquet(g.toString).unionByName(inc)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_short")).as("n_short"))
+      case None => inc
+    }
+    val next = new Path(root, f"gen=${cur.map(genNo).getOrElse(-1L) + 1}%06d")
+    merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
+    cur.foreach(g => fs.delete(g, true))
+  }
+
+  /** the newest complete running card written by [[cardSink]]. */
+  def readCard(spark: SparkSession, cardDir: String): DataFrame = {
+    val root = new Path(cardDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(latestGen(fs, root).toString)
+  }
+
   /** Streaming near-dup admit gate — the continuous-ingest form of the
     * daily `dd_incremental_lsh` refresh: every micro-batch of
     * `(doc_id, text)` documents is MinHash-signed (TOTAL signatures — a

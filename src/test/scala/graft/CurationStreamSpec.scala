@@ -75,4 +75,57 @@ class CurationStreamSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
     assert(indexed === Seq(1L, 6L))
   }
+
+  test("running dataset card under the gate counts each admitted doc exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-card").toString
+    val cardDir = s"$base/card"
+
+    val in = MemoryStream[(Long, String, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text", "lang"),
+      s"$base/index", s"$base/ckpt",
+      out => {
+        val batch = out.persist()
+        batch.write.mode("append").parquet(s"$base/admitted")
+        Pipelines.cardSink(spark, cardDir, batch)
+        batch.unpersist(); ()
+      }).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (2L, "colorless green ideas sleep furiously under a bright winter moon", "en"),
+        (3L, "ein kurzer satz ueber verteilte systeme und ihre seltsamen fehler", "de"))
+      q.processAllAvailable()
+      // batch 2: a near-copy (drops at the gate → must NOT count) + new doc
+      in.addData(
+        (4L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (5L, "completely unrelated text about distributed query engines and parquet", "en"))
+      q.processAllAvailable()
+      // batch 3: full replay of batch 2 → the gate admits nothing, so the
+      // ADDITIVE card must not move — effectively-once counting without the
+      // card sink holding any dedup state of its own
+      in.addData(
+        (4L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (5L, "completely unrelated text about distributed query engines and parquet", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val card = Pipelines.readCard(spark, cardDir)
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_short"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // en admits docs 1 (13 tok), 2 (10 tok), 5 (9 tok → short); de doc 3 (10 tok)
+    assert(card("en") === ((3L, 32L, 1L)), s"en card: ${card("en")}")
+    assert(card("de") === ((1L, 10L, 0L)), s"de card: ${card("de")}")
+
+    // the card equals the rollup of the admitted table — no drift between
+    // the incremental fold and a batch recomputation
+    val recomputed = spark.read.parquet(s"$base/admitted")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(card.view.mapValues(v => (v._1, v._2)).toMap === recomputed)
+  }
 }
