@@ -101,6 +101,56 @@ object QualityOps {
   private val ShardTok = 4096L
   private val ShardHashBucketWidth = 1L << 50 // 60-bit hash → 1024 buckets
 
+  /** the bigram-LM CTE chain ending in
+    * `lmsc(doc_id, n_bigrams, n, lm_ppm)` — shared by the fluency score
+    * and the CCNet bucketing oracle. */
+  private val LmCte: String =
+    """tok AS (
+      |  SELECT doc_id, l, len(l) AS n FROM
+      |    (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS l
+      |     FROM documents)),
+      |bg AS (
+      |  SELECT doc_id, l[i] AS a, l[i+1] AS b
+      |  FROM tok, unnest(range(1, n)) AS r(i) WHERE n >= 2),
+      |uni AS (SELECT a, count(*) AS c1 FROM (SELECT unnest(l[1:-2]) AS a FROM tok) GROUP BY a),
+      |big AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+      |v AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(l) AS w FROM tok)),
+      |sc AS (
+      |  SELECT g.doc_id, (b2.c2*1000000)//(u.c1 + v.vsz) AS p
+      |  FROM bg g JOIN big b2 USING (a, b) JOIN uni u USING (a), v),
+      |scd AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sp FROM sc GROUP BY doc_id),
+      |lmsc AS (
+      |  SELECT t.doc_id, greatest(t.n - 1, 0) AS n_bigrams, t.n,
+      |    CASE WHEN t.n >= 2 THEN sd.sp//(t.n - 1) ELSE NULL END AS lm_ppm
+      |  FROM tok t LEFT JOIN scd sd USING (doc_id))""".stripMargin
+
+  /** `(doc_id, n_bigrams, n, lm_ppm)` — the Spark mirror of `lmsc`. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    val tok = T.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w != '')").as("l"))
+      .withColumn("n", size(col("l")).cast(LongType))
+    val bg = tok.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, cast(n as int) - 1), i -> struct(l[i-1] AS a, l[i] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = tok.filter(col("n") >= 2)
+      .select(explode(expr("slice(l, 1, cast(n as int) - 1)")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val v = tok.select(explode(col("l")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    val sc = bg.join(big, Seq("a", "b")).join(uni, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), expr("(c2*1000000) div (c1 + vsz)").as("p"))
+      .groupBy(col("doc_id")).agg(sum(col("p")).as("sp"))
+    tok.select(col("doc_id"),
+        greatest(col("n") - 1, lit(0L)).as("n_bigrams"), col("n"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("n"),
+        when(col("n") >= 2, expr("sp div (n - 1)")).as("lm_ppm"))
+  }
+
   /** (doc_id, source, n_tok, qmicro): the tx_quality composite score
     * (TextOps.qualityScore — the ONE shared definition) in integer
     * micro-units plus the whitespace token count — the shared per-document
@@ -746,46 +796,58 @@ object QualityOps {
     // cost envelope, nothing corpus².
     Q(
       "tx_lm_score",
-      """WITH tok AS (
-        |  SELECT doc_id, l, len(l) AS n FROM
-        |    (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS l
-        |     FROM documents)),
-        |bg AS (
-        |  SELECT doc_id, l[i] AS a, l[i+1] AS b
-        |  FROM tok, unnest(range(1, n)) AS r(i) WHERE n >= 2),
-        |uni AS (SELECT a, count(*) AS c1 FROM (SELECT unnest(l[1:-2]) AS a FROM tok) GROUP BY a),
-        |big AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
-        |v AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(l) AS w FROM tok)),
-        |sc AS (
-        |  SELECT g.doc_id, (b2.c2*1000000)//(u.c1 + v.vsz) AS p
-        |  FROM bg g JOIN big b2 USING (a, b) JOIN uni u USING (a), v),
-        |scd AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sp FROM sc GROUP BY doc_id)
-        |SELECT t.doc_id, greatest(t.n - 1, 0) AS n_bigrams,
-        |  CASE WHEN t.n >= 2 THEN sd.sp//(t.n - 1) ELSE NULL END AS lm_ppm
-        |FROM tok t LEFT JOIN scd sd USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val tok = T.documents(s, d)
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), w -> w != '')").as("l"))
-        .withColumn("n", size(col("l")).cast(LongType))
-      val bg = tok.filter(col("n") >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, cast(n as int) - 1), i -> struct(l[i-1] AS a, l[i] AS b))")).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      val uni = tok.filter(col("n") >= 2)
-        .select(explode(expr("slice(l, 1, cast(n as int) - 1)")).as("a"))
-        .groupBy(col("a")).agg(count(lit(1)).as("c1"))
-      val big = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
-      val v = tok.select(explode(col("l")).as("w"))
-        .agg(countDistinct(col("w")).as("vsz"))
-      val sc = bg.join(big, Seq("a", "b")).join(uni, Seq("a"))
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"), expr("(c2*1000000) div (c1 + vsz)").as("p"))
-        .groupBy(col("doc_id")).agg(sum(col("p")).as("sp"))
-      tok.select(col("doc_id"),
-          greatest(col("n") - 1, lit(0L)).as("n_bigrams"), col("n"))
-        .join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_bigrams"),
-          when(col("n") >= 2, expr("sp div (n - 1)")).as("lm_ppm"))
+      s"""WITH $LmCte
+         |SELECT doc_id, n_bigrams, lm_ppm FROM lmsc ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        lmScores(s, d).select(col("doc_id"), col("n_bigrams"), col("lm_ppm"))
+          .orderBy(col("doc_id"))
+    },
+
+    // CCNet's head/middle/tail bucketing — the step that consumes the LM
+    // score: the corpus splits into equal-mass terciles of the fluency
+    // distribution (head = most fluent third), with the two cut points
+    // computed as EXACT distributed order statistics over the integer
+    // lm_ppm values (per-value histogram + the Prefix two-level cumsum —
+    // the tx_quality_cutoff machinery; never a global sort, reproducible
+    // reruns). Value-based thresholds make tie handling deterministic on
+    // both engines: equal scores always land in the same bucket. Docs too
+    // short to score (< 2 tokens) bucket as 'na'.
+    Q(
+      "tx_ccnet_bucket",
+      s"""WITH $LmCte,
+         |scored AS (SELECT * FROM lmsc WHERE lm_ppm IS NOT NULL),
+         |nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+         |h AS (SELECT lm_ppm, count(*) AS c FROM scored GROUP BY lm_ppm),
+         |cum AS (SELECT lm_ppm, sum(c) OVER (ORDER BY lm_ppm) AS cm FROM h),
+         |t1 AS (SELECT min(lm_ppm) AS v FROM cum, nn2 WHERE cm >= n//3),
+         |t2 AS (SELECT min(lm_ppm) AS v FROM cum, nn2 WHERE cm >= (2*n)//3)
+         |SELECT l.doc_id, l.lm_ppm,
+         |  CASE WHEN l.lm_ppm IS NULL THEN 'na'
+         |       WHEN l.lm_ppm <= t1.v THEN 'tail'
+         |       WHEN l.lm_ppm <= t2.v THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM lmsc l, t1, t2 ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      // persisted: the histogram pass and the final bucket join both read
+      // the scores — without the pin the whole bigram pipeline runs twice
+      val lm = lmScores(s, d).persist()
+      val scored = lm.filter(col("lm_ppm").isNotNull)
+      val nn = scored.agg(count(lit(1)).as("n"))
+      val h = scored.groupBy(col("lm_ppm")).agg(count(lit(1)).as("c"))
+      val off = graft.core.Prefix.exclusiveCumsum(
+        h, Seq.empty, "lm_ppm", expr("lm_ppm div 256"), "c")
+      val cum = h.join(broadcast(off), Seq("lm_ppm"))
+        .withColumn("cm", col("offset") + col("c"))
+        .crossJoin(broadcast(nn))
+      // both cut points in ONE aggregation job (min-over-filtered), not two
+      val cuts = cum.agg(
+        min(when(col("cm") >= expr("n div 3"), col("lm_ppm"))).as("v1"),
+        min(when(col("cm") >= expr("(2*n) div 3"), col("lm_ppm"))).as("v2"))
+      lm.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("lm_ppm"),
+          when(col("lm_ppm").isNull, "na")
+            .when(col("lm_ppm") <= col("v1"), "tail")
+            .when(col("lm_ppm") <= col("v2"), "middle")
+            .otherwise("head").as("bucket"))
         .orderBy(col("doc_id"))
     },
 
