@@ -938,15 +938,29 @@ object VectorOps {
     // to ≤3 entries per vector before the final shuffle. Isolated vectors
     // (empty candidate set) simply have no rows — the graph is sparse by
     // construction.
+    //
+    // The code width ADAPTS to the corpus: candidate volume per table is
+    // ~N²/2^w, so a FIXED w turns quadratic as N grows (measured: 8-bit
+    // codes were 56× wall at 32× the vectors). w = 8 + one bit per
+    // doubling of N past 2048 (clamped to 16, i.e. ≥8 expected vectors
+    // per bucket) keeps density — and wall — linear in N. The width rule
+    // is pure INTEGER threshold comparisons, so both engines derive the
+    // identical w from the identical count (a float log2 could flip a
+    // bit at exact powers of two).
     Q(
       "ss_knn_graph",
       s"""$FlatCte,
+         |wsel AS (
+         |  SELECT 8 + ${(0 until 8).map(k => s"(CASE WHEN n > ${2048L << k} THEN 1 ELSE 0 END)")
+                         .mkString(" + ")} AS w
+         |  FROM (SELECT count(*) AS n FROM embeddings)),
          |mb AS (
          |  SELECT e.vec_id, tt.t,
-         |    list_sum(list_transform(range(1, 9),
-         |      i -> CASE WHEN e.embedding[tt.t*8 + i] >= 0
+         |    list_sum(list_transform(range(1, ws.w + 1),
+         |      i -> CASE WHEN e.embedding[tt.t*ws.w + i] >= 0
          |           THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
-         |  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt),
+         |  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt
+         |  CROSS JOIN wsel ws),
          |gcand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
          |  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
@@ -965,11 +979,15 @@ object VectorOps {
          |  FROM gscored)
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
       val emb = quantized(s, d, withBucket = false)
+      // the same integer width rule as the oracle's wsel CTE — one bounded
+      // count job (an index build knows its corpus size)
+      val n = T.embeddings(s, d).count()
+      val w = 8 + (0 until 8).count(k => n > (2048L << k))
       val codes = emb.select(col("vec_id"), col("embedding"),
           explode(expr("sequence(0, 3)")).as("t"))
         .withColumn("bucket", expr(
-          "aggregate(sequence(1, 8), 0, (acc, i) -> " +
-            "acc + if(element_at(embedding, t*8 + i) >= cast(0 as float), " +
+          s"aggregate(sequence(1, $w), 0, (acc, i) -> " +
+            s"acc + if(element_at(embedding, t*$w + i) >= cast(0 as float), " +
             "cast(pow(2, i-1) as int), 0))"))
         .select(col("vec_id"), col("t"), col("bucket"))
       val cand = codes.select(col("vec_id").as("q_id"), col("t"), col("bucket"))
