@@ -149,6 +149,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Prefix.exclusiveCumsum matches a scanLeft model on random histograms") {
+    // load-bearing for five operators (chunk_pack, budget_select,
+    // quality_cutoff, shard_pack, ccnet_bucket): the two-level distributed
+    // cumsum must equal the sequential exclusive prefix sum for ANY bucket
+    // distribution — sparse ids, duplicate-free but unordered, skewed
+    // totals, single bucket, and bucket ids straddling superbucket
+    // boundaries (the div-256 coarsening this generator crosses).
+    val genHist = for {
+      n <- Gen.chooseNum(1, 60)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L)).map(_.distinct)
+      tots <- Gen.listOfN(ids.size, Gen.chooseNum(0L, 100000L))
+    } yield ids.zip(tots)
+    sampled(genHist, 10).foreach { hist =>
+      val model = hist.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L, 0L)) { case ((_, cum, t), (id, tot)) =>
+          (id, cum + t, tot)
+        }.drop(1).map { case (id, off, _) => id -> off }.toMap
+      val got = graft.core.Prefix.exclusiveCumsum(
+          hist.toDF("bkt", "tot"), Seq.empty, "bkt", expr("bkt div 256"), "tot")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === model, s"hist=${hist.take(5)}...")
+    }
+  }
+
   test("pagination pages are disjoint, ordered, and within the limit") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"), col("o_orderdate"))
