@@ -893,6 +893,64 @@ object QualityOps {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // Sequence packing by REAL tokenizer counts — tx_chunk_pack measured in
+    // whitespace tokens; the budget a pretraining run actually packs
+    // against is BPE subwords. Same two-pass bucketed cumsum (per-(lang,
+    // 256-doc bucket) window + Prefix offsets, no single-partition window),
+    // with per-document counts from the true greedy-merge encoder (the
+    // codegen'd expression; oracle replays the provably-equivalent chained
+    // replaces). A doc that encodes to zero tokens packs into no sequence
+    // (NULL span) on both engines.
+    Q(
+      "tx_pack_bpe", {
+        val chain = Bpe.CorpusMerges.foldLeft(
+          "regexp_replace(w, '(.)', '<\\1>', 'g')") { case (acc, (a, b)) =>
+          s"replace($acc, '<$a><$b>', '<$a$b>')"
+        }
+        s"""WITH nb AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN agg IS NULL THEN 0
+           |         ELSE len(string_split(trim(BOTH '<>' FROM agg), '><')) END AS n_bpe
+           |  FROM (
+           |    SELECT doc_id, lang,
+           |      list_aggregate(
+           |        list_transform(list_filter(string_split(text,' '), w -> w <> ''),
+           |          w -> $chain), 'string_agg', '') AS agg
+           |    FROM documents)),
+           |c AS (SELECT doc_id, lang, n_bpe,
+           |        sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM nb)
+           |SELECT doc_id, lang, n_bpe,
+           |  CASE WHEN n_bpe > 0 THEN CAST((cum - n_bpe) // $PackSeqLen AS BIGINT) END AS first_seq,
+           |  CASE WHEN n_bpe > 0 THEN CAST((cum - 1) // $PackSeqLen AS BIGINT) END AS last_seq,
+           |  CASE WHEN n_bpe > 0 THEN CAST((cum - 1) // $PackSeqLen
+           |    - (cum - n_bpe) // $PackSeqLen + 1 AS BIGINT) END AS n_seqs
+           |FROM c ORDER BY lang, doc_id""".stripMargin
+      }) { (s, d) =>
+      val toks = toCol(BpeEncodeExpr(toExpr(col("text"))))
+      val base = T.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(toks).cast(LongType).as("n_bpe"),
+        (col("doc_id") / PackBucket).cast(LongType).as("bkt"))
+      val wLocal = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      val totals = base.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_bpe")).as("tot"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(totals, Seq("lang"),
+        "bkt", expr("bkt div 256"), "tot")
+      base
+        .withColumn("cum_local", sum(col("n_bpe")).over(wLocal))
+        .join(broadcast(offsets), Seq("lang", "bkt"))
+        .withColumn("cum", col("offset") + col("cum_local"))
+        .select(col("doc_id"), col("lang"), col("n_bpe"),
+          when(col("n_bpe") > 0,
+            expr(s"(cum - n_bpe) div $PackSeqLen")).as("first_seq"),
+          when(col("n_bpe") > 0,
+            expr(s"(cum - 1) div $PackSeqLen")).as("last_seq"),
+          when(col("n_bpe") > 0,
+            expr(s"(cum - 1) div $PackSeqLen - (cum - n_bpe) div $PackSeqLen + 1"))
+            .as("n_seqs"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Corpus-relative quality cutoff — the dynamic-threshold filter a
     // curation run applies ("keep the top quartile") instead of a hand-tuned
     // constant. The threshold is an EXACT distributed order statistic: the
