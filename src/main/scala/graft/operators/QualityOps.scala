@@ -58,6 +58,33 @@ object QualityOps {
   private val DcN = 4
   private val DcBenchMod = 97
 
+  // ── Bloom prefilter parameters: 2^19 bits (8 KiB of longs), k=3 probes
+  //    read from DISJOINT 19-bit fields of the 60-bit shingle id (the
+  //    "one hash, split bits" construction — no multiply, no overflow, the
+  //    identical probe positions derivable on any engine). With the bench
+  //    slice at ~1% of corpus shingles, m/n stays ≥100 bits/key at sf0.1
+  //    → FP ≈ (3/100·ln2)^3, effectively zero; and FPs are harmless
+  //    anyway (exact verify downstream).
+  private val BloomBits = 1 << 19
+  private val BloomMask = BloomBits - 1
+  private val BloomWords = BloomBits / 64
+
+  /** the 3 Bloom probe positions of a 60-bit hash column (Spark side only —
+    * the ORACLE never sees the Bloom: the filter is a no-false-negative
+    * prefilter whose survivors are exactly verified, so the oracle is the
+    * plain exact-decontamination SQL). */
+  private def bloomProbes(h: Column): Seq[Column] =
+    Seq(h.bitwiseAND(lit(BloomMask.toLong)),
+      shiftright(h, 19).bitwiseAND(lit(BloomMask.toLong)),
+      shiftright(h, 38).bitwiseAND(lit(BloomMask.toLong)))
+
+  /** variable-amount shifts (the functions-API shiftleft/shiftright only
+    * take a literal shift; the catalyst expressions take a column). */
+  private def shrCol(a: Column, b: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions.ShiftRight(toExpr(a), toExpr(b)))
+  private def shlCol(a: Column, b: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions.ShiftLeft(toExpr(a), toExpr(b)))
+
   // ── packing parameters: 512-token sequences, 256-doc range buckets for
   //    the two-pass cumsum.
   private val PackSeqLen = 512
@@ -541,6 +568,66 @@ object QualityOps {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("h")).as("n_shared_grams"),
           countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Bloom-prefiltered decontamination PURGE — the anti-join form a
+    // pipeline actually materializes (the clean corpus), with the bench
+    // overlap test run through a Bloom filter FIRST. Scale story: at 100 TB
+    // the benchmark shingle set is too large to broadcast as rows but its
+    // Bloom is ~10 bits/key — built here as a bounded bit_or aggregation
+    // over probe words (≤8 Ki longs collected to the driver, the same
+    // bounded-collect shape as the classifier's 67-long weight map) and
+    // shipped to every corpus partition as a LITERAL array read by three
+    // pure-arithmetic bit probes (codegen'd, no UDF, no join). The Bloom
+    // has NO false negatives by construction, so docs whose every shingle
+    // misses are definitely clean; the few Bloom-hit shingles pay the
+    // exact broadcast semi-join verify, making the final answer EXACT —
+    // which is why the oracle is the plain exact anti-join SQL with no
+    // Bloom anywhere.
+    Q(
+      "dd_decontaminate_bloom",
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${gramsSql(DcN)})) AS g FROM d),
+         |shh AS (SELECT doc_id, ${sid60Sql("g")} AS h FROM sh),
+         |bench AS (SELECT h FROM shh WHERE doc_id % $DcBenchMod = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM shh s
+         |  WHERE s.doc_id % $DcBenchMod <> 0 AND s.h IN (SELECT h FROM bench))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id % $DcBenchMod <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val shh = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(gramsSpark(DcN)))).as("g"))
+        .select(col("doc_id"), sid60(col("g")).as("h"))
+      val bench = shh.filter(col("doc_id") % DcBenchMod === 0)
+        .select(col("h")).distinct().persist()
+      // build the Bloom: probe positions → (word, bit) → bit_or per word.
+      // The aggregation is map-side combining (≤ BloomWords groups), and
+      // the collect is bounded by BloomWords regardless of corpus size.
+      val bits = new Array[Long](BloomWords)
+      bench.select(explode(array(bloomProbes(col("h")): _*)).as("p"))
+        .select(expr("p div 64").cast(IntegerType).as("w"),
+          shlCol(lit(1L), (col("p") % 64).cast(IntegerType)).as("b"))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+        .collect().foreach(r => bits(r.getInt(0)) = r.getLong(1))
+      val bitsLit = typedLit(bits.toSeq)
+      def mightContain(h: Column): Column = bloomProbes(h).map { p =>
+        shrCol(element_at(bitsLit, (p / 64).cast(IntegerType) + 1),
+          (p % 64).cast(IntegerType)).bitwiseAND(lit(1L)) === 1L
+      }.reduce(_ && _)
+      val corpus = shh.filter(col("doc_id") % DcBenchMod =!= 0)
+      val contaminated = corpus
+        .filter(mightContain(col("h")))              // Bloom prefilter (narrow)
+        .join(broadcast(bench), Seq("h"), "left_semi") // exact verify
+        .select(col("doc_id")).distinct()
+      T.documents(s, d)
+        .filter(col("doc_id") % DcBenchMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
 

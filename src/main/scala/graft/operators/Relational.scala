@@ -554,6 +554,35 @@ object Relational {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // W7 sliding (hopping) event-time window: 10-minute windows every
+    // 5 minutes via Spark's window(ts, width, slide) — each event lands in
+    // exactly width/slide = 2 windows, so the operator is a 2× explode +
+    // one partial-agged groupBy, NOT a self-join (the naive range-join
+    // formulation shuffles the event table against the window table; the
+    // slot arithmetic keeps it a narrow map at any scale). The oracle
+    // derives the same two epoch-aligned starts per event arithmetically.
+    // No float SUM in the output (count/distinct only) — the overlap
+    // duplication would otherwise double float accumulation-order surface.
+    Q(
+      "w7_sliding_window",
+      """WITH slots AS (
+        |  SELECT user_id,
+        |    to_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300) AS s0
+        |  FROM events),
+        |two AS (
+        |  SELECT s0 AS wstart, user_id FROM slots
+        |  UNION ALL
+        |  SELECT s0 - INTERVAL 5 MINUTES AS wstart, user_id FROM slots)
+        |SELECT CAST(wstart AS TIMESTAMP) AS wstart, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM two GROUP BY 1 ORDER BY wstart""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("wstart"), col("n"), col("n_users"))
+        .orderBy(col("wstart"))
+    },
+
     // ── U: set operations ──────────────────────────────────────────────────
 
     // U3 schema union of heterogeneous event shapes (unionByName with
