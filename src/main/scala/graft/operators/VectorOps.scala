@@ -525,6 +525,107 @@ object VectorOps {
       |    FROM qscored)
       |  WHERE rnk <= 5)""".stripMargin
 
+  // ── product quantization parameters: 64 dims → PqM=8 subspaces × PqSub=8
+  //    dims, PqK=16 codewords per subspace sampled from the corpus (the
+  //    first 16 vectors — k-means with zero refinement steps; FAISS seeds
+  //    its PQ codebooks from sampled points the same way). Codes are
+  //    8×4 bits per vector: 4 bytes instead of 256 — the compression ratio
+  //    that lets a 100 TB corpus' candidate pass live in memory.
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+
+  /** the PQ/ADC top-k CTE chain (prefix `pq`), sharing `flat`/`norms`:
+    * encode (nearest codeword per subspace, exact int argmin), ADC lookup
+    * tables per query, approximate cosine from table sums + reconstructed
+    * codeword norms, top-15 candidates, exact full-precision rerank. */
+  private val PqTopSql =
+    s"""pqsub AS (SELECT vec_id, (i-1)//$PqSub AS sp, (i-1)%$PqSub AS j, v FROM flat),
+      |pqcb AS (SELECT vec_id AS cid, sp, j, v AS cv FROM pqsub WHERE vec_id < $PqK),
+      |pqcbn AS (SELECT cid, sp, sum(cv*cv) AS cn FROM pqcb GROUP BY 1, 2),
+      |pqd AS (SELECT p.vec_id, p.sp, c.cid, sum((p.v-c.cv)*(p.v-c.cv)) AS dist
+      |        FROM pqsub p JOIN pqcb c ON p.sp = c.sp AND p.j = c.j GROUP BY 1, 2, 3),
+      |pqcode AS (SELECT vec_id, sp, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dist, cid) AS rn
+      |    FROM pqd) WHERE rn = 1),
+      |pqqd AS (SELECT q.vec_id AS q_id, c.sp, c.cid, sum(q.v*c.cv) AS pdot
+      |         FROM pqsub q JOIN pqcb c ON q.sp = c.sp AND q.j = c.j
+      |         WHERE q.vec_id < $PqK GROUP BY 1, 2, 3),
+      |pqadot AS (SELECT t.q_id, e.vec_id AS n_id, sum(t.pdot) AS adot, sum(n.cn) AS cn
+      |           FROM pqcode e
+      |           JOIN pqqd t ON t.sp = e.sp AND t.cid = e.cid
+      |           JOIN pqcbn n ON n.sp = e.sp AND n.cid = e.cid
+      |           WHERE t.q_id <> e.vec_id GROUP BY 1, 2),
+      |pqapprox AS (SELECT a.q_id, a.n_id, ${cosSql("a.adot", "nq.nrm", "a.cn")} AS cospq
+      |             FROM pqadot a JOIN norms nq ON nq.vec_id = a.q_id),
+      |pqcand AS (SELECT q_id, n_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cospq DESC, n_id) AS r
+      |    FROM pqapprox) WHERE r <= 15),
+      |pqdots AS (SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
+      |           FROM pqcand c JOIN flat qf ON qf.vec_id = c.q_id
+      |           JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+      |           GROUP BY 1, 2),
+      |pqscored AS (SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
+      |             FROM pqdots JOIN norms nq ON nq.vec_id = q_id
+      |             JOIN norms nc ON nc.vec_id = n_id),
+      |pqtop AS (SELECT q_id, n_id, cos, rnk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      |    FROM pqscored) WHERE rnk <= 5)""".stripMargin
+
+  /** PQ top-k, Spark side — see the `ss_topk_pq` registration comment. */
+  private def topkPq(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false).persist()
+    // the M sub-vectors per embedding (vec_id, sp, sarr) — one narrow map
+    val sub = emb.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(qarr, m*$PqSub + 1, $PqSub))"))
+        .as(Seq("sp", "sarr")))
+    val cb = sub.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("sp"), col("sarr").as("carr"))
+      .withColumn("cn", normOf("carr"))
+    // ENCODE: nearest codeword per (vector, subspace). The ≤128-row
+    // codebook broadcasts; argmin is min_by (tie-break cid), so the
+    // N×M×K distance stream partial-aggregates to N×M code rows map-side.
+    val codes = sub.join(broadcast(cb), Seq("sp"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sarr, carr, (a, b) -> (a-b)*(a-b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"), col("sp"))
+      .agg(min_by(struct(col("cid"), col("cn")),
+        struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sp"),
+        col("best.cid").as("cid"), col("best.cn").as("cn"))
+    // ADC lookup tables: per query × subspace × codeword, the partial dot
+    val qd = sub.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("q_id"), col("sp"), col("sarr").as("qs"))
+      .join(cb.select(col("cid"), col("sp"), col("carr")), Seq("sp"))
+      .select(col("q_id"), col("sp"), col("cid"), dotOf("qs", "carr").as("pdot"))
+    // approximate scores: N×M code rows × broadcast ADC table, partial-
+    // aggregated to one (q_id, n_id) row before the shuffle
+    val qn = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("q_id"), col("nrm").as("nq"))
+    val cand = codes.join(broadcast(qd), Seq("sp", "cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("cn"))
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("cospq", cosFrom(col("adot"), col("nq"), col("cn")))
+    val top15 = udaf(BoundedTopK[Double](15))
+    val c15 = cand.groupBy(col("q_id"))
+      .agg(top15(-col("cospq"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    val scored = c15
+      .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
+        Seq("n_id"))
+      .join(broadcast(emb.filter(col("vec_id") < PqK).select(col("vec_id").as("q_id"),
+        col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    rankTopK(scored, 5)
+  }
+
   /** IVF (inverted-file) top-k: label-mean centroids in exact integer
     * arithmetic, nearest-cell assignment + nprobe=2 probe cells in one
     * BoundedTopK aggregation pass, exact integer-cosine rerank inside the
@@ -866,6 +967,28 @@ object VectorOps {
          |$QuantTopSql
          |SELECT q_id, n_id, cos, rnk FROM qtop ORDER BY q_id, rnk""".stripMargin) {
       (s, d) => topkQuant(s, d)
+    },
+
+    // Product-quantization (PQ/ADC) top-k — the memory-resident ANN tier
+    // past SQ8: each vector compresses to 8 four-bit codes (4 bytes vs 256
+    // for floats), scoring is table LOOKUPS (the ADC trick) instead of
+    // arithmetic on components, and only the top-15 approximate candidates
+    // per query pay the exact full-precision rerank. Codebooks are sampled
+    // from the corpus (first 16 vectors, k-means-0 — the FAISS seeding
+    // step without refinement, kept deterministic so the oracle can derive
+    // the identical codebook). Encode/ADC arithmetic is int64-exact on
+    // both engines → identical candidate sets → bitwise oracle compare.
+    // At scale: the codebook (≤128 subvectors) broadcasts, encoding
+    // partial-aggregates N×8×16 distances to N×8 code rows map-side, and
+    // the candidate pass joins 4-byte codes against a 2048-row broadcast
+    // lookup table — the corpus' float payload is touched only for ≤15
+    // rerank rows per query.
+    Q(
+      "ss_topk_pq",
+      s"""$FlatCte,
+         |$PqTopSql
+         |SELECT q_id, n_id, cos, rnk FROM pqtop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkPq(s, d)
     },
 
     // One Lloyd's (k-means) assignment step — the iteration a semantic-dedup
