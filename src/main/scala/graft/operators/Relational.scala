@@ -465,6 +465,49 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Cube (engine extension, completing the grouping-sets family next to
+    // q6_rollup): all four grouping combinations in one pass. Spark plans
+    // rollup/cube as a single Expand + one partial-agged aggregation — the
+    // sub-totals cost one extra row per input row per grouping set, never
+    // a second scan.
+    Q(
+      "q6b_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(o6(sum(d6(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // W8 RANGE-interval window frame (engine extension): per-user count of
+    // events in the PRECEDING HOUR at each event — the rate-limit /
+    // velocity feature shape. Spark's rangeBetween frame over a seconds
+    // key computes it in one pass per partition; no self-join (the naive
+    // formulation is an O(n·window) range join). Count only — a float SUM
+    // in an incremental frame accumulates in frame order, which RANGE
+    // semantics make engine-specific.
+    Q(
+      "w8_range_frame",
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // frame key = unix_micros, not a seconds cast: events carry µs
+      // precision and the INTERVAL oracle frame is µs-exact
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .orderBy(col("event_id"))
+    },
+
     // U5/U6 intersect + except (engine extensions; SURVEY §2.7 notes the
     // reference has neither): purchasers who also clicked, and purchasers
     // who never errored.
