@@ -780,6 +780,7 @@ object VectorOps {
          |$LshTopSql,
          |$Lsh4TopSql,
          |$QuantTopSql,
+         |$PqTopSql,
          |$IvfTopSql
          |SELECT method, q_id, n_hits, CAST(n_hits AS DOUBLE)/5.0 AS recall_at_5
          |FROM (
@@ -797,6 +798,10 @@ object VectorOps {
          |  UNION ALL
          |  SELECT 'quant' AS method, b.q_id, count(t.n_id) AS n_hits
          |  FROM btop b LEFT JOIN qtop t ON t.q_id = b.q_id AND t.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |  UNION ALL
+         |  SELECT 'pq' AS method, b.q_id, count(p.n_id) AS n_hits
+         |  FROM btop b LEFT JOIN pqtop p ON p.q_id = b.q_id AND p.n_id = b.n_id
          |  GROUP BY b.q_id)
          |ORDER BY method, q_id""".stripMargin) { (s, d) =>
       val truth = topkBrute(s, d).select(col("q_id"), col("n_id")).persist()
@@ -810,6 +815,7 @@ object VectorOps {
         .union(recallOf("lsh", topkLsh(s, d)))
         .union(recallOf("lsh4", topkLsh4(s, d)))
         .union(recallOf("quant", topkQuant(s, d)))
+        .union(recallOf("pq", topkPq(s, d)))
         .select(col("method"), col("q_id"), col("n_hits"),
           (col("n_hits").cast(DoubleType) / 5.0).as("recall_at_5"))
         .orderBy(col("method"), col("q_id"))
