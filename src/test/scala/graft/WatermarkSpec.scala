@@ -50,4 +50,37 @@ class WatermarkSpec extends AnyFunSuite {
       assert(got(20L) === 1L)
     } finally q.stop()
   }
+
+  test("sliding windows stream: each event counts in width/slide = 2 windows; late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the streaming form of w7_sliding_window: 10s windows every 5s
+    val counts = in.toDF().toDF("secs", "k")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("n"))
+
+    val q = counts.writeStream
+      .format("memory").queryName("slidecounts").outputMode("append").start()
+    try {
+      in.addData((7L, "a"), (8L, "b"))  // both in [0,10) and [5,15)
+      q.processAllAvailable()
+      in.addData((40L, "adv"))          // watermark → 30: closes both
+      q.processAllAvailable()
+      in.addData((6L, "late"))          // behind the watermark → dropped
+      q.processAllAvailable()
+      in.addData((60L, "adv2"))         // close [35,45) and [40,50)
+      q.processAllAvailable()
+
+      val got = spark.table("slidecounts")
+        .select(unix_timestamp(col("start")).as("s"), col("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(got(0L) === 2L && got(5L) === 2L,
+        "events must appear in both overlapping windows exactly once each")
+      assert(got(35L) === 1L && got(40L) === 1L, "advancing row miscounted")
+      assert(!got.contains(10L), "no window should exist where no events fell")
+    } finally q.stop()
+  }
 }
