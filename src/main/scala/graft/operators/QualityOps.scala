@@ -631,6 +631,57 @@ object QualityOps {
         .orderBy(col("doc_id"))
     },
 
+    // Count-Min Sketch heavy-hitter eval — the bounded-state frequency
+    // sketch (Cormode & Muthukrishnan): d=4 rows × w=1024 cells, positions
+    // read from disjoint 10-bit fields of the 60-bit token id (same
+    // split-bits construction as the Bloom above). The sketch is NOT a
+    // driver-side array: it lives as a (j, pos, cnt) DataFrame — ≤4096
+    // rows regardless of corpus size — built by one partial-agged shuffle
+    // of the ×4-exploded token stream and BROADCAST for estimation, where
+    // exact per-token counts would shuffle the whole vocabulary. The query
+    // evaluates the sketch against the exact top-20 tokens: the CMS
+    // guarantee est ≥ true holds row by row (spec-pinned), and both
+    // engines compute the identical integer cells, so the compare is
+    // bitwise. At 100 TB the sketch answers point frequency queries with
+    // 32 KB of state and one broadcast join.
+    Q(
+      "tx_cms_heavyhitters",
+      s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+         |th AS (SELECT token, ${sid60Sql("token")} AS h FROM tok),
+         |cells AS (
+         |  SELECT r.j, (t.h >> (10*r.j)) & 1023 AS pos, count(*) AS cnt
+         |  FROM th t CROSS JOIN range(4) r(j) GROUP BY 1, 2),
+         |truth AS (SELECT token, any_value(h) AS h, count(*) AS true_count
+         |          FROM th GROUP BY token),
+         |top AS (SELECT * FROM truth ORDER BY true_count DESC, token LIMIT 20),
+         |est AS (
+         |  SELECT t.token, t.true_count, min(c.cnt) AS cms_est
+         |  FROM top t JOIN cells c ON c.pos = (t.h >> (10*c.j)) & 1023
+         |  GROUP BY 1, 2)
+         |SELECT token, true_count, cms_est, cms_est - true_count AS overcount
+         |FROM est ORDER BY true_count DESC, token""".stripMargin) { (s, d) =>
+      val th = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .withColumn("h", sid60(col("token")))
+      val posOf = (h: Column, j: Int) =>
+        shiftright(h, 10 * j).bitwiseAND(lit(1023L))
+      val cells = th.select(explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), posOf(col("h"), j).as("pos"))): _*)).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = th.groupBy(col("token"))
+        .agg(first(col("h")).as("h"), count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("token")).limit(20)
+      top.join(broadcast(cells),
+          (0 until 4).map(j => col("j") === j && col("pos") === posOf(col("h"), j))
+            .reduce(_ || _))
+        .groupBy(col("token"), col("true_count"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("token"), col("true_count"), col("cms_est"),
+          (col("cms_est") - col("true_count")).as("overcount"))
+        .orderBy(col("true_count").desc, col("token"))
+    },
+
     // Corpus length-distribution report: per-language token-count
     // percentiles (EXACT linear-interpolated percentile, not approx — the
     // report a curation run prints before choosing length cutoffs). One
