@@ -56,6 +56,17 @@ class PqBloomSpec extends AnyFunSuite {
     assert(flagged.nonEmpty, "fixture should contain contamination")
   }
 
+  test("tx_cms_heavyhitters: the CMS overestimate guarantee holds row by row") {
+    val rows = run("tx_cms_heavyhitters")
+      .select("token", "true_count", "cms_est", "overcount").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: CMS must never underestimate")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+  }
+
   test("w7_sliding_window: every event lands in exactly width/slide = 2 windows") {
     val df = run("w7_sliding_window").select("wstart", "n").collect()
     val totalWindowed = df.map(_.getLong(1)).sum
