@@ -400,6 +400,38 @@ object Relational {
         .offset(20).limit(20)
     },
 
+    // O1b KEYSET (seek-method) pagination — the scale-correct form of O1:
+    // page N via a composite-key range predicate instead of OFFSET. OFFSET
+    // at depth k scans-and-discards k rows on every page (O(k) per page,
+    // quadratic over a full crawl); the seek predicate is sargable — it
+    // prunes at the scan (zone maps / parquet min-max on the sort key), so
+    // every page costs the same regardless of depth. The cursor here is
+    // derived in-query from page 2's last row ONLY to keep the query
+    // self-contained and the oracle deterministic — a real client carries
+    // the cursor from the previous response (api_tx_last's shape).
+    Q(
+      "o1b_keyset_pagination",
+      """WITH cur AS (
+        |  SELECT o_orderdate AS cd, o_orderkey AS ck FROM orders
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1 OFFSET 39)
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders, cur
+        |WHERE o_orderdate < cd OR (o_orderdate = cd AND o_orderkey < ck)
+        |ORDER BY o_orderdate DESC, o_orderkey DESC
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val cur = o.orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .offset(39).limit(1)
+        .select(col("o_orderdate").as("cd"), col("o_orderkey").as("ck"))
+      o.crossJoin(broadcast(cur))
+        .filter(col("o_orderdate") < col("cd") ||
+          (col("o_orderdate") === col("cd") && col("o_orderkey") < col("ck")))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(20)
+    },
+
     // W4 lag over time ordering (bp_prices.py:44-61 ≈ 24h-ago comparison).
     Q(
       "w4_lag",

@@ -572,9 +572,10 @@ object VectorOps {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
       |    FROM pqscored) WHERE rnk <= 5)""".stripMargin
 
-  /** PQ top-k, Spark side — see the `ss_topk_pq` registration comment. */
-  private def topkPq(s: SparkSession, d: String): DataFrame = {
-    val emb = quantized(s, d, withBucket = false).persist()
+  /** PQ encode of a quantized embedding frame: the code table
+    * (vec_id, sp, cid, cn) and the per-query ADC lookup tables
+    * (q_id, sp, cid, pdot). Shared by `ss_topk_pq` / `ss_topk_ivfpq`. */
+  private def pqEncode(emb: DataFrame): (DataFrame, DataFrame) = {
     // the M sub-vectors per embedding (vec_id, sp, sarr) — one narrow map
     val sub = emb.select(col("vec_id"),
       posexplode(expr(
@@ -600,6 +601,27 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("sp"), col("sarr").as("qs"))
       .join(cb.select(col("cid"), col("sp"), col("carr")), Seq("sp"))
       .select(col("q_id"), col("sp"), col("cid"), dotOf("qs", "carr").as("pdot"))
+    (codes, qd)
+  }
+
+  /** exact full-precision rerank of a (q_id, n_id) candidate frame to
+    * top-k — the shared tail of every two-stage ANN variant. */
+  private def exactRerank(cand: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val scored = cand
+      .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
+        Seq("n_id"))
+      .join(broadcast(emb.filter(col("vec_id") < PqK).select(col("vec_id").as("q_id"),
+        col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    rankTopK(scored, k)
+  }
+
+  /** PQ top-k, Spark side — see the `ss_topk_pq` registration comment. */
+  private def topkPq(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false).persist()
+    val (codes, qd) = pqEncode(emb)
     // approximate scores: N×M code rows × broadcast ADC table, partial-
     // aggregated to one (q_id, n_id) row before the shuffle
     val qn = emb.filter(col("vec_id") < PqK)
@@ -615,15 +637,32 @@ object VectorOps {
       .agg(top15(-col("cospq"), col("vec_id")).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t._2").as("n_id"))
-    val scored = c15
-      .join(emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc")),
-        Seq("n_id"))
-      .join(broadcast(emb.filter(col("vec_id") < PqK).select(col("vec_id").as("q_id"),
-        col("qarr").as("q_qarr"), col("nrm").as("nq"))), Seq("q_id"))
-      .select(col("q_id"), col("n_id"),
-        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
-      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
-    rankTopK(scored, 5)
+    exactRerank(c15, emb, 5)
+  }
+
+  /** IVF-PQ top-k, Spark side — see the `ss_topk_ivfpq` registration
+    * comment. The IVF stage bounds WHICH vectors are scored (nprobe=2
+    * posting lists); the PQ stage bounds WHAT scoring costs (ADC lookups
+    * on 4-byte codes); only the composed top-15 pays exact rerank. */
+  private def topkIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false).persist()
+    val cand = ivfCand(emb)
+    val (codes, qd) = pqEncode(emb)
+    val qn = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("q_id"), col("nrm").as("nq"))
+    val adc = cand
+      .join(codes.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(qd), Seq("q_id", "sp", "cid"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("cn"))
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("cospq", cosFrom(col("adot"), col("nq"), col("cn")))
+    val top15 = udaf(BoundedTopK[Double](15))
+    val c15 = adc.groupBy(col("q_id"))
+      .agg(top15(-col("cospq"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    exactRerank(c15, emb, 5)
   }
 
   /** IVF (inverted-file) top-k: label-mean centroids in exact integer
@@ -631,8 +670,7 @@ object VectorOps {
     * BoundedTopK aggregation pass, exact integer-cosine rerank inside the
     * probed posting lists only. Shared by `ss_topk_ivf` and the `ss_recall`
     * panel. */
-  private def topkIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = quantized(s, d, withBucket = false)
+  private def ivfCand(emb: DataFrame): DataFrame = {
     val n = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
     val flat = emb.select(col("vec_id"), col("label"),
         posexplode(col("qarr")).as(Seq("i0", "v")))
@@ -659,9 +697,14 @@ object VectorOps {
     val assign = cells.select(col("vec_id"), col("cell"))
     val probe = cells.filter(col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), explode(col("cells")("_2")).as("cell"))
-    val cand = probe.join(assign, Seq("cell"))
+    probe.join(assign, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+  }
+
+  private def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false)
+    val cand = ivfCand(emb)
     val qSide = emb.select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
       col("nrm").as("nq"))
     val nSide = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
@@ -701,6 +744,33 @@ object VectorOps {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |    FROM ivscored)
        |  WHERE rnk <= 5)""".stripMargin
+
+  /** the IVF-PQ top-k CTE chain (prefix `vp`): candidates from the IVF
+    * probe (`ivcand`), scored by PQ/ADC (`pqcode`/`pqqd`/`pqcbn`), top-15
+    * survive, exact rerank to 5 — references the iv-/pq-prefixed CTEs, so
+    * a query using it includes IvfTopSql and PqTopSql too. */
+  private val IvfPqSql =
+    s"""vpadot AS (SELECT c.q_id, c.n_id, sum(t.pdot) AS adot, sum(n.cn) AS cn
+      |           FROM ivcand c
+      |           JOIN pqcode e ON e.vec_id = c.n_id
+      |           JOIN pqqd t ON t.q_id = c.q_id AND t.sp = e.sp AND t.cid = e.cid
+      |           JOIN pqcbn n ON n.sp = e.sp AND n.cid = e.cid
+      |           GROUP BY 1, 2),
+      |vpapprox AS (SELECT a.q_id, a.n_id, ${cosSql("a.adot", "nq.nrm", "a.cn")} AS cospq
+      |             FROM vpadot a JOIN norms nq ON nq.vec_id = a.q_id),
+      |vpcand AS (SELECT q_id, n_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cospq DESC, n_id) AS r
+      |    FROM vpapprox) WHERE r <= 15),
+      |vpdots AS (SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
+      |           FROM vpcand c JOIN flat qf ON qf.vec_id = c.q_id
+      |           JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+      |           GROUP BY 1, 2),
+      |vpscored AS (SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
+      |             FROM vpdots JOIN norms nq ON nq.vec_id = q_id
+      |             JOIN norms nc ON nc.vec_id = n_id),
+      |vptop AS (SELECT q_id, n_id, cos, rnk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      |    FROM vpscored) WHERE rnk <= 5)""".stripMargin
 
   /** the LSH top-k CTE chain (prefix `l`), sharing `flat`/`norms`. */
   private val LshTopSql =
@@ -995,6 +1065,24 @@ object VectorOps {
          |$PqTopSql
          |SELECT q_id, n_id, cos, rnk FROM pqtop ORDER BY q_id, rnk""".stripMargin) {
       (s, d) => topkPq(s, d)
+    },
+
+    // IVF-PQ top-k — the composition a billion-vector index actually runs
+    // (FAISS IVFPQ): the IVF stage bounds WHICH vectors get scored (the
+    // nprobe=2 posting lists, ~2/K of the corpus), the PQ stage bounds
+    // WHAT scoring costs (ADC lookups on 4-byte codes instead of float
+    // arithmetic), and only the composed top-15 pays the exact rerank.
+    // Both stages reuse the measured building blocks (`ivfCand`,
+    // `pqEncode`) and both oracles' CTE chains verbatim, so the compare
+    // stays bitwise through the composition.
+    Q(
+      "ss_topk_ivfpq",
+      s"""$FlatCte,
+         |$IvfTopSql,
+         |$PqTopSql,
+         |$IvfPqSql
+         |SELECT q_id, n_id, cos, rnk FROM vptop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkIvfPq(s, d)
     },
 
     // One Lloyd's (k-means) assignment step — the iteration a semantic-dedup
