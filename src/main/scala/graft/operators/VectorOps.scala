@@ -851,7 +851,8 @@ object VectorOps {
          |$Lsh4TopSql,
          |$QuantTopSql,
          |$PqTopSql,
-         |$IvfTopSql
+         |$IvfTopSql,
+         |$IvfPqSql
          |SELECT method, q_id, n_hits, CAST(n_hits AS DOUBLE)/5.0 AS recall_at_5
          |FROM (
          |  SELECT 'ivf' AS method, b.q_id, count(v.n_id) AS n_hits
@@ -872,6 +873,10 @@ object VectorOps {
          |  UNION ALL
          |  SELECT 'pq' AS method, b.q_id, count(p.n_id) AS n_hits
          |  FROM btop b LEFT JOIN pqtop p ON p.q_id = b.q_id AND p.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, b.q_id, count(x.n_id) AS n_hits
+         |  FROM btop b LEFT JOIN vptop x ON x.q_id = b.q_id AND x.n_id = b.n_id
          |  GROUP BY b.q_id)
          |ORDER BY method, q_id""".stripMargin) { (s, d) =>
       val truth = topkBrute(s, d).select(col("q_id"), col("n_id")).persist()
@@ -886,6 +891,7 @@ object VectorOps {
         .union(recallOf("lsh4", topkLsh4(s, d)))
         .union(recallOf("quant", topkQuant(s, d)))
         .union(recallOf("pq", topkPq(s, d)))
+        .union(recallOf("ivfpq", topkIvfPq(s, d)))
         .select(col("method"), col("q_id"), col("n_hits"),
           (col("n_hits").cast(DoubleType) / 5.0).as("recall_at_5"))
         .orderBy(col("method"), col("q_id"))
