@@ -58,32 +58,10 @@ object QualityOps {
   private val DcN = 4
   private val DcBenchMod = 97
 
-  // ── Bloom prefilter parameters: 2^19 bits (8 KiB of longs), k=3 probes
-  //    read from DISJOINT 19-bit fields of the 60-bit shingle id (the
-  //    "one hash, split bits" construction — no multiply, no overflow, the
-  //    identical probe positions derivable on any engine). With the bench
-  //    slice at ~1% of corpus shingles, m/n stays ≥100 bits/key at sf0.1
-  //    → FP ≈ (3/100·ln2)^3, effectively zero; and FPs are harmless
-  //    anyway (exact verify downstream).
-  private val BloomBits = 1 << 19
-  private val BloomMask = BloomBits - 1
-  private val BloomWords = BloomBits / 64
-
-  /** the 3 Bloom probe positions of a 60-bit hash column (Spark side only —
-    * the ORACLE never sees the Bloom: the filter is a no-false-negative
-    * prefilter whose survivors are exactly verified, so the oracle is the
-    * plain exact-decontamination SQL). */
-  private def bloomProbes(h: Column): Seq[Column] =
-    Seq(h.bitwiseAND(lit(BloomMask.toLong)),
-      shiftright(h, 19).bitwiseAND(lit(BloomMask.toLong)),
-      shiftright(h, 38).bitwiseAND(lit(BloomMask.toLong)))
-
-  /** variable-amount shifts (the functions-API shiftleft/shiftright only
-    * take a literal shift; the catalyst expressions take a column). */
-  private def shrCol(a: Column, b: Column): Column =
-    toCol(org.apache.spark.sql.catalyst.expressions.ShiftRight(toExpr(a), toExpr(b)))
-  private def shlCol(a: Column, b: Column): Column =
-    toCol(org.apache.spark.sql.catalyst.expressions.ShiftLeft(toExpr(a), toExpr(b)))
+  // Bloom prefilter machinery lives in [[Decontaminate]] (shared with the
+  // streaming gate); the ORACLE never sees the Bloom — it is a
+  // no-false-negative prefilter whose survivors are exactly verified, so
+  // the oracle stays the plain exact-decontamination SQL.
 
   // ── packing parameters: 512-token sequences, 256-doc range buckets for
   //    the two-pass cumsum.
@@ -598,35 +576,15 @@ object QualityOps {
          |WHERE doc_id % $DcBenchMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val shh = T.documents(s, d)
-        .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"),
-          explode(array_distinct(expr(gramsSpark(DcN)))).as("g"))
-        .select(col("doc_id"), sid60(col("g")).as("h"))
-      val bench = shh.filter(col("doc_id") % DcBenchMod === 0)
+      val docs = T.documents(s, d)
+      val benchHashes = Decontaminate
+        .shingles(docs.filter(col("doc_id") % DcBenchMod === 0))
         .select(col("h")).distinct().persist()
-      // build the Bloom: probe positions → (word, bit) → bit_or per word.
-      // The aggregation is map-side combining (≤ BloomWords groups), and
-      // the collect is bounded by BloomWords regardless of corpus size.
-      val bits = new Array[Long](BloomWords)
-      bench.select(explode(array(bloomProbes(col("h")): _*)).as("p"))
-        .select(expr("p div 64").cast(IntegerType).as("w"),
-          shlCol(lit(1L), (col("p") % 64).cast(IntegerType)).as("b"))
-        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
-        .collect().foreach(r => bits(r.getInt(0)) = r.getLong(1))
-      val bitsLit = typedLit(bits.toSeq)
-      def mightContain(h: Column): Column = bloomProbes(h).map { p =>
-        shrCol(element_at(bitsLit, (p / 64).cast(IntegerType) + 1),
-          (p % 64).cast(IntegerType)).bitwiseAND(lit(1L)) === 1L
-      }.reduce(_ && _)
-      val corpus = shh.filter(col("doc_id") % DcBenchMod =!= 0)
-      val contaminated = corpus
-        .filter(mightContain(col("h")))              // Bloom prefilter (narrow)
-        .join(broadcast(bench), Seq("h"), "left_semi") // exact verify
-        .select(col("doc_id")).distinct()
-      T.documents(s, d)
-        .filter(col("doc_id") % DcBenchMod =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
+      val bits = Decontaminate.bloomBits(benchHashes)
+      val corpus = docs.filter(col("doc_id") % DcBenchMod =!= 0)
+      val contaminated = Decontaminate.contaminatedIds(
+        corpus.select(col("doc_id"), col("text")), benchHashes, bits)
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },

@@ -529,6 +529,42 @@ object Pipelines {
         ()
       }
 
+  /** Streaming decontamination gate — the eval-overlap filter applied AT
+    * INGEST: drop micro-batch documents sharing any 4-word shingle with a
+    * STATIC benchmark corpus (index built once by
+    * [[graft.operators.Decontaminate.buildIndex]]). Unlike the dedup
+    * gates this one is STATELESS across batches — the benchmark never
+    * grows — so there is no run-sealing/compaction machinery: the gate is
+    * a pure filter, replays admit the identical rows by construction, and
+    * the only state is the immutable index directory.
+    *
+    * Per batch: Bloom-probe every shingle (narrow arithmetic — the bit
+    * array loads ONCE at gate construction, not per batch), exact-verify
+    * the few hits against the benchmark hash frame, anti-join the batch.
+    * The verdict is exact (the Bloom has no false negatives) while a
+    * clean batch never pays a join on its overwhelming miss majority.
+    * Compose downstream of the quality filter and upstream of
+    * [[nearDupGate]]'s index — the CCNet-style curation order. */
+  def decontaminateGate(stream: DataFrame, benchIndexDir: String,
+      checkpointDir: String,
+      out: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Decontaminate
+    // load once: the bit array is 8 Ki longs, the hash frame stays lazy
+    val (benchHashes0, bits) =
+      Decontaminate.readIndex(stream.sparkSession, benchIndexDir)
+    val benchHashes = benchHashes0.persist()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = dedupDeterministic(batch.toDF(), "doc_id").persist()
+        val contaminated = Decontaminate.contaminatedIds(
+          docs.select(col("doc_id"), col("text")), benchHashes, bits)
+        out(docs.join(contaminated, Seq("doc_id"), "left_anti"))
+        docs.unpersist()
+        ()
+      }
+  }
+
   /** S12 cursor advance WITH audit history (scan_raw_txs.py:132-137): the
     * reference upserts the single `moc_indexer` cursor doc and keeps an
     * append-only `moc_indexer_history` of every advance. Same here: the
