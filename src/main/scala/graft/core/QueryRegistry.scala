@@ -17,7 +17,8 @@ object QueryRegistry {
       graft.operators.TextOps.queries ++
       graft.operators.QualityOps.queries ++
       graft.operators.Multimodal.queries ++
-      graft.operators.VectorOps.queries
+      graft.operators.VectorOps.queries ++
+      graft.operators.ScaleOps.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

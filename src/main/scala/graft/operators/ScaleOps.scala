@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Scale-engineering operator family — the pieces a 100 TB pipeline leans on
+  * that are ABOUT distribution itself, not a specific domain query:
+  *
+  *  - `gr_pagerank`: bounded-iteration PageRank over the customer↔supplier
+  *    order graph, INTEGER-EXACT (ranks are 10^12-scaled longs, every
+  *    transfer uses integer division) so the DuckDB oracle reproduces the
+  *    fixpoint bit-for-bit. Each iteration is one keyed shuffle (contrib by
+  *    dst) over a persisted, pre-weighted edge table; ranks are
+  *    localCheckpoint'd per iteration so the 6-round loop never builds a
+  *    nested mega-plan (same discipline as the BPE/perceptron loops).
+  *  - `lo_zorder`: Z-order (Morton) storage-layout planning over the events
+  *    table — interleaves the bits of the user_id and time dimensions and
+  *    buckets rows into 16 z-range files, reporting each file's min/max in
+  *    BOTH dimensions. This is the layout step that makes two-column skip
+  *    pruning work at 100 TB (each z-file covers at most a quarter of each
+  *    dimension's range, so a predicate on either column prunes ~75% of
+  *    files); the interleave is a pure narrow map generated from one
+  *    bit-spec into both engines' dialects.
+  *  - `tx_weighted_sample`: deterministic weighted sampling WITHOUT
+  *    replacement over documents via a unit-replica min-hash race: each doc
+  *    enters ceil(n_chars/64) (≤16) unit replicas, each replica gets an
+  *    md5-derived 60-bit key, the doc's key is the minimum, and the sample
+  *    is the k smallest keys. P(doc wins the first slot) is EXACTLY
+  *    w/Σw under hash uniformity — the integer-only analog of the
+  *    Efraimidis–Spirtakis u^(1/w) scheme (whose pow() is not
+  *    cross-engine-exact). Row-local key computation (no explode, no
+  *    shuffle), then a global top-k.
+  *  - `a7_quantile_sketch`: fixed-bin histogram quantile estimation over
+  *    events.value per event_type, with the EXACT per-quantile answer
+  *    computed beside it (the `ss_recall`/CMS eval pattern: the sketch is
+  *    the 100 TB path — one map-side-combining shuffle over (type, bin) —
+  *    and the exact rank-select is the small-scale referee that pins the
+  *    estimator's error ≤ 1 bin width).
+  *
+  * Reference anchors: the indexer keeps per-address running aggregates and
+  * top-N report queries (reference `reports.py`, `bp_user_operations.py`)
+  * — the graph/layout/sample/sketch family generalizes those shapes to the
+  * sizes where exact global passes stop being an option.
+  */
+object ScaleOps {
+
+  /** 60-bit deterministic string id (md5 prefix) — same convention as
+    * TextOps/QualityOps; DuckDB mirror: CAST('0x'||substr(md5(s),1,15) AS BIGINT). */
+  private def sid60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  private def sid60Sql(e: String): String =
+    s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
+
+  // ── PageRank parameters ────────────────────────────────────────────────
+  private val PrScale = 1000000000000L // 10^12 rank scale
+  private val PrIters = 6
+  // damping 0.85 as the integer pair (85, 100)
+
+  /** Directed edge table of the bipartite customer↔supplier graph: node id
+    * namespacing 2·custkey / 2·suppkey+1, both directions, weight = number
+    * of lineitems linking the pair, with each src's total out-weight
+    * denormalized onto the edge so a transfer is a single integer-division
+    * expression. Persisted by callers — every iteration re-reads it. */
+  private def prEdges(s: SparkSession, d: String): DataFrame = {
+    val pair = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .agg(count(lit(1)).as("w"))
+    val fwd = pair.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"), col("w"))
+    val bwd = pair.select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w"))
+    val edges = fwd.unionAll(bwd)
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    edges.join(outw, Seq("src"))
+  }
+
+  /** One PageRank sweep: contrib keyed by dst (the iteration's only
+    * shuffle), then the damped update against the full node set. */
+  private def prStep(nodes: DataFrame, edges: DataFrame, ranks: DataFrame, base: Long): DataFrame = {
+    val contrib = edges.join(ranks, edges("src") === ranks("id"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(expr("(r * w) div wout")).as("c"))
+    nodes.join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+  }
+
+  private def pagerankOracle: String = {
+    val head =
+      s"""WITH pair AS (
+         |  SELECT o_custkey AS c, l_suppkey AS sp, count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT 2*c AS src, 2*sp+1 AS dst, w FROM pair
+         |  UNION ALL SELECT 2*sp+1, 2*c, w FROM pair),
+         |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+         |ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o USING (src)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |base AS (SELECT CAST((15 * ${PrScale}) // (100 * n) AS BIGINT) AS b FROM n),
+         |r0 AS MATERIALIZED (SELECT id, CAST(${PrScale} // (SELECT n FROM n) AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (SELECT e.dst AS id, CAST(sum((r.r * e.w) // e.wout) AS BIGINT) AS c
+         |  FROM ew e JOIN r${k - 1} r ON e.src = r.id GROUP BY e.dst),
+         |r$k AS MATERIALIZED (SELECT nd.id,
+         |    CAST((SELECT b FROM base) + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN c$k c USING (id))""".stripMargin
+    }
+    val tail =
+      s"""SELECT id AS node_id,
+         |  CASE WHEN id % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+         |  id // 2 AS entity_key, r AS rank
+         |FROM r$PrIters ORDER BY rank DESC, node_id LIMIT 20""".stripMargin
+    (head +: iters).mkString(",\n") + "\n" + tail
+  }
+
+  // ── Z-order parameters: 8 bits per dimension, 16 output files ──────────
+  private val ZBits = 8
+  private val ZFiles = 16
+
+  /** Morton interleave of two ZBits-wide bucket columns, emitted from one
+    * bit-spec into a dialect: bx occupies the odd bit positions, by the
+    * even ones. `shl(e, n)` abstracts Spark's shiftleft() vs DuckDB's <<. */
+  private def zExpr(bx: String, by: String, shl: (String, Int) => String,
+      shr: (String, Int) => String): String =
+    (0 until ZBits).flatMap { j =>
+      Seq(shl(s"(${shr(bx, j)} & 1)", 2 * j + 1), shl(s"(${shr(by, j)} & 1)", 2 * j))
+    }.mkString(" + ")
+
+  private def zSpark(bx: String, by: String): String =
+    zExpr(bx, by, (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+  private def zSql(bx: String, by: String): String =
+    zExpr(bx, by, (e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+  // ── weighted-sample parameters ─────────────────────────────────────────
+  private val WsUnit = 64  // one replica per 64 chars
+  private val WsCap  = 16  // replica cap per doc
+  private val WsK    = 10  // sample size
+
+  // ── quantile-sketch parameters: unit-width bins, {p50, p90, p99} ───────
+  private val Quantiles = Seq(50, 90, 99)
+
+  def queries: Seq[Q] = Seq(
+
+    Q("gr_pagerank", pagerankOracle) { (s, d) =>
+      val edges = prEdges(s, d).persist()
+      val nodes = edges.select(col("src").as("id")).distinct().persist()
+      val n = nodes.count()
+      val base = (15L * PrScale) / (100L * n)
+      var ranks = nodes.select(col("id"), lit(PrScale / n).as("r")).localCheckpoint()
+      for (_ <- 1 to PrIters)
+        ranks = prStep(nodes, edges, ranks, base).localCheckpoint()
+      val out = ranks
+        .select(col("id").as("node_id"),
+          when(col("id") % 2 === 0, "cust").otherwise("supp").as("kind"),
+          expr("id div 2").as("entity_key"),
+          col("r").as("rank"))
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(20)
+      val collected = out.cache()
+      collected.count() // materialize before unpersisting the loop inputs
+      edges.unpersist(); nodes.unpersist()
+      collected
+    },
+
+    Q(
+      "lo_zorder", {
+        val zc = zSql("bx", "by")
+        s"""WITH b AS (SELECT min(user_id) AS minu, max(user_id) AS maxu,
+           |    min(epoch_us(ts)) AS mint, max(epoch_us(ts)) AS maxt FROM events),
+           |g AS (SELECT e.user_id, e.ts,
+           |    CAST(((e.user_id - b.minu) * 256) // (b.maxu - b.minu + 1) AS BIGINT) AS bx,
+           |    CAST(((epoch_us(e.ts) - b.mint) * 256) // (b.maxt - b.mint + 1) AS BIGINT) AS by
+           |  FROM events e, b),
+           |z AS (SELECT user_id, ts, ($zc) // 4096 AS file_id FROM g)
+           |SELECT file_id, count(*) AS n,
+           |  min(user_id) AS min_uid, max(user_id) AS max_uid,
+           |  min(ts) AS min_ts, max(ts) AS max_ts
+           |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
+      }) { (s, d) =>
+      val ev = T.events(s, d)
+      val bounds = ev.agg(
+        min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
+        min(unix_micros(col("ts"))).as("mint"), max(unix_micros(col("ts"))).as("maxt"))
+      ev.select(col("user_id"), col("ts"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bx", expr("((user_id - minu) * 256) div (maxu - minu + 1)"))
+        .withColumn("by", expr(s"((unix_micros(ts) - mint) * 256) div (maxt - mint + 1)"))
+        .withColumn("file_id", expr(s"(${zSpark("bx", "by")}) div 4096"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("file_id"))
+    },
+
+    Q(
+      "tx_weighted_sample",
+      s"""WITH w AS (SELECT doc_id, n_chars,
+         |    least(CAST(ceil(CAST(n_chars AS DOUBLE) / $WsUnit) AS BIGINT), $WsCap) AS weight
+         |  FROM documents),
+         |keyed AS (SELECT doc_id, n_chars, weight,
+         |    list_min(list_transform(range(1, CAST(weight AS INTEGER) + 1),
+         |      j -> ${sid60Sql(s"concat('ws:', CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))")})) AS rkey
+         |  FROM w)
+         |SELECT doc_id, n_chars, weight, rkey,
+         |  ROW_NUMBER() OVER (ORDER BY rkey, doc_id) AS rnk
+         |FROM keyed ORDER BY rkey, doc_id LIMIT $WsK""".stripMargin) { (s, d) =>
+      val keyed = T.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          least(ceil(col("n_chars").cast(DoubleType) / WsUnit).cast(LongType), lit(WsCap.toLong))
+            .as("weight"))
+        .withColumn("rkey", array_min(transform(
+          sequence(lit(1), col("weight").cast(IntegerType)),
+          j => sid60(concat(lit("ws:"), col("doc_id").cast(StringType), lit(":"), j.cast(StringType))))))
+      // distributed top-k FIRST (TakeOrdered — no single-partition pass over
+      // the corpus), then the rank window runs over only the k winners.
+      keyed.orderBy(col("rkey"), col("doc_id")).limit(WsK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rkey"), col("doc_id"))).cast(LongType))
+        .select(col("doc_id"), col("n_chars"), col("weight"), col("rkey"), col("rnk"))
+    },
+
+    Q(
+      "a7_quantile_sketch", {
+        val ks = Quantiles.map(q => s"(($q * n) + 99) // 100 AS k$q").mkString(", ")
+        val ests = Quantiles.map(q =>
+          s"CAST(min(CASE WHEN h.cum >= t.k$q THEN h.bin END) + 1 AS DOUBLE) AS est_p$q").mkString(",\n|  ")
+        val exs = Quantiles.map(q =>
+          s"max(CASE WHEN r.rn = t.k$q THEN r.value END) AS ex_p$q").mkString(",\n|  ")
+        s"""WITH t AS (SELECT event_type, count(*) AS n, $ks FROM events GROUP BY event_type),
+           |h0 AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |h AS (SELECT event_type, bin,
+           |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+           |                 ROWS UNBOUNDED PRECEDING) AS cum FROM h0),
+           |r AS (SELECT event_type, value, event_id,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+           |  FROM events),
+           |est AS (SELECT t.event_type, t.n, $ests
+           |  FROM t JOIN h ON t.event_type = h.event_type GROUP BY t.event_type, t.n),
+           |ex AS (SELECT t.event_type, $exs
+           |  FROM t JOIN r ON t.event_type = r.event_type GROUP BY t.event_type)
+           |SELECT est.event_type, est.n,
+           |  est.est_p50, ex.ex_p50, est.est_p90, ex.ex_p90, est.est_p99, ex.ex_p99
+           |FROM est JOIN ex ON est.event_type = ex.event_type
+           |ORDER BY est.event_type""".stripMargin
+      }) { (s, d) =>
+      val ev = T.events(s, d)
+      val t = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .select(Seq(col("event_type"), col("n")) ++
+          Quantiles.map(q => expr(s"(($q * n) + 99) div 100").as(s"k$q")): _*)
+      val h0 = ev.groupBy(col("event_type"), floor(col("value")).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val h = h0.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val est = t.join(h, Seq("event_type"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          Quantiles.map(q =>
+            (min(when(col("cum") >= col(s"k$q"), col("bin"))) + 1).cast(DoubleType).as(s"est_p$q"))
+            .head,
+          Quantiles.map(q =>
+            (min(when(col("cum") >= col(s"k$q"), col("bin"))) + 1).cast(DoubleType).as(s"est_p$q"))
+            .tail: _*)
+      val r = ev.select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+      val ex = t.join(r, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          Quantiles.map(q => max(when(col("rn") === col(s"k$q"), col("value"))).as(s"ex_p$q")).head,
+          Quantiles.map(q => max(when(col("rn") === col(s"k$q"), col("value"))).as(s"ex_p$q")).tail: _*)
+      est.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("est_p50"), col("ex_p50"), col("est_p90"), col("ex_p90"),
+          col("est_p99"), col("ex_p99"))
+        .orderBy(col("event_type"))
+    }
+  )
+}
