@@ -171,6 +171,73 @@ object Snapshot {
           count(lit(1)).as("n_items"),
           countDistinct(col("l_orderkey")).as("n_orders"),
           (o4(sum(d4("l_extendedprice"))) / 10000.0).as("tvl_scaled"))
+    },
+
+    // S16 SCD-2 history build: the versioned-dimension shape §7.4 risk 3
+    // calls for — every event closes the previous state row for its user
+    // (valid_to = next valid_from, NULL while current). ONE keyed shuffle
+    // (window by user_id); event_id breaks timestamp ties so the history
+    // is total-ordered on both engines. This is the batch construction of
+    // the table the as-of family (J5/J7b) queries point-in-time.
+    Q(
+      "s16_scd2_build",
+      """SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), lead(col("ts"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    },
+
+    // S17 snapshot diff (CDC shape): latest state per user as of the
+    // time-range midpoint vs as of now, classified added/changed/unchanged
+    // per user by a full-outer join of the two last-row-per-key passes.
+    // ('removed' cannot arise from a grow-only event log; the branch is the
+    // CASE's ELSE so a retention-pruned input would still classify.) Both
+    // passes shuffle once on user_id; the midpoint is a broadcast scalar.
+    Q(
+      "s17_snapshot_diff",
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cutus FROM events),
+        |r AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_new
+        |  FROM events),
+        |newest AS (SELECT user_id, event_type AS new_state FROM r WHERE rn_new = 1),
+        |oldr AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM r, b WHERE us <= cutus),
+        |oldest AS (SELECT user_id, event_type AS old_state FROM oldr WHERE rn = 1)
+        |SELECT coalesce(n.user_id, o.user_id) AS user_id, o.old_state, n.new_state,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN n.new_state <> o.old_state THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM newest n FULL OUTER JOIN oldest o ON n.user_id = o.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val cut = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("cutus"))
+      val wNew = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val newest = ev.withColumn("rn", row_number().over(wNew)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("new_state"))
+      val oldest = ev.crossJoin(broadcast(cut))
+        .filter(unix_micros(col("ts")) <= col("cutus"))
+        .withColumn("rn", row_number().over(wNew)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("old_state"))
+      newest.as("n").join(oldest.as("o"), col("n.user_id") === col("o.user_id"), "full_outer")
+        .select(
+          coalesce(col("n.user_id"), col("o.user_id")).as("user_id"),
+          col("old_state"), col("new_state"),
+          when(col("o.user_id").isNull, "added")
+            .when(col("n.user_id").isNull, "removed")
+            .when(col("new_state") =!= col("old_state"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -1294,6 +1294,34 @@ object TextOps {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // Inverted-index build (the retrieval-side artifact of a training-data
+    // pipeline): token → exact df / total_tf plus a BOUNDED posting-list
+    // head (the 20 smallest doc_ids) via the BoundedTopK typed Aggregator —
+    // the map side partial-aggregates each partition to ≤20 entries per
+    // token before the shuffle, so a stop-word's corpus-sized posting list
+    // is never materialized anywhere, at any scale (collect_list+sort
+    // would carry the full list across the wire AND be nondeterministic).
+    // Exact stats and the bounded head come out of ONE grouped pass.
+    Q(
+      "tx_inverted_index",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT token, count(*) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |FROM tf GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      val head20 = udaf(graft.functions.BoundedTopK[Long](20))
+      T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          head20(col("doc_id"), col("doc_id")).as("top"))
+        .select(col("token"), col("df"), col("total_tf"),
+          transform(col("top"), t => t.getField("_1")).as("postings"))
+        .orderBy(col("token"))
     }
   )
 }
