@@ -18,7 +18,8 @@ object QueryRegistry {
       graft.operators.QualityOps.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.VectorOps.queries ++
-      graft.operators.ScaleOps.queries
+      graft.operators.ScaleOps.queries ++
+      graft.operators.Reports.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

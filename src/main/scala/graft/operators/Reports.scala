@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.{Q, Tables => T}
+
+/** Report-analytics extensions over the reference's reporting surface
+  * (report/historical.py, report/bp_prices.py patterns widened to the
+  * standard warehouse-report trio): OHLC price bars, cohort retention, and
+  * robust (median/MAD) outlier detection.
+  *
+  * Determinism conventions follow Relational.scala: money moves through
+  * integer cents (`round(value*100)` is tie-free because the generator
+  * writes 2-decimal values), every window order carries the unique
+  * `event_id` tie-break, and interpolated medians stay exact because the
+  * inputs are integers / half-integers < 2^52 (the (a+b)/2 interpolation is
+  * then a single exact FP operation on both engines).
+  */
+object Reports {
+
+  val queries: Seq[Q] = Seq(
+
+    // ── OHLC bars ──────────────────────────────────────────────────────────
+    // The reference reports price variation over a stream of price events
+    // (report/bp_prices.py:22-61 keeps current-vs-earlier price per window);
+    // the standard exchange-facing extension is the OHLC candle: per day,
+    // open/high/low/close/volume/VWAP of the 'purchase' (price-carrying)
+    // events. Scale shape: ONE shuffle on the day key — the window pass and
+    // the aggregation share the hash-partition-by-day exchange, partial
+    // min/max/count combine map-side, and no per-key state exceeds a handful
+    // of scalars. VWAP divides two exact integers (Σcents, 100·n) so the
+    // double result is one correctly-rounded op on both engines.
+    Q(
+      "a8_ohlc",
+      """WITH pe AS (
+        |  SELECT date_trunc('day', ts) AS day, ts, event_id, value,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT day, value, cents,
+        |    first_value(value) OVER (PARTITION BY day ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(value)  OVER (PARTITION BY day ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM pe
+        |)
+        |SELECT day, min(o) AS open, max(value) AS high, min(value) AS low,
+        |  min(c) AS close, count(*) AS volume,
+        |  CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS vwap
+        |FROM w GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val pe = T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(date_trunc("day", col("ts")).as("day"), col("ts"),
+          col("event_id"), col("value"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      pe.withColumn("o", first(col("value")).over(w))
+        .withColumn("c", last(col("value")).over(w))
+        .groupBy(col("day"))
+        .agg(min(col("o")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), min(col("c")).as("close"),
+          count(lit(1)).as("volume"),
+          (sum(col("cents")) / (lit(100.0) * count(lit(1)))).as("vwap"))
+        .orderBy(col("day"))
+    },
+
+    // ── Cohort retention ───────────────────────────────────────────────────
+    // First-order-month cohorts × active-month offsets over `orders` — the
+    // report the reference's per-user activity queries (report/
+    // historical.py:144-165 group-by-user counts) roll up to. Scale shape:
+    // ONE wide shuffle keyed on o_custkey (groupBy with map-side-combined
+    // min + collect_set of ≤80 month values — bounded by the date range,
+    // not the row count), then the explode and the cohort-level
+    // count-distinct, whose key space is |months|² — tiny. No join against
+    // a second full-table scan: the cohort month rides along in the same
+    // aggregation pass.
+    Q(
+      "a9_cohort_retention",
+      """WITH fo AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_m
+        |  FROM orders GROUP BY 1),
+        |act AS (SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS act_m
+        |  FROM orders)
+        |SELECT f.cohort_m,
+        |  CAST((year(a.act_m) - year(f.cohort_m)) * 12
+        |     + (month(a.act_m) - month(f.cohort_m)) AS BIGINT) AS month_offset,
+        |  count(DISTINCT a.o_custkey) AS n_custs
+        |FROM fo f JOIN act a USING(o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val om = T.orders(s, d)
+        .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+      om.groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("cohort_m"), collect_set(col("m")).as("ms"))
+        .select(col("o_custkey"), col("cohort_m"), explode(col("ms")).as("act_m"))
+        .groupBy(col("cohort_m"),
+          ((year(col("act_m")) - year(col("cohort_m"))) * 12
+            + (month(col("act_m")) - month(col("cohort_m"))))
+            .cast(LongType).as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("cohort_m"), col("month_offset"))
+    },
+
+    // ── Robust outliers (median/MAD) ───────────────────────────────────────
+    // Modified-z-score outlier flagging per event_type: |cents − median| >
+    // 3.5·MAD, the robust alternative to mean/stddev that the monitoring
+    // side of an indexer wants (a single flash-crash price cannot drag the
+    // threshold the way it drags a stddev). EXACT medians: integer cents →
+    // median is an int or half-int, |dev| is a half-int, MAD a quarter-int —
+    // every interpolation is exact FP on both engines, so the filter
+    // boundary is bit-identical. Scale note: exact percentile keeps
+    // per-group distinct-value state; that is bounded here (cents ≤ 50k
+    // distinct) and right for a monitoring report — for unbounded-cardinality
+    // columns the engine's quantile-sketch operator (gr_quantile_sketch) is
+    // the scale path. Two passes over events, both ending in a ≤5-row
+    // broadcast — nothing driver-side.
+    Q(
+      "a7_anomaly_mad",
+      """WITH pc AS (SELECT event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type, median(cents) AS med FROM pc GROUP BY 1),
+        |dev AS (SELECT p.event_id, p.event_type, p.cents,
+        |    abs(p.cents - m.med) AS adev FROM pc p JOIN med m USING(event_type)),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.cents, d.adev, m2.mad
+        |FROM dev d JOIN mad m2 USING(event_type)
+        |WHERE d.adev > 3.5 * m2.mad
+        |ORDER BY d.event_type, d.event_id""".stripMargin) { (s, d) =>
+      val pc = T.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      val med = pc.groupBy(col("event_type"))
+        .agg(percentile(col("cents"), lit(0.5)).as("med"))
+      val dev = pc.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("adev") > lit(3.5) * col("mad"))
+        .select(col("event_type"), col("event_id"), col("cents"), col("adev"),
+          col("mad"))
+        .orderBy(col("event_type"), col("event_id"))
+    }
+  )
+}
