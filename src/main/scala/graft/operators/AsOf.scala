@@ -292,6 +292,59 @@ object AsOf {
         .orderBy(col("interval_id"))
     },
 
+    // J11 interval⨝interval overlap join — the case J10's broadcast trick
+    // cannot cover: BOTH sides are full streams (price-validity intervals
+    // per user × alert windows), so neither fits in a broadcast and the
+    // declarative overlap predicate would be a cartesian per user. Shared
+    // fixed-width bucketing makes it a hash join on (user_id, bucket):
+    // validity intervals are staleness-capped at 6 h (the p13 bound) so
+    // each explodes into ≤7 one-hour buckets, alert windows into ≤2, and a
+    // pair overlapping several shared buckets is collapsed by the final
+    // distinct — at 100 TB the shuffle carries rows·≤7 instead of pairs².
+    // All arithmetic in epoch-microsecond longs: the overlap length is
+    // integer-exact on both engines.
+    Q(
+      "j11_interval_overlap",
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_event_id, epoch_us(ts) AS vs,
+        |    least(coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                   9223372036854775807), epoch_us(ts) + 21600000000) AS ve
+        |  FROM events WHERE event_type = 'view'),
+        |e AS (SELECT user_id, event_id AS err_event_id,
+        |    epoch_us(ts) - 600000000 AS es, epoch_us(ts) + 600000000 AS ee
+        |  FROM events WHERE event_type = 'error')
+        |SELECT v.user_id, view_event_id, err_event_id,
+        |  least(ve, ee) - greatest(vs, es) AS overlap_us
+        |FROM v JOIN e ON v.user_id = e.user_id AND vs < ee AND es < ve
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val hourUs = 3600000000L
+      val ev = T.events(s, d)
+      // vs/view_event_id order ≡ the oracle's (ts, event_id): epoch_us is
+      // strictly monotone in ts
+      val wv = Window.partitionBy(col("user_id"))
+        .orderBy(col("vs"), col("view_event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          unix_micros(col("ts")).as("vs"))
+        .withColumn("ve", least(
+          coalesce(lead(col("vs"), 1).over(wv), lit(Long.MaxValue)),
+          col("vs") + lit(21600000000L)))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_event_id"),
+          (unix_micros(col("ts")) - 600000000L).as("es"),
+          (unix_micros(col("ts")) + 600000000L).as("ee"))
+      val vb = v.withColumn("bucket",
+        explode(sequence(expr(s"vs div $hourUs"), expr(s"(ve - 1) div $hourUs"))))
+      val eb = e.withColumn("bucket",
+        explode(sequence(expr(s"es div $hourUs"), expr(s"(ee - 1) div $hourUs"))))
+      vb.join(eb, Seq("user_id", "bucket"))
+        .filter(col("vs") < col("ee") && col("es") < col("ve"))
+        .select(col("user_id"), col("view_event_id"), col("err_event_id"),
+          (least(col("ve"), col("ee")) - greatest(col("vs"), col("es"))).as("overlap_us"))
+        .distinct()
+        .orderBy(col("user_id"), col("view_event_id"), col("err_event_id"))
+    },
+
     // J7b point-in-time balance snapshot (SURVEY.md §7.4 hard part 3 —
     // mocsettlement.py:292-368 queries the chain at block-1; a batch engine
     // answers "balance of every user just before the trigger" from the

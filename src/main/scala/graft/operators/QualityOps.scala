@@ -1336,6 +1336,35 @@ object QualityOps {
           expr(s"tstart div $ShardTok").as("shard"),
           (col("tstart") % ShardTok).as("shard_off"))
         .orderBy(col("doc_id"))
+    },
+
+    // Per-source document cap (the RefinedWeb/C4-style per-domain cap: no
+    // single host may dominate the corpus): keep the 10 docs per source
+    // that win a deterministic md5(doc_id) hash race — a reproducible
+    // uniform sample with no RNG state. Spark shape: BoundedTopK per
+    // source, so each map partition is partial-aggregated down to ≤10
+    // entries per source BEFORE the shuffle — the window-rank formulation
+    // the oracle uses would shuffle and sort every row at 100 TB; this
+    // moves ≤10·|sources| rows total.
+    Q(
+      "tx_source_cap",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT),
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val cap10 = udaf(graft.functions.BoundedTopK[Long](10))
+      T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          sid60(col("doc_id").cast(StringType)).as("h"))
+        .groupBy(col("source"))
+        .agg(cap10(col("h"), col("doc_id")).as("top"))
+        .select(col("source"),
+          explode(transform(col("top"), t => t.getField("_2"))).as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
     }
   )
 }

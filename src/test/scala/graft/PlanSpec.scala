@@ -231,6 +231,19 @@ class PlanSpec extends AnyFunSuite {
       "live range repartition in the lineage — bucket ids can re-sample per consumer")
   }
 
+  test("tx_source_cap caps per-source lists in the partial aggregate, not a window") {
+    val p = plan("tx_source_cap")
+    assert(!p.contains("Window ["), "source cap still ranks with a window sort")
+    assert("(Object)?(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,
+      "source cap does not partial-aggregate before the shuffle")
+  }
+
+  test("j11 interval-overlap joins on buckets — no cartesian, no nested loop") {
+    val p = plan("j11_interval_overlap")
+    assert(!p.contains("CartesianProduct"), "interval overlap plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "interval overlap plans a nested loop")
+  }
+
   test("int_dot multiply-accumulate stays inside whole-stage codegen") {
     val p = plan("ss_topk_brute")
     assert(p.contains("int_dot"), "int_dot expression missing from plan")
