@@ -98,7 +98,9 @@ object Reports {
           ((year(col("act_m")) - year(col("cohort_m"))) * 12
             + (month(col("act_m")) - month(col("cohort_m"))))
             .cast(LongType).as("month_offset"))
-        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+        // rows are unique per (custkey, act_m) after collect_set+explode, so
+        // a plain count IS the distinct-user count — no Expand, one shuffle
+        .agg(count(lit(1)).as("n_custs"))
         .orderBy(col("cohort_m"), col("month_offset"))
     },
 
