@@ -281,6 +281,75 @@ object ScaleOps {
           col("est_p50"), col("ex_p50"), col("est_p90"), col("ex_p90"),
           col("est_p99"), col("ex_p99"))
         .orderBy(col("event_type"))
+    },
+
+    // Triangle counting over the part co-purchase graph — the degree-ordered
+    // wedge-join algorithm ("compact-forward"/node-iterator++), the shape
+    // that keeps triangle enumeration tractable at 100 TB: orient every
+    // edge from its (degree, id)-smaller endpoint, form wedges only at
+    // out-edges (out-degree is O(√m) under this orientation, so wedge
+    // volume is Σ C(outdeg,2) — bounded even at hub nodes where the naive
+    // neighbor join squares), then close each wedge with ONE equi-join
+    // against the id-canonical edge set (the textbook OR-condition close
+    // would plan a nested-loop join; canonicalizing by id makes it a hash
+    // join). Graph build is itself scale-safe: co-occurrence pairs are
+    // per-order bounded (≤C(7,2)), and the weight-≥2 support filter keeps
+    // the edge set at the true co-purchase structure instead of the random
+    // background. Every triangle is found exactly once, at its
+    // (degree, id)-minimum vertex.
+    Q(
+      "gr_triangles",
+      """WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS dg FROM (
+        |  SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.u ELSE e0.v END AS s,
+        |         CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+        |ec AS (SELECT least(s, t) AS x, greatest(s, t) AS y FROM o),
+        |tri AS (
+        |  SELECT w.a, w.b, w.c
+        |  FROM (SELECT e1.s AS a, least(e1.t, e2.t) AS b, greatest(e1.t, e2.t) AS c
+        |        FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t) w
+        |  JOIN ec ON ec.x = w.b AND ec.y = w.c)
+        |SELECT n AS partkey, count(*) AS n_tri FROM (
+        |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri UNION ALL SELECT c AS n FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val co = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = co.as("a").join(co.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).drop("w")
+      val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val uLt = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      val o = e0
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+        .select(when(uLt, col("u")).otherwise(col("v")).as("s"),
+          when(uLt, col("v")).otherwise(col("u")).as("t"))
+        .persist()
+      val wedges = o.as("e1").join(o.as("e2"),
+          col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .select(col("e1.s").as("a"),
+          least(col("e1.t"), col("e2.t")).as("b"),
+          greatest(col("e1.t"), col("e2.t")).as("c"))
+      val ec = o.select(least(col("s"), col("t")).as("b"),
+        greatest(col("s"), col("t")).as("c"))
+      val tri = wedges.join(ec, Seq("b", "c"))
+      tri.select(col("a").as("n"))
+        .unionAll(tri.select(col("b").as("n")))
+        .unionAll(tri.select(col("c").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+        .select(col("n").as("partkey"), col("n_tri"))
+        .orderBy(col("partkey"))
     }
   )
 }

@@ -83,4 +83,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gr_triangles: participation sums to 3 per triangle, plan joins by hash") {
+    val df = QueryRegistry.byName("gr_triangles").fn(spark, sf)
+    val rows = df.collect()
+    val total = rows.map(_.getAs[Long]("n_tri")).sum
+    assert(total % 3 === 0, "each triangle must contribute exactly 3 participations")
+    assert(rows.forall(_.getAs[Long]("n_tri") > 0))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge close must be an equi-join, not a nested loop")
+  }
 }
