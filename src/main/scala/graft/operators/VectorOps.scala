@@ -897,6 +897,62 @@ object VectorOps {
         .orderBy(col("method"), col("q_id"))
     },
 
+    // MRR beside the recall panel: per method, the mean reciprocal rank of
+    // the TRUE nearest neighbor (brute rank-1) inside the method's top-5.
+    // Rank-sensitive where recall@5 is rank-blind — an ANN variant that
+    // always buries the true neighbor at rank 5 keeps recall 1.0 but drops
+    // to MRR 0.2. EXACT cross-engine: reciprocal ranks are accumulated as
+    // integers scaled by lcm(1..5)·12 = 60 (60 div rnk ∈ {60,30,20,15,12}),
+    // summed exactly, and divided once at the end — no float summation
+    // order anywhere. The brute row is the panel's self-check (exactly 1.0).
+    Q(
+      "ss_mrr",
+      s"""$FlatCte,
+         |$BruteTopSql,
+         |$LshTopSql,
+         |$Lsh4TopSql,
+         |$QuantTopSql,
+         |$PqTopSql,
+         |$IvfTopSql,
+         |$IvfPqSql,
+         |t1 AS (SELECT q_id, n_id FROM btop WHERE rnk = 1)
+         |SELECT method, count(*) AS n_q, count(rnk) AS n_found,
+         |  CAST(sum(coalesce(60 // rnk, 0)) AS DOUBLE) / (60.0 * count(*)) AS mrr
+         |FROM (
+         |  SELECT 'brute' AS method, t1.q_id, b.rnk FROM t1
+         |    LEFT JOIN btop b ON b.q_id = t1.q_id AND b.n_id = t1.n_id
+         |  UNION ALL SELECT 'ivf', t1.q_id, v.rnk FROM t1
+         |    LEFT JOIN ivtop v ON v.q_id = t1.q_id AND v.n_id = t1.n_id
+         |  UNION ALL SELECT 'ivfpq', t1.q_id, x.rnk FROM t1
+         |    LEFT JOIN vptop x ON x.q_id = t1.q_id AND x.n_id = t1.n_id
+         |  UNION ALL SELECT 'lsh', t1.q_id, l.rnk FROM t1
+         |    LEFT JOIN ltop l ON l.q_id = t1.q_id AND l.n_id = t1.n_id
+         |  UNION ALL SELECT 'lsh4', t1.q_id, m.rnk FROM t1
+         |    LEFT JOIN mtop m ON m.q_id = t1.q_id AND m.n_id = t1.n_id
+         |  UNION ALL SELECT 'pq', t1.q_id, p.rnk FROM t1
+         |    LEFT JOIN pqtop p ON p.q_id = t1.q_id AND p.n_id = t1.n_id
+         |  UNION ALL SELECT 'quant', t1.q_id, t.rnk FROM t1
+         |    LEFT JOIN qtop t ON t.q_id = t1.q_id AND t.n_id = t1.n_id)
+         |GROUP BY method ORDER BY method""".stripMargin) { (s, d) =>
+      val brute = topkBrute(s, d).persist()
+      val t1 = brute.filter(col("rnk") === 1).select(col("q_id"), col("n_id"))
+      def mrrOf(m: String, got: DataFrame): DataFrame =
+        t1.join(got.select(col("q_id"), col("n_id"), col("rnk")),
+            Seq("q_id", "n_id"), "left")
+          .agg(count(lit(1)).as("n_q"), count(col("rnk")).as("n_found"),
+            sum(coalesce(expr("60 div rnk"), lit(0L))).as("s60"))
+          .select(lit(m).as("method"), col("n_q"), col("n_found"),
+            (col("s60").cast(DoubleType) / (lit(60.0) * col("n_q"))).as("mrr"))
+      mrrOf("brute", brute)
+        .union(mrrOf("ivf", topkIvf(s, d)))
+        .union(mrrOf("ivfpq", topkIvfPq(s, d)))
+        .union(mrrOf("lsh", topkLsh(s, d)))
+        .union(mrrOf("lsh4", topkLsh4(s, d)))
+        .union(mrrOf("pq", topkPq(s, d)))
+        .union(mrrOf("quant", topkQuant(s, d)))
+        .orderBy(col("method"))
+    },
+
     // Embedding near-duplicate pairs: multi-table sign-code candidates
     // (embedCodeTable — 4×16-bit dimension-slice codes), exact integer
     // cosine verify, threshold 0.95. Shuffles once on the code key; a pair
