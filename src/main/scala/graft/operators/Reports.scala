@@ -20,6 +20,25 @@ import graft.core.{Q, Tables => T}
   */
 object Reports {
 
+  /** the OHLC candle program, shared by the `a8_ohlc` registered query and
+    * the ApiServer's /prices/ohlc route (same single-day-shuffle shape). */
+  def ohlcBars(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val pe = T.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("day", col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pe.withColumn("o", first(col("value")).over(w))
+      .withColumn("c", last(col("value")).over(w))
+      .groupBy(col("day"))
+      .agg(min(col("o")).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), min(col("c")).as("close"),
+        count(lit(1)).as("volume"),
+        (sum(col("cents")) / (lit(100.0) * count(lit(1)))).as("vwap"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── OHLC bars ──────────────────────────────────────────────────────────
@@ -50,21 +69,7 @@ object Reports {
         |  min(c) AS close, count(*) AS volume,
         |  CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS vwap
         |FROM w GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
-      val pe = T.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(date_trunc("day", col("ts")).as("day"), col("ts"),
-          col("event_id"), col("value"),
-          round(col("value") * 100).cast(LongType).as("cents"))
-      val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      pe.withColumn("o", first(col("value")).over(w))
-        .withColumn("c", last(col("value")).over(w))
-        .groupBy(col("day"))
-        .agg(min(col("o")).as("open"), max(col("value")).as("high"),
-          min(col("value")).as("low"), min(col("c")).as("close"),
-          count(lit(1)).as("volume"),
-          (sum(col("cents")) / (lit(100.0) * count(lit(1)))).as("vwap"))
-        .orderBy(col("day"))
+      ohlcBars(s, d).orderBy(col("day"))
     },
 
     // ── Cohort retention ───────────────────────────────────────────────────

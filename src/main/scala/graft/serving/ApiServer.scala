@@ -25,6 +25,9 @@ import graft.operators.Api
   *   GET /api/v1/webapp/prices/var
   *     → `{"current": {...}, "delta": {...}}` (24h back, floored to
   *       midnight keeping seconds — the bp_prices.py:44-47 quirk)
+  *   GET /api/v1/webapp/prices/ohlc?days=N
+  *     → `{"candles": [...]}` — the a8_ohlc daily candle program, newest
+  *       N days (extension beyond the reference's price routes)
   *
   * Faithful endpoint semantics: case-insensitive SUBSTRING address match
   * (the reference filters with `$regex ... $options: i`), the excluded-
@@ -114,6 +117,19 @@ final class ApiServer(
     s"""{"current":$current,"delta":$delta}"""
   }
 
+  /** /prices/ohlc?days=N — the a8_ohlc candle program served as JSON:
+    * newest N daily candles (N clamped to [1, 90], default 30). The
+    * collect is bounded at N rows of 7 scalars regardless of table size —
+    * the aggregation has already reduced the stream to one row per day. */
+  def pricesOhlc(days: Int): String = {
+    val n = math.min(math.max(days, 1), 90)
+    val page = graft.operators.Reports.ohlcBars(spark, dataDir)
+      .orderBy(col("day").desc).limit(n)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .toJSON.collect()
+    s"""{"candles":[${page.mkString(",")}]}"""
+  }
+
   // ── HTTP shell ────────────────────────────────────────────────────────
 
   /** lib_tools.py:28-31 */
@@ -179,6 +195,12 @@ final class ApiServer(
     }
     server.createContext("/api/v1/webapp/prices/var", (ex: HttpExchange) => {
       try respond(ex, 200, priceVariation())
+      catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
+    })
+    server.createContext("/api/v1/webapp/prices/ohlc", (ex: HttpExchange) => {
+      val p = parseQuery(ex.getRequestURI.getRawQuery)
+      try respond(ex, 200,
+        pricesOhlc(p.get("days").flatMap(_.toIntOption).getOrElse(30)))
       catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
     })
     server.setExecutor(null) // serve on the dispatch thread; Spark does the work

@@ -110,6 +110,20 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  test("prices/ohlc serves the newest N daily candles, clamped") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port, "/api/v1/webapp/prices/ohlc?days=5")
+      assert(status === 200)
+      assert(body.startsWith("""{"candles":["""))
+      def nCandles(b: String) = b.sliding(7).count(_ == """"day":"""")
+      assert(nCandles(body) === 5, s"expected 5 candles in $body")
+      assert(body.contains(""""open":""") && body.contains(""""vwap":"""))
+      // absent/garbage days falls back to the 30-day default
+      val (s2, b2) = get(port, "/api/v1/webapp/prices/ohlc?days=oops")
+      assert(s2 === 200 && nCandles(b2) <= 30)
+    }
+  }
+
   test("invalid addresses are rejected with 400 (lib_tools checkAddress)") {
     // faithful reference validation: min length 25, 0x prefix, hex body
     withServer(minAddrLen = 25) { port =>
