@@ -109,6 +109,53 @@ object Reports {
         .orderBy(col("cohort_m"), col("month_offset"))
     },
 
+    // ── Ordered funnel conversion ──────────────────────────────────────────
+    // signup → view → purchase, each stage within 7 days of the previous
+    // stage's FIRST occurrence — the ordered-sequence funnel (stage N+1
+    // must follow stage N in time, not merely co-occur). Spark shape: three
+    // chained user_id-keyed min-aggregations, each stage's output joined
+    // back on the SAME key — one hash partitioning carries all three hops
+    // (no re-shuffle between stages at scale), and each stage's frame
+    // shrinks monotonically (users who converted so far). Counts come off
+    // the three frames as 1-row aggregates unioned into the report.
+    Q(
+      "a10_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS s1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |v1 AS (SELECT e.user_id, min(e.ts) AS v1 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.s1
+        |    AND e.ts <= s1.s1 + INTERVAL 7 DAY GROUP BY 1),
+        |p1 AS (SELECT e.user_id, min(e.ts) AS p1 FROM events e
+        |  JOIN v1 ON e.user_id = v1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v1.v1
+        |    AND e.ts <= v1.v1 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'signup' AS name, (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'view_within_7d', (SELECT count(*) FROM v1)
+        |  UNION ALL SELECT 3, 'purchase_within_7d', (SELECT count(*) FROM p1))
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val week = expr("INTERVAL 7 DAYS")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s1"))
+      val v1 = ev.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("s1") && col("ts") <= col("s1") + week)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v1"))
+      val p1 = ev.filter(col("event_type") === "purchase")
+        .join(v1, Seq("user_id"))
+        .filter(col("ts") >= col("v1") && col("ts") <= col("v1") + week)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p1"))
+      def stageRow(n: Int, name: String, frame: org.apache.spark.sql.DataFrame) =
+        frame.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("stage"), lit(name).as("name"), col("n_users"))
+      stageRow(1, "signup", s1)
+        .unionAll(stageRow(2, "view_within_7d", v1))
+        .unionAll(stageRow(3, "purchase_within_7d", p1))
+        .orderBy(col("stage"))
+    },
+
     // ── Robust outliers (median/MAD) ───────────────────────────────────────
     // Modified-z-score outlier flagging per event_type: |cents − median| >
     // 3.5·MAD, the robust alternative to mean/stddev that the monitoring

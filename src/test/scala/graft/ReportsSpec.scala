@@ -50,6 +50,15 @@ class ReportsSpec extends AnyFunSuite {
     assert(sumBases === custs)
   }
 
+  test("a10_funnel: stage counts are monotone non-increasing from a full base") {
+    val rows = QueryRegistry.byName("a10_funnel").fn(spark, sf).collect()
+    assert(rows.length === 3)
+    val ns = rows.sortBy(_.getAs[Int]("stage")).map(_.getAs[Long]("n_users"))
+    assert(ns.sliding(2).forall { case Array(a, b) => b <= a },
+      s"funnel must narrow: ${ns.mkString(",")}")
+    assert(ns.head > 0, "stage 1 must have users at sf0.001")
+  }
+
   test("a7_anomaly_mad: flagged rows sit strictly beyond 3.5 MAD and are a minority") {
     val rows = QueryRegistry.byName("a7_anomaly_mad").fn(spark, sf).collect()
     rows.foreach { r =>
