@@ -238,6 +238,46 @@ object Snapshot {
             .when(col("new_state") =!= col("old_state"), "changed")
             .otherwise("unchanged").as("change_type"))
         .orderBy(col("user_id"))
+    },
+
+    // S18 gap detection — the backfill scanner an indexer needs when the
+    // cursor claims progress but rows are missing (the reference's
+    // unprocessed-blocks rescue, S4/moc_indexer task scans, turned into a
+    // set-level audit): find every missing id RANGE in the processed
+    // sequence. The naive formulation is lag() over a GLOBAL id order — a
+    // single-partition sort at any real scale. Rewritten two-level: ids
+    // bucket by `id div 1024`, in-bucket gaps come from a lag over the
+    // bucket partition (parallel, the only pass that touches every row),
+    // and cross-bucket/whole-missing-bucket gaps come from a lag over the
+    // per-bucket min/max SUMMARY — 1024× smaller than the data; the same
+    // rewrite applies recursively if summaries themselves outgrow one
+    // partition (the core/Prefix two-pass argument).
+    Q(
+      "s18_gap_detect",
+      """WITH p AS (SELECT event_id AS id FROM events WHERE event_type <> 'error'),
+        |g AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM p)
+        |SELECT prev + 1 AS gap_start, id - 1 AS gap_end, id - prev - 1 AS n_missing
+        |FROM g WHERE prev IS NOT NULL AND id - prev > 1
+        |ORDER BY gap_start""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = T.events(s, d).filter(col("event_type") =!= "error")
+        .select(col("event_id").as("id"))
+        .withColumn("bucket", expr("id div 1024"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      val internal = p.withColumn("prev", lag(col("id"), 1).over(wIn))
+        .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+      val summ = p.groupBy(col("bucket"))
+        .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      // summary-level window: 1024×-reduced input, the bounded tier
+      val wS = Window.orderBy(col("bucket"))
+      val boundary = summ.withColumn("pmx", lag(col("mx"), 1).over(wS))
+        .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+        .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+      internal.unionAll(boundary)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+        .orderBy(col("gap_start"))
     }
   )
 }

@@ -1322,6 +1322,58 @@ object TextOps {
         .select(col("token"), col("df"), col("total_tf"),
           transform(col("top"), t => t.getField("_1")).as("postings"))
         .orderBy(col("token"))
+    },
+
+    // Dedup SURVIVORSHIP (the MDM "golden record" step a dedup pipeline
+    // needs after detection): per near-dup cluster (the dd_cluster
+    // connected components), elect the member with the highest composite
+    // quality score — ties to the lowest doc_id — and record the merged
+    // member head. max_by on the (quality, -doc_id) struct keeps the
+    // election inside the partial aggregate (no per-cluster window sort),
+    // and the member list is BoundedTopK-capped at 20 like the inverted
+    // index's postings, so a pathological corpus-sized cluster never
+    // materializes a corpus-sized array. Quality is the ONE shared
+    // qualityScore definition — survivor choice can never drift from the
+    // curation operators' notion of quality.
+    Q(
+      "tx_survivorship",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |p2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |edges AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |qd AS (SELECT doc_id, ${qualityScoreSql("l")} AS quality
+         |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)),
+         |m AS (SELECT l.cluster_id, l.doc_id, q.quality FROM lab l JOIN qd q USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY quality DESC, doc_id) AS rn FROM m)
+         |SELECT cluster_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+         |  max(CASE WHEN rn = 1 THEN quality END) AS survivor_quality,
+         |  count(*) AS n_members,
+         |  (list(doc_id ORDER BY doc_id))[1:20] AS members
+         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val labels = connectedComponents(
+        winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val qd = T.documents(s, d).withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), qualityScore("l").as("quality"))
+      val head20 = udaf(graft.functions.BoundedTopK[Long](20))
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .join(qd, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(struct(col("doc_id"), col("quality")),
+            struct(col("quality"), -col("doc_id"))).as("surv"),
+          count(lit(1)).as("n_members"),
+          head20(col("doc_id"), col("doc_id")).as("top"))
+        .select(col("cluster_id"), col("surv.doc_id").as("survivor_id"),
+          col("surv.quality").as("survivor_quality"), col("n_members"),
+          transform(col("top"), t => t.getField("_1")).as("members"))
+        .orderBy(col("cluster_id"))
     }
   )
 }

@@ -56,4 +56,35 @@ class WarehouseSpec extends AnyFunSuite {
       assert(r.getAs[Long]("total_tf") >= df, "each posting contributes ≥1 occurrence")
     }
   }
+
+  test("s18_gap_detect: gaps + processed ids tile [min,max] exactly, no overlap") {
+    import org.apache.spark.sql.functions.col
+    val gaps = QueryRegistry.byName("s18_gap_detect").fn(spark, sf).collect()
+    val ids = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") =!= "error")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    val missing = gaps.map(r => r.getAs[Long]("gap_start") to r.getAs[Long]("gap_end"))
+    missing.foreach(rng => assert(rng.nonEmpty, "empty gap range"))
+    val nMissing = gaps.map(_.getAs[Long]("n_missing")).sum
+    assert(nMissing === missing.map(_.size.toLong).sum)
+    // tiling: |processed| + |missing| = max - min + 1
+    assert(ids.length + nMissing === ids.last - ids.head + 1,
+      "gaps must account for every absent id between min and max")
+    assert(missing.flatten.toSet.intersect(ids.toSet).isEmpty,
+      "a gap range must not contain a processed id")
+  }
+
+  test("tx_survivorship: survivor quality is the cluster max; members capped at 20") {
+    val rows = QueryRegistry.byName("tx_survivorship").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val members = r.getAs[scala.collection.Seq[Long]]("members")
+      assert(members.length <= 20)
+      assert(members.toSeq === members.sorted.toSeq)
+      assert(r.getAs[Long]("n_members") >= members.length.toLong)
+      assert(members.contains(r.getAs[Long]("survivor_id")) ||
+        r.getAs[Long]("n_members") > 20L,
+        "survivor must be a member (or the head was truncated past it)")
+    }
+  }
 }
