@@ -19,7 +19,8 @@ object QueryRegistry {
       graft.operators.Multimodal.queries ++
       graft.operators.VectorOps.queries ++
       graft.operators.ScaleOps.queries ++
-      graft.operators.Reports.queries
+      graft.operators.Reports.queries ++
+      graft.operators.DataQuality.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
