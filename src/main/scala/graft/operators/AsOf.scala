@@ -292,6 +292,58 @@ object AsOf {
         .orderBy(col("interval_id"))
     },
 
+    // A11 time-grid resample + forward fill — "the price at every hour on
+    // the hour", the gap-filling resample every reporting layer needs over
+    // an irregular event stream. Spark-first shape: the grid rows UNION
+    // into the event stream and ONE per-user window pass forward-fills
+    // (last value ignoreNulls up to current row) — the same union-window
+    // rewrite as the as-of family, so there is no grid⨝events range join
+    // at all; at 100 TB the cost is one user-keyed sort of events + grid
+    // (grid cardinality = users × 168, a constant per user). Tie order
+    // (ts, is_ev DESC) puts an event AT the grid instant before the grid
+    // row, so an exactly-on-the-hour tick is included — and the tie is
+    // never decided by the (null on grid rows) event_id, keeping the two
+    // engines' null-ordering difference unobservable.
+    Q(
+      "a11_resample",
+      """WITH grid AS (
+        |  SELECT u.user_id, g.gts FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |      TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS gts) g),
+        |src AS (
+        |  SELECT user_id, ts, value, event_id, 1 AS is_ev FROM events
+        |  WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, gts AS ts, NULL AS value, NULL AS event_id, 0 AS is_ev
+        |  FROM grid),
+        |f AS (
+        |  SELECT user_id, ts, is_ev,
+        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, is_ev DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM src)
+        |SELECT user_id, ts AS grid_ts, v AS value FROM f WHERE is_ev = 0
+        |ORDER BY user_id, grid_ts""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val grid = ev.select(col("user_id")).distinct()
+        .withColumn("ts", explode(expr(
+          "sequence(timestamp '2024-01-01 00:00:00', timestamp '2024-01-07 23:00:00', interval 1 hour)")))
+        .select(col("user_id"), col("ts"),
+          lit(null).cast(DoubleType).as("value"),
+          lit(null).cast("bigint").as("event_id"), lit(0).as("is_ev"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+          lit(1).as("is_ev"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_ev").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(grid)
+        .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("is_ev") === 0)
+        .select(col("user_id"), col("ts").as("grid_ts"), col("v").as("value"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    },
+
     // J11 interval⨝interval overlap join — the case J10's broadcast trick
     // cannot cover: BOTH sides are full streams (price-validity intervals
     // per user × alert windows), so neither fits in a broadcast and the

@@ -567,6 +567,61 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // U7 UNPIVOT — the melt side of the pivot pair (S5 covers wide-out;
+    // this is long-out): the OHLC bars relation unpivoted to one
+    // (day, metric, value) row per candle leg. Spark's native
+    // DataFrame.unpivot is a zero-shuffle narrow map (each input row emits
+    // its 4 legs locally) — at scale the melt adds no exchange at all.
+    Q(
+      "u7_unpivot",
+      """WITH pe AS (
+        |  SELECT date_trunc('day', ts) AS day, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT day, value,
+        |    first_value(value) OVER (PARTITION BY day ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(value)  OVER (PARTITION BY day ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM pe
+        |), bars AS (
+        |  SELECT day, min(o) AS open, max(value) AS high, min(value) AS low,
+        |    min(c) AS close
+        |  FROM w GROUP BY day)
+        |SELECT day, metric, v
+        |FROM (UNPIVOT bars ON open, high, low, close INTO NAME metric VALUE v)
+        |ORDER BY day, metric""".stripMargin) { (s, d) =>
+      Reports.ohlcBars(s, d)
+        .select(col("day"), col("open"), col("high"), col("low"), col("close"))
+        .unpivot(Array(col("day")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "metric", "v")
+        .orderBy(col("day"), col("metric"))
+    },
+
+    // W9 distribution-rank windows: percent_rank / cume_dist / ntile per
+    // event_type — the remaining SQL rank family in one pass. All three
+    // ride ONE sort within the type partition; percent_rank and cume_dist
+    // are single exact integer divisions ((rank-1)/(n-1), rn/n) so the
+    // doubles match DuckDB bitwise under the unique (value, event_id)
+    // order.
+    Q(
+      "w9_rank_family",
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+        |  cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd,
+        |  ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |FROM events ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      T.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).cast(LongType).as("decile"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
     // Skew-salted join through the library operator: results must be a
     // drop-in replacement for the plain equi-join (the oracle IS the
     // plain join), while the big side scatters across salt sub-partitions
