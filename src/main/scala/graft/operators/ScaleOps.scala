@@ -283,6 +283,78 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
+    // Z-order pruning EFFECTIVENESS — the measurement that justifies
+    // lo_zorder's existence, computed from the layout manifests alone (at
+    // 100 TB this is exactly the planner's file-skipping arithmetic: no
+    // data is read, only per-file min/max stats): for a user-only
+    // predicate the time-linear layout scans ALL files (its min/max on the
+    // non-sort dimension are vacuous) while the z-layout prunes ~half;
+    // for user+time both layouts prune to the time slice. Both manifests
+    // come out of ONE scan (union of the two file assignments, grouped
+    // once); the verdict table is 4 rows of manifest arithmetic.
+    Q(
+      "lo_zorder_prune", {
+        val zc = zSql("user_bits", "time_bits")
+        s"""WITH b AS (SELECT min(user_id) AS minu, max(user_id) AS maxu,
+           |    min(epoch_us(ts)) AS mint, max(epoch_us(ts)) AS maxt FROM events),
+           |g AS (SELECT e.user_id, epoch_us(e.ts) AS tus,
+           |    CAST(((e.user_id - b.minu) * 256) // (b.maxu - b.minu + 1) AS BIGINT) AS user_bits,
+           |    CAST(((epoch_us(e.ts) - b.mint) * 256) // (b.maxt - b.mint + 1) AS BIGINT) AS time_bits,
+           |    b.mint, b.maxt
+           |  FROM events e, b),
+           |zf AS (SELECT 'zorder' AS layout, ($zc) // 4096 AS file_id, user_id, tus FROM g),
+           |lf AS (SELECT 'linear' AS layout, ((tus - mint) * 16) // (maxt - mint + 1) AS file_id, user_id, tus FROM g),
+           |m AS (SELECT layout, file_id, min(user_id) AS mnu, max(user_id) AS mxu,
+           |      min(tus) AS mnt, max(tus) AS mxt, count(*) AS n
+           |  FROM (SELECT * FROM zf UNION ALL SELECT * FROM lf) GROUP BY 1, 2),
+           |pred AS (SELECT mint + (maxt - mint) * 10 // 30 AS plo,
+           |    mint + (maxt - mint) * 13 // 30 AS phi FROM b)
+           |SELECT layout, p.pname, count(*) AS n_files,
+           |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           |  CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+           |FROM (
+           |  SELECT m.*, 'user_only' AS pname, (mxu >= 40 AND mnu <= 75) AS hit FROM m
+           |  UNION ALL
+           |  SELECT m.*, 'user_and_time', (mxu >= 40 AND mnu <= 75 AND mxt >= pr.plo AND mnt <= pr.phi)
+           |  FROM m, pred pr) p
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, d) =>
+      val ev = T.events(s, d)
+      val bounds = ev.agg(
+        min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
+        min(unix_micros(col("ts"))).as("mint"), max(unix_micros(col("ts"))).as("maxt"))
+      val g = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("user_bits", expr("((user_id - minu) * 256) div (maxu - minu + 1)"))
+        .withColumn("time_bits", expr("((tus - mint) * 256) div (maxt - mint + 1)"))
+      val zf = g.select(lit("zorder").as("layout"),
+        expr(s"(${zSpark("user_bits", "time_bits")}) div 4096").as("file_id"),
+        col("user_id"), col("tus"), col("mint"), col("maxt"))
+      val lf = g.select(lit("linear").as("layout"),
+        expr("((tus - mint) * 16) div (maxt - mint + 1)").as("file_id"),
+        col("user_id"), col("tus"), col("mint"), col("maxt"))
+      val m = zf.unionAll(lf)
+        .groupBy(col("layout"), col("file_id"))
+        .agg(min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+          min(col("tus")).as("mnt"), max(col("tus")).as("mxt"),
+          count(lit(1)).as("n"))
+      val pred = bounds.select(
+        expr("mint + (maxt - mint) * 10 div 30").as("plo"),
+        expr("mint + (maxt - mint) * 13 div 30").as("phi"))
+      val userHit = col("mxu") >= 40 && col("mnu") <= 75
+      val both = m.select(col("*"), lit("user_only").as("pname"),
+          userHit.as("hit"))
+        .unionAll(m.crossJoin(broadcast(pred))
+          .select(col("layout"), col("file_id"), col("mnu"), col("mxu"),
+            col("mnt"), col("mxt"), col("n"), lit("user_and_time").as("pname"),
+            (userHit && col("mxt") >= col("plo") && col("mnt") <= col("phi")).as("hit")))
+      both.groupBy(col("layout"), col("pname"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_scanned"))
+        .orderBy(col("layout"), col("pname"))
+    },
+
     // Triangle counting over the part co-purchase graph — the degree-ordered
     // wedge-join algorithm ("compact-forward"/node-iterator++), the shape
     // that keeps triangle enumeration tractable at 100 TB: orient every
