@@ -102,6 +102,33 @@ object AsOf {
         .orderBy(col("event_id"))
     }.copy(bench = true),
 
+    // J3d FORWARD as-of — the time-mirror of J3 (next quote at-or-after the
+    // trade, the fill-side lookup a matching engine asks): first view value
+    // at or after each purchase, same merge-sweep shape (one user_id
+    // shuffle, a CURRENT ROW → UNBOUNDED FOLLOWING frame instead of a range
+    // join). Completes the as-of family: backward (J3), forward (this),
+    // historical (J5), conditional (J6).
+    Q(
+      "j3d_asof_forward",
+      """SELECT event_id, user_id, ts, value, next_view_value FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_value
+        |  FROM events WHERE event_type IN ('purchase','view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_view_value",
+          first(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("next_view_value"))
+        .orderBy(col("event_id"))
+    },
+
     // J3b generic as-of join via the reusable asOfBackward helper: each
     // purchase picks up the latest view value at-or-before its timestamp
     // for the same user (inclusive as-of — the standard as-of-join

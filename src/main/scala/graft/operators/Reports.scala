@@ -156,6 +156,44 @@ object Reports {
         .orderBy(col("stage"))
     },
 
+    // ── Exact-moment variance stats ────────────────────────────────────────
+    // Per-type n/mean/variance/stddev where BOTH engines agree bitwise: a
+    // double stddev_pop is order-dependent in the last ulp (Welford vs
+    // two-pass vs naive moments accumulate differently), so neither engine's
+    // built-in is oracle-safe. Instead the integer moments Σx, Σx² accumulate
+    // EXACTLY in 128-bit decimal (associative, any partition order), and the
+    // closed forms mean = Σx/(100n), var = (nΣx² − (Σx)²)/(10⁴n²) perform a
+    // fixed number of correctly-rounded FP ops on exact operands — the same
+    // bits on every engine, every partitioning, every scale. The shape is
+    // one map-side-combined groupBy; nothing else.
+    Q(
+      "a12_moment_stats",
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)) AS s1,
+        |    sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value*100) AS BIGINT)) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(s1 AS DOUBLE) / (100.0 * n) AS mean,
+        |  CAST(n * s2 - s1 * s1 AS DOUBLE) / (10000.0 * n * n) AS variance,
+        |  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (10000.0 * n * n)) AS stddev
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val cents = round(col("value") * 100).cast(LongType)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      val m = T.events(s, d)
+        .select(col("event_type"), cents.as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("s1"),
+          sum(dec(col("c")) * dec(col("c"))).as("s2"))
+      val varCol = (dec(col("n")) * col("s2") - col("s1") * col("s1")).cast(DoubleType) /
+        (lit(10000.0) * col("n") * col("n"))
+      m.select(col("event_type"), col("n"),
+          (col("s1").cast(DoubleType) / (lit(100.0) * col("n"))).as("mean"),
+          varCol.as("variance"), sqrt(varCol).as("stddev"))
+        .orderBy(col("event_type"))
+    },
+
     // ── Robust outliers (median/MAD) ───────────────────────────────────────
     // Modified-z-score outlier flagging per event_type: |cents − median| >
     // 3.5·MAD, the robust alternative to mean/stddev that the monitoring
