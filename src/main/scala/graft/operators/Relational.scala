@@ -516,6 +516,42 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Q18 large-volume customer (the TPC-H big-agg classic): orders whose
+    // total quantity clears a HAVING threshold, re-joined to their detail.
+    // Spark shape: the `big` filter is a lineitem groupBy whose result
+    // SEMI-joins orders BEFORE the wide customer/detail joins — the
+    // having-driven pre-filter keeps the expensive join tree at the ~1%
+    // of orders that qualify; TakeOrdered caps the output at 100 rows
+    // without a global sort.
+    Q(
+      "q18_big_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250)
+        |SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val li = T.lineitem(s, d)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(d6(col("l_quantity"))).cast(DoubleType).as("q"))
+        .filter(col("q") > 250).select(col("l_orderkey"))
+      val o = T.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      o.join(T.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(o6(sum(d6(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     // W8 RANGE-interval window frame (engine extension): per-user count of
     // events in the PRECEDING HOUR at each event — the rate-limit /
     // velocity feature shape. Spark's rangeBetween frame over a seconds
