@@ -283,6 +283,62 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
+    // DETERMINISTIC HyperLogLog — the oracle-checkable cousin of
+    // a1b_approx_distinct (the registry's one oracle-less query, because
+    // Spark's HLL++ sketch internals aren't reproducible in SQL). This one
+    // is exact-comparable end to end: register index/rank come from the
+    // md5-derived 60-bit hash, the rank is a BIT LENGTH (length(bin(x)) —
+    // an integer both engines compute identically; no log2 anywhere), the
+    // harmonic-mean denominator Σ2^(62−M(j)) accumulates EXACTLY in
+    // 128-bit integers (every term is a power of two that fits a long
+    // after the ÷4 rescale), and the final estimate is a fixed chain of
+    // correctly-rounded double ops on identical operands. Raw-range
+    // formula only (n ≫ 2.5m at verify scale, so the small-range branch
+    // — whose ln() is NOT cross-engine exact — never triggers; m=64 →
+    // ~13% expected error, demonstrated against the exact count beside
+    // it). Scale shape: one (type, j) shuffle over ≤64·|types| keys.
+    Q(
+      "a13_hll_sketch",
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS h60
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h60 % 64 AS j,
+        |    CASE WHEN h60 // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h60 // 64)) END AS rho
+        |  FROM h),
+        |m AS (SELECT event_type, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |    sum(CAST(CAST(1 AS BIGINT) << CAST(62 - mj AS INT) AS HUGEINT))
+        |      + (64 - count(*)) * CAST(4611686018427387904 AS HUGEINT) AS s4
+        |  FROM m GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT event_id) AS n_exact FROM events GROUP BY 1)
+        |SELECT s.event_type, x.n_exact,
+        |  (CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096 * CAST(4611686018427387904 AS DOUBLE)
+        |    / CAST(s4 AS DOUBLE) AS hll_estimate
+        |FROM s JOIN x USING (event_type) ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val h = ev.select(col("event_type"),
+        conv(substring(md5(col("event_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("h60"))
+      val r = h.select(col("event_type"), expr("h60 % 64").as("j"),
+        when(expr("h60 div 64") === 0, 55)
+          .otherwise(lit(55) - length(bin(expr("h60 div 64")))).as("rho"))
+      val m = r.groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("mj"))
+      val s4 = m.groupBy(col("event_type")).agg(
+        (sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(62 - mj AS INT)) AS DECIMAL(38,0))"))
+          + (lit(64) - count(lit(1))).cast(DecimalType(38, 0))
+            * lit(4611686018427387904L).cast(DecimalType(38, 0))).as("s4"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      s4.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          expr("(CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096 * CAST(4611686018427387904 AS DOUBLE)" +
+            " / CAST(s4 AS DOUBLE)").as("hll_estimate"))
+        .orderBy(col("event_type"))
+    },
+
     // Z-order pruning EFFECTIVENESS — the measurement that justifies
     // lo_zorder's existence, computed from the layout manifests alone (at
     // 100 TB this is exactly the planner's file-skipping arithmetic: no
