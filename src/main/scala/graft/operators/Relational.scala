@@ -603,6 +603,61 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // U8 bag-semantics set ops — INTERSECT ALL / EXCEPT ALL complete the
+    // set-op family next to u5/u6's set semantics: multiplicities survive
+    // (a user with 3 purchases and 2 errors keeps min(3,2)=2 rows in the
+    // intersection, 1 in the difference). Spark plans both as a single
+    // partial-agged count-compare per key — one shuffle, no join.
+    Q(
+      "u8_intersect_all",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersectAll(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
+    Q(
+      "u8b_except_all",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .exceptAll(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
+    // P14 null-safe equality join — Spark's <=> against DuckDB's
+    // IS NOT DISTINCT FROM: the semantic corner where a plain equi-join
+    // silently DROPS the null group (null = null is null). The nullable
+    // key is a nullif-derived bucket; the null-safe join keeps its row and
+    // still plans as a hash join (null-safe equality is a valid hash key).
+    Q(
+      "p14_nullsafe_join",
+      """WITH a AS (SELECT nullif(user_id % 10, 0) AS k, count(*) AS n_all
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT nullif(user_id % 10, 0) AS k, count(*) AS n_purch
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT a.k, a.n_all, b.n_purch
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      def keyed(df: DataFrame, out: String) = df
+        .groupBy(nullif(col("user_id") % 10, lit(0)).as("k"))
+        .agg(count(lit(1)).as(out))
+      val a = keyed(ev, "n_all")
+      val b = keyed(ev.filter(col("event_type") === "purchase"), "n_purch")
+        .withColumnRenamed("k", "bk")
+      a.join(b, col("k") <=> col("bk"))
+        .select(col("k"), col("n_all"), col("n_purch"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
     // U7 UNPIVOT — the melt side of the pivot pair (S5 covers wide-out;
     // this is long-out): the OHLC bars relation unpivoted to one
     // (day, metric, value) row per candle leg. Spark's native
