@@ -185,4 +185,24 @@ class PropertySpec extends AnyFunSuite {
     val expected = base.limit(80).select("o_orderkey").as[Long].collect().toSeq
     assert(all === expected, "concatenated pages differ from the prefix")
   }
+
+  test("BoundedTopK merge is order-insensitive and matches sort.take(k)") {
+    // the partial-aggregation contract: ANY partitioning of the input,
+    // reduced shard-wise then merged in ANY order, must equal the global
+    // sorted head — this is exactly what Spark's map-side combine assumes
+    val agg = graft.functions.BoundedTopK[Long](5)
+    val genRows = Gen.listOfN(60, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 9L)))
+    sampled(genRows, 40).foreach { rows =>
+      val expected = rows.sorted.take(5)
+      // shard into uneven partitions, reduce each, then merge shards
+      // left-to-right and right-to-left
+      val shards = rows.grouped(7).toList
+        .map(sh => sh.foldLeft(agg.zero)(agg.reduce))
+      val l2r = shards.foldLeft(agg.zero)(agg.merge)
+      val r2l = shards.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(l2r).toList === expected)
+      assert(agg.finish(r2l).toList === expected)
+    }
+  }
+
 }
