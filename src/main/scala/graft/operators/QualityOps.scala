@@ -618,23 +618,16 @@ object QualityOps {
          |  GROUP BY 1, 2)
          |SELECT token, true_count, cms_est, cms_est - true_count AS overcount
          |FROM est ORDER BY true_count DESC, token""".stripMargin) { (s, d) =>
+      // the shared graft.functions.Cms construction — also the streaming
+      // sketch-merge state (SketchStream); one definition, both paths
       val th = T.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .withColumn("h", sid60(col("token")))
-      val posOf = (h: Column, j: Int) =>
-        shiftright(h, 10 * j).bitwiseAND(lit(1023L))
-      val cells = th.select(explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), posOf(col("h"), j).as("pos"))): _*)).as("c"))
-        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
-        .agg(count(lit(1)).as("cnt"))
+      val cells = graft.functions.Cms.cells(th)
       val top = th.groupBy(col("token"))
         .agg(first(col("h")).as("h"), count(lit(1)).as("true_count"))
         .orderBy(col("true_count").desc, col("token")).limit(20)
-      top.join(broadcast(cells),
-          (0 until 4).map(j => col("j") === j && col("pos") === posOf(col("h"), j))
-            .reduce(_ || _))
-        .groupBy(col("token"), col("true_count"))
-        .agg(min(col("cnt")).as("cms_est"))
+      graft.functions.Cms.estimate(top, cells)
         .select(col("token"), col("true_count"), col("cms_est"),
           (col("cms_est") - col("true_count")).as("overcount"))
         .orderBy(col("true_count").desc, col("token"))

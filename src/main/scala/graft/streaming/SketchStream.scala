@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters.IteratorHasAsScala
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cms
+
+/** Streaming Count-Min sketch maintenance — the frequency state a live
+  * ingestion keeps without ever holding the vocabulary: each micro-batch's
+  * token stream reduces to ≤4096 (j, pos, cnt) increments (the shared
+  * graft.functions.Cms construction), which MERGE into the persisted
+  * sketch by plain summation — the CMS's defining property. State size is
+  * constant in both corpus and vocabulary; a 100 TB stream's frequency
+  * oracle is 32 KB.
+  *
+  * Generation protocol (the bucketed-upsert discipline): each batch writes
+  * the merged sketch to a fresh `gen=<batchId>` directory and then
+  * atomically moves a marker file pointing at it. Replaying a batch
+  * rewrites the same generation from the same previous state — the merge
+  * is idempotent per batch id, so at-least-once delivery never
+  * double-counts.
+  */
+object SketchStream {
+
+  private def markerPath(dir: String) = Paths.get(dir, "LATEST")
+
+  private def emptySketch(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit(0).as("j"), lit(0L).as("pos"), lit(0L).as("cnt"))
+      .filter(lit(false))
+
+  /** the newest COMMITTED generation strictly before `batchId` — the merge
+    * input that makes a batch replay idempotent: re-running batch N starts
+    * from the state BEFORE N (never from its own output, which would
+    * double-count) and overwrites gen=N with identical content. */
+  private def sketchBefore(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return emptySketch(spark)
+    val gens = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
+      .filter(_ < batchId).toSeq
+    if (gens.isEmpty) emptySketch(spark)
+    else spark.read.parquet(s"$dir/gen=${gens.max}")
+  }
+
+  /** read the current sketch (empty frame if none committed yet). */
+  def currentSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = markerPath(dir)
+    if (Files.exists(m)) spark.read.parquet(Files.readString(m).trim)
+    else emptySketch(spark)
+  }
+
+  /** one micro-batch's merge — the foreachBatch body, callable directly
+    * (the spec drives an explicit replay through it). */
+  private[graft] def mergeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val inc = Cms.cells(batch.select(col("token"),
+      conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h")))
+    val merged = sketchBefore(spark, dir, batchId)
+      .unionByName(inc)
+      .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+    val genDir = s"$dir/gen=$batchId"
+    merged.write.mode("overwrite").parquet(genDir)
+    val tmp = Paths.get(dir, s".LATEST.$batchId")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(tmp, genDir)
+    Files.move(tmp, markerPath(dir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** wire a token stream (one `token` string column) into the sketch dir. */
+  def gate(tokens: DataFrame, dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tokens.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBatch(batch, dir, batchId)
+    }
+
+  /** point estimates for candidate tokens against the live sketch. */
+  def estimate(spark: SparkSession, dir: String, tokens: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    val cand = tokens.toDF("token")
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    Cms.estimate(cand, currentSketch(spark, dir))
+      .select(col("token"), col("cms_est"))
+      .as[(String, Long)].collect().toMap
+  }
+}

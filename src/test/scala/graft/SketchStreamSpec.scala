@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SketchStream
+
+/** Streaming CMS: cross-batch merge, overestimate guarantee, constant
+  * state size, replay idempotence of the generation protocol.
+  */
+class SketchStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("sketch merges batches, estimates ≥ true counts, state stays ≤ 4096 rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("cms").toString
+    val in = MemoryStream[String]
+    val q = SketchStream.gate(in.toDF().toDF("token"), s"$dir/state")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(Seq.fill(30)("alpha") ++ Seq.fill(5)("beta") ++ Seq("gamma"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(20)("alpha") ++ Seq.fill(7)("delta"): _*)
+      q.processAllAvailable()
+      val est = SketchStream.estimate(spark, s"$dir/state",
+        Seq("alpha", "beta", "gamma", "delta"))
+      // CMS guarantee: estimates never undercount, and merge crossed batches
+      assert(est("alpha") >= 50L, s"alpha merged across batches: $est")
+      assert(est("beta") >= 5L && est("gamma") >= 1L && est("delta") >= 7L)
+      val sketch = SketchStream.currentSketch(spark, s"$dir/state")
+      assert(sketch.count() <= 4096L, "sketch state must stay bounded")
+    } finally q.stop()
+  }
+
+  test("replaying a batch id is a no-op on the totals (at-least-once safety)") {
+    val dir = Files.createTempDirectory("cms-replay").toString + "/state"
+    val b0 = Seq.fill(10)("x").toDF("token")
+    val b1 = (Seq.fill(4)("x") ++ Seq.fill(6)("y")).toDF("token")
+    SketchStream.mergeBatch(b0, dir, 0L)
+    SketchStream.mergeBatch(b1, dir, 1L)
+    val once = SketchStream.estimate(spark, dir, Seq("x", "y"))
+    // the redelivery: batch 1 runs again with the SAME id
+    SketchStream.mergeBatch(b1, dir, 1L)
+    val twice = SketchStream.estimate(spark, dir, Seq("x", "y"))
+    assert(once === twice, "replay must start from the pre-batch generation")
+    assert(once("x") >= 14L && once("y") >= 6L)
+  }
+}
