@@ -101,6 +101,48 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Audio decode: the WAV/RIFF leg of the multimodal family, same
+    // real-header-codec discipline as mm_decode_meta — every document
+    // carries a byte-faithful 44-byte canonical PCM header
+    // (graft.plans.AudioMeta.wavFixture) whose rate/channels/sample-count
+    // derive from doc_id, and the codegen'd `audio_meta` expression parses
+    // the actual little-endian fields back out (duration in exact integer
+    // µs). Oracle pins generator∘parser = identity; a parser misreading
+    // any offset goes red. Narrow map, no shuffle, no UDF.
+    Q(
+      "mm_audio_meta",
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(doc_id % 1000 + 100 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 1000 + 100) * 1000000
+        |    // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.plans.{AudioMeta, AudioMetaExpr}
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      T.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids => // per-partition init point for a real codec
+          ids.map { id =>
+            MediaBlob(id, AudioMeta.wavFixture(
+              rates((id % 5).toInt), (id % 2 + 1).toInt, 16,
+              (id % 1000 + 100).toInt))
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), toCol(AudioMetaExpr(toExpr(col("media")))).as("m"))
+        .select(col("doc_id"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+          col("m.n_samples").as("n_samples"),
+          col("m.duration_us").as("duration_us"))
+        .orderBy(col("doc_id"))
+    },
+
     // Resize planning: fit each image into a 64×64 box preserving aspect
     // ratio — pure metadata math (the byte-level resample is the codec
     // stub's job); one deterministic IEEE expression tree per row.
