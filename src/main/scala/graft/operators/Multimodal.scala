@@ -143,6 +143,44 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Video decode: MP4/ISO-BMFF box-tree walking (graft.plans.VideoMeta)
+    // completes the image/audio/video metadata trio. Fixtures alternate a
+    // plain layout with one carrying a leading `free` padding box — the
+    // parser must WALK the length-prefixed box sequence to moov/mvhd, not
+    // peek fixed offsets, and the oracle's identity check proves it.
+    Q(
+      "mm_video_meta",
+      """SELECT doc_id,
+        |  'isom' AS brand,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |       WHEN 2 THEN 24000 ELSE 90000 END AS BIGINT) AS timescale,
+        |  CAST((doc_id * 37) % 100000 + 1000 AS BIGINT) AS duration_ticks,
+        |  CAST(((doc_id * 37) % 100000 + 1000) * 1000000
+        |    // (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |        WHEN 2 THEN 24000 ELSE 90000 END) AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.plans.{VideoMeta, VideoMetaExpr}
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val scales = Array(600, 1000, 24000, 90000)
+      T.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            MediaBlob(id, VideoMeta.mp4Fixture(
+              scales((id % 4).toInt), ((id * 37) % 100000 + 1000).toInt,
+              freePad = if (id % 2 == 0) 0 else 16))
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), toCol(VideoMetaExpr(toExpr(col("media")))).as("m"))
+        .select(col("doc_id"), col("m.brand").as("brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration_ticks").as("duration_ticks"),
+          col("m.duration_us").as("duration_us"))
+        .orderBy(col("doc_id"))
+    },
+
     // Resize planning: fit each image into a 64×64 box preserving aspect
     // ratio — pure metadata math (the byte-level resample is the codec
     // stub's job); one deterministic IEEE expression tree per row.
