@@ -552,6 +552,50 @@ object Relational {
         .limit(100)
     },
 
+    // Q4 shape (order-priority checking): orders with at least one
+    // late-shipped lineitem (EXISTS → left-semi with an equi key + residual
+    // date condition — still a hash join), rolled up by priority. The
+    // semi-join shape means the fact side is touched once and never
+    // duplicated per matching lineitem.
+    Q(
+      "q4_priority_exists",
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d)
+      val l = T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q14 shape (promotion revenue share): conditional revenue over total,
+    // both sums exact in decimal and cast to double ONCE each before the
+    // single division — the one-pass conditional-aggregate ratio (no
+    // second scan for the denominator).
+    Q(
+      "q14_promo_share",
+      """SELECT 100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin) { (s, d) =>
+      val rev = d6(col("l_extendedprice")) * (lit(1) - d6(col("l_discount")))
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0)
+          * sum(when(col("p_type").like("PROMO%"), rev)
+              .otherwise(d6(lit(0)))).cast(DoubleType)
+          / sum(rev).cast(DoubleType)).as("promo_share"))
+    },
+
     // W8 RANGE-interval window frame (engine extension): per-user count of
     // events in the PRECEDING HOUR at each event — the rate-limit /
     // velocity feature shape. Spark's rangeBetween frame over a seconds
