@@ -77,10 +77,54 @@ object GateBench {
       ((System.nanoTime() - t0) / 1e9, admitted)
     }
 
+    // the validation (quarantine) and frequency-sketch gates, same harness
+    def driveQuarantine(): (Double, Long) = {
+      val base = java.nio.file.Files.createTempDirectory("graft-qgatebench").toString
+      val in = MemoryStream[(Long, String)]
+      val checks = Seq(
+        "text.not_null" -> col("text").isNotNull,
+        "text.min_len" -> (length(col("text")) >= 10),
+        "id.non_negative" -> (col("doc_id") >= 0))
+      val q = graft.streaming.Quarantine.gate(
+        in.toDF().toDF("doc_id", "text"), checks,
+        s"$base/clean", s"$base/dlq")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      val t0 = System.nanoTime()
+      try {
+        docs.grouped(perBatch).foreach { g =>
+          in.addData(g.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val cleaned = spark.read.parquet(s"$base/clean").count()
+      ((System.nanoTime() - t0) / 1e9, cleaned)
+    }
+
+    def driveSketch(): (Double, Long) = {
+      val base = java.nio.file.Files.createTempDirectory("graft-sgatebench").toString
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.SketchStream.gate(
+        in.toDF().toDF("doc_id", "text")
+          .select(explode(split(col("text"), " ")).as("token")),
+        s"$base/state")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      val t0 = System.nanoTime()
+      try {
+        docs.grouped(perBatch).foreach { g =>
+          in.addData(g.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val cells = graft.streaming.SketchStream.currentSketch(spark, s"$base/state").count()
+      ((System.nanoTime() - t0) / 1e9, cells)
+    }
+
     val (tB, aB) = drive(shuffleProbe = false)
     val (tS, aS) = drive(shuffleProbe = true)
     val (tE, aE) = driveEmbed(shuffleProbe = false)
     val (tES, aES) = driveEmbed(shuffleProbe = true)
+    val (tQ, aQ) = driveQuarantine()
+    val (tK, aK) = driveSketch()
     val n = docs.length
     val nv = vecs.length
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -90,6 +134,8 @@ object GateBench {
       s""""shuffle":{"sec":${fmt(tS)},"admitted":$aS,"docs_per_sec":${fmt(n / tS)}},""" +
       s""""embed":{"sec":${fmt(tE)},"vecs":$nv,"admitted":$aE,"vecs_per_sec":${fmt(nv / tE)}},""" +
       s""""embed_shuffle":{"sec":${fmt(tES)},"admitted":$aES,"vecs_per_sec":${fmt(nv / tES)}},""" +
+      s""""quarantine":{"sec":${fmt(tQ)},"clean":$aQ,"docs_per_sec":${fmt(n / tQ)}},""" +
+      s""""cms":{"sec":${fmt(tK)},"cells":$aK,"docs_per_sec":${fmt(n / tK)}},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
