@@ -75,6 +75,18 @@ class PlanSpec extends AnyFunSuite {
       s"decode Project not inside a codegen span: $codegenLine")
   }
 
+  test("audio/video metadata codecs participate in whole-stage codegen") {
+    Seq("mm_audio_meta" -> "audio_meta", "mm_video_meta" -> "video_meta")
+      .foreach { case (q, fn) =>
+        val p = plan(q)
+        assert(p.contains(fn), s"$fn expression missing from $q plan")
+        val codegenLine = p.linesIterator
+          .find(l => l.contains(fn) && l.contains("Project"))
+        assert(codegenLine.exists(_.contains("*(")),
+          s"$fn Project not inside a codegen span: $codegenLine")
+      }
+  }
+
   test("tx_exchange_ops is a single-pass column program (no join, one scan)") {
     val p = plan("tx_exchange_ops")
     assert(!p.contains("Join"), "the CASE-dispatch pipeline must not join")
