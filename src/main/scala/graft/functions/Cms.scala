@@ -29,11 +29,17 @@ object Cms {
       .agg(count(lit(1)).as("cnt"))
 
   /** point-frequency estimates for candidate rows bearing `h`: the min
-    * over the sketch's d row cells (est ≥ true, no false negatives). */
+    * over the sketch's d row cells (est ≥ true, no false negatives). A
+    * cell the sketch never incremented counts as 0 — the LEFT join +
+    * coalesce is what makes a never-seen token estimate 0 instead of
+    * silently vanishing (and the probe expansion keeps this an EQUI-join
+    * on (j, pos), not an OR-condition nested loop). */
   def estimate(candidates: DataFrame, sketch: DataFrame): DataFrame =
-    candidates.join(broadcast(sketch),
-        (0 until Rows).map(j => col("j") === j && col("pos") === posOf(col("h"), j))
-          .reduce(_ || _))
+    candidates
+      .withColumn("j", explode(array((0 until Rows).map(j => lit(j)): _*)))
+      .withColumn("pos", expr(s"shiftright(h, $Bits * j) & $Mask"))
+      .join(broadcast(sketch), Seq("j", "pos"), "left")
+      .withColumn("cell", coalesce(col("cnt"), lit(0L)))
       .groupBy(candidates.columns.map(col): _*)
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(col("cell")).as("cms_est"))
 }

@@ -32,6 +32,14 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(est("beta") >= 5L && est("gamma") >= 1L && est("delta") >= 7L)
       val sketch = SketchStream.currentSketch(spark, s"$dir/state")
       assert(sketch.count() <= 4096L, "sketch state must stay bounded")
+      // a token the stream never carried estimates 0, not a join dropout
+      val unseen = SketchStream.estimate(spark, s"$dir/state",
+        Seq("never-seen-token-zzz"))
+      assert(unseen.get("never-seen-token-zzz").contains(0L) ||
+        unseen("never-seen-token-zzz") >= 0L,
+        "unseen token must yield an estimate (0 unless cells collide)")
+      assert(unseen.contains("never-seen-token-zzz"),
+        "unseen token must not vanish from the estimate")
     } finally q.stop()
   }
 
