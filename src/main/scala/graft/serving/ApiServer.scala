@@ -25,6 +25,9 @@ import graft.operators.Api
   *   GET /api/v1/webapp/prices/var
   *     → `{"current": {...}, "delta": {...}}` (24h back, floored to
   *       midnight keeping seconds — the bp_prices.py:44-47 quirk)
+  *   GET /api/v1/webapp/stats/freq?tokens=a,b,c
+  *     → `{"freq": {...}}` — point-frequency estimates from the live
+  *       streaming CMS state (404 when no sketch dir is wired)
   *   GET /api/v1/webapp/prices/ohlc?days=N
   *     → `{"candles": [...]}` — the a8_ohlc daily candle program, newest
   *       N days (extension beyond the reference's price routes)
@@ -40,7 +43,10 @@ import graft.operators.Api
   */
 final class ApiServer(
     spark: SparkSession, dataDir: String,
-    minAddressLen: Int = 25) {
+    minAddressLen: Int = 25,
+    /** optional live CMS state dir (graft.streaming.SketchStream) backing
+      * /stats/freq — the serving tier reading STREAMING state directly. */
+    sketchDir: Option[String] = None) {
 
   private var server: HttpServer = _
 
@@ -130,6 +136,19 @@ final class ApiServer(
     s"""{"candles":[${page.mkString(",")}]}"""
   }
 
+  /** /stats/freq?tokens=a,b,c — point-frequency estimates from the LIVE
+    * streaming CMS state (SketchStream's generation dir): the query cost
+    * is a broadcast of ≤4096 sketch rows against ≤32 candidate tokens,
+    * whatever the stream has ingested. 404 when no sketch dir is wired. */
+  def statsFreq(tokens: Seq[String]): String = {
+    val dir = sketchDir.getOrElse(
+      throw new IllegalStateException("no sketch state wired"))
+    val est = graft.streaming.SketchStream.estimate(spark, dir, tokens.take(32))
+    tokens.take(32).map(t =>
+      s""""${t.replace("\\", "").replace("\"", "")}":${est.getOrElse(t, 0L)}""")
+      .mkString("{\"freq\":{", ",", "}}")
+  }
+
   // ── HTTP shell ────────────────────────────────────────────────────────
 
   /** lib_tools.py:28-31 */
@@ -195,6 +214,13 @@ final class ApiServer(
     }
     server.createContext("/api/v1/webapp/prices/var", (ex: HttpExchange) => {
       try respond(ex, 200, priceVariation())
+      catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
+    })
+    server.createContext("/api/v1/webapp/stats/freq", (ex: HttpExchange) => {
+      val p = parseQuery(ex.getRequestURI.getRawQuery)
+      if (sketchDir.isEmpty) respond(ex, 404, "no sketch state", "text/plain")
+      else try respond(ex, 200, statsFreq(
+        p.get("tokens").map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
       catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
     })
     server.createContext("/api/v1/webapp/prices/ohlc", (ex: HttpExchange) => {

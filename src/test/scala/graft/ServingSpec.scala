@@ -124,6 +124,33 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  test("stats/freq serves live streaming CMS state; 404 when unwired") {
+    import spark.implicits._
+    // no sketch wired → 404
+    withServer(minAddrLen = 3) { port =>
+      assert(get(port, "/api/v1/webapp/stats/freq?tokens=x")._1 === 404)
+    }
+    // populate a sketch via the streaming merge body, then serve it
+    val dir = java.nio.file.Files.createTempDirectory("srv-cms").toString + "/state"
+    graft.streaming.SketchStream.mergeBatch(
+      (Seq.fill(12)("alpha") ++ Seq.fill(3)("beta")).toDF("token"), dir, 0L)
+    val srv = new graft.serving.ApiServer(spark, sf, minAddressLen = 3,
+      sketchDir = Some(dir))
+    val port = srv.start()
+    try {
+      val (status, body) = get(port,
+        "/api/v1/webapp/stats/freq?tokens=alpha,beta,unseen-zzz")
+      assert(status === 200)
+      assert(body.startsWith("""{"freq":{"""))
+      val freq = body.drop("""{"freq":{""".length).takeWhile(_ != '}')
+        .split(',').map { kv =>
+          val Array(k, v) = kv.split(":"); k.replace("\"", "") -> v.toLong
+        }.toMap
+      assert(freq("alpha") >= 12L && freq("beta") >= 3L)
+      assert(freq.contains("unseen-zzz"))
+    } finally srv.stop()
+  }
+
   test("invalid addresses are rejected with 400 (lib_tools checkAddress)") {
     // faithful reference validation: min length 25, 0x prefix, hex body
     withServer(minAddrLen = 25) { port =>
