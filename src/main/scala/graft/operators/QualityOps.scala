@@ -39,24 +39,24 @@ object QualityOps {
 
   /** 60-bit deterministic string id (md5 prefix), identical in DuckDB via
     * CAST('0x'||substr(md5(s),1,15) AS BIGINT). */
-  private def sid60(c: Column): Column =
+  private[operators] def sid60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-  private def sid60Sql(e: String): String =
+  private[operators] def sid60Sql(e: String): String =
     s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
 
   /** word n-gram list over the split token array `l` (empty when the doc is
     * shorter than n tokens). 1-indexed slice on both engines. */
-  private def gramsSpark(n: Int): String =
+  private[operators] def gramsSpark(n: Int): String =
     s"CASE WHEN size(l) >= $n THEN transform(sequence(1, size(l)-${n - 1}), i -> concat_ws(' ', slice(l, i, $n))) ELSE cast(array() as array<string>) END"
-  private def gramsSql(n: Int): String = {
+  private[operators] def gramsSql(n: Int): String = {
     val cat = (0 until n).map(j => s"l[i+$j]").mkString("||' '||")
     s"list_transform(range(1, greatest(len(l)-${n - 1},0)+1), i -> $cat)"
   }
 
   // ── decontamination parameters: 4-word shingles, benchmark = the
   //    deterministic doc_id % 97 slice (stands in for a held-out eval set).
-  private val DcN = 4
-  private val DcBenchMod = 97
+  private[operators] val DcN = 4
+  private[operators] val DcBenchMod = 97
 
   // Bloom prefilter machinery lives in [[Decontaminate]] (shared with the
   // streaming gate); the ORACLE never sees the Bloom — it is a

@@ -1374,6 +1374,113 @@ object TextOps {
           col("surv.quality").as("survivor_quality"), col("n_members"),
           transform(col("top"), t => t.getField("_1")).as("members"))
         .orderBy(col("cluster_id"))
+    },
+
+    // END-TO-END CURATION FUNNEL — the capstone report composing the
+    // pipeline's own operators into one lineage: raw corpus → per-source
+    // cap (the tx_source_cap hash race) → exact dedup (first doc per
+    // normalized fingerprint among survivors) → near-dup survivorship
+    // (quality-max election within each winnow cluster, re-elected among
+    // the docs still standing) → decontamination (the dd_decontaminate
+    // bench-shingle criterion, bench slice itself dropped) → quality gate
+    // (the ONE shared qualityScore ≥ 0.70). Every stage reuses the exact
+    // definition its standalone operator oracles — the funnel can never
+    // drift from the operators it summarizes. Spark shape: each stage is
+    // a semi-join against the previous stage's id set; the six counts are
+    // 1-row aggregates unioned into the report.
+    Q(
+      "tx_pipeline_funnel",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |p2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |edges AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |qd AS (SELECT doc_id, ${qualityScoreSql("l")} AS q
+         |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)),
+         |s2 AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT),
+         |             doc_id) AS rn
+         |  FROM documents) WHERE rn <= 10),
+         |fps2 AS (SELECT d.doc_id, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents d JOIN s2 USING (doc_id)),
+         |s3 AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM fps2) WHERE rn = 1),
+         |lq AS (SELECT l.doc_id, l.cluster_id, q.q
+         |  FROM lab l JOIN qd q USING (doc_id) JOIN s3 USING (doc_id)),
+         |keep4 AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY q DESC, doc_id) AS rn FROM lq) WHERE rn = 1),
+         |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+         |  UNION ALL SELECT doc_id FROM keep4),
+         |dh AS (SELECT doc_id, ${QualityOps.sid60Sql("g")} AS h FROM (
+         |  SELECT doc_id, unnest(list_distinct(${QualityOps.gramsSql(QualityOps.DcN)})) AS g
+         |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+         |benchh AS (SELECT h FROM dh WHERE doc_id % ${QualityOps.DcBenchMod} = 0),
+         |contam AS (SELECT DISTINCT doc_id FROM dh
+         |  WHERE doc_id % ${QualityOps.DcBenchMod} <> 0 AND h IN (SELECT h FROM benchh)),
+         |s5 AS (SELECT doc_id FROM s4 WHERE doc_id % ${QualityOps.DcBenchMod} <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |s6 AS (SELECT s5.doc_id FROM s5 JOIN qd USING (doc_id) WHERE q >= 0.70)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'raw' AS name, (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 2, 'source_cap', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'neardup_survivors', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
+         |  UNION ALL SELECT 6, 'quality_gate', (SELECT count(*) FROM s6))
+         |ORDER BY stage""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val labels = connectedComponents(
+        winnowPairs(s, d).select(col("doc_a"), col("doc_b"))).persist()
+      val qd = docs.withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), qualityScore("l").as("q"))
+      val cap10 = udaf(graft.functions.BoundedTopK[Long](10))
+      val s2 = docs
+        .select(col("source"), col("doc_id"),
+          QualityOps.sid60(col("doc_id").cast(StringType)).as("h"))
+        .groupBy(col("source")).agg(cap10(col("h"), col("doc_id")).as("top"))
+        .select(explode(transform(col("top"), t => t.getField("_2"))).as("doc_id"))
+        .persist()
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val s3 = docs.join(s2, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1).select(col("doc_id")).persist()
+      val wCl = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val keep4 = labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .join(qd, Seq("doc_id")).join(s3, Seq("doc_id"), "left_semi")
+        .withColumn("rn", row_number().over(wCl))
+        .filter(col("rn") === 1).select(col("doc_id"))
+      val s4 = s3.join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionAll(keep4).persist()
+      val dh = docs.withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(QualityOps.gramsSpark(QualityOps.DcN)))).as("g"))
+        .select(col("doc_id"), QualityOps.sid60(col("g")).as("h"))
+      val benchh = dh.filter(col("doc_id") % QualityOps.DcBenchMod === 0)
+        .select(col("h")).distinct()
+      val contam = dh.filter(col("doc_id") % QualityOps.DcBenchMod =!= 0)
+        .join(broadcast(benchh), Seq("h")).select(col("doc_id")).distinct()
+      val s5 = s4.filter(col("doc_id") % QualityOps.DcBenchMod =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti").persist()
+      val s6 = s5.join(qd.filter(col("q") >= 0.70), Seq("doc_id"), "left_semi")
+      def stageRow(n: Int, name: String, frame: DataFrame) =
+        frame.agg(count(lit(1)).as("n_docs"))
+          .select(lit(n).as("stage"), lit(name).as("name"), col("n_docs"))
+      stageRow(1, "raw", docs)
+        .unionAll(stageRow(2, "source_cap", s2))
+        .unionAll(stageRow(3, "exact_dedup", s3))
+        .unionAll(stageRow(4, "neardup_survivors", s4))
+        .unionAll(stageRow(5, "decontaminated", s5))
+        .unionAll(stageRow(6, "quality_gate", s6))
+        .orderBy(col("stage"))
     }
   )
 }

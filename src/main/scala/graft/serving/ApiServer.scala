@@ -13,7 +13,7 @@ import graft.operators.Api
 
 /** The webservice process — SURVEY.md §3.3 / webservice/app.py:30-51 — as
   * a thin HTTP shell over the SAME DataFrame programs the `api_*` queries
-  * oracle-check. Four routes (bp_user_operations.py:9-140,
+  * oracle-check. Six routes (bp_user_operations.py:9-140,
   * bp_fastbtc_bridge.py:9-53, bp_prices.py:9-77):
   *
   *   GET /api/v1/webapp/transactions/list?address=&token=&limit=&skip=
