@@ -552,6 +552,22 @@ object Relational {
         .limit(100)
     },
 
+    // P15 string-prefix scan — LIKE 'prefix%' is the one LIKE shape the
+    // parquet reader can push down (StringStartsWith → a min/max-stats
+    // range check per row group); PlanSpec asserts the filter reaches
+    // PushedFilters, so a 100 TB name lookup reads only the row groups
+    // whose stats ranges intersect the prefix.
+    Q(
+      "p15_prefix_scan",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#0000001%'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T.customer(s, d)
+        .filter(col("c_name").startsWith("Customer#0000001"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Q4 shape (order-priority checking): orders with at least one
     // late-shipped lineitem (EXISTS → left-semi with an equi key + residual
     // date condition — still a hash join), rolled up by priority. The

@@ -35,6 +35,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!schemaLine.contains("o_comment"), "unprojected column read from parquet")
   }
 
+  test("P15 string prefix pushes down as StringStartsWith") {
+    val p = plan("p15_prefix_scan")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("StringStartsWith"), "prefix filter not pushed to parquet")
+  }
+
   test("J1 semi-join and J2b snowflake dims broadcast (no shuffle of the fact side)") {
     assert(plan("j1_semi_join").contains("BroadcastHashJoin"))
     val multi = plan("j2b_multiway_join")
