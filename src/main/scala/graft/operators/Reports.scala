@@ -156,6 +156,44 @@ object Reports {
         .orderBy(col("stage"))
     },
 
+    // ── CUSUM changepoint trace ────────────────────────────────────────────
+    // Drift detection over the daily purchase volume: the cumulative sum
+    // of deviations from the global mean, kept INTEGER-EXACT by scaling —
+    // cusum_scaled(k) = (Σ₁ᵏ n) · n_days − k · Σ n, which is n_days ×
+    // the classical CUSUM and never divides. A level shift in the rate
+    // shows as a slope break; the monitoring side reads the extremum as
+    // the change candidate. The running sum's window is over DAILY rows —
+    // bounded by the calendar, not the event count, so the single-
+    // partition window is a ≤O(days) frame at any scale (the per-event
+    // work is the one groupBy(day) map-side-combined shuffle).
+    Q(
+      "a14_cusum_trace",
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS nd FROM daily),
+        |c AS (SELECT day, n,
+        |    sum(n) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY day) AS k
+        |  FROM daily)
+        |SELECT c.day, c.n,
+        |  CAST(c.cum * m.nd - c.k * m.tot AS BIGINT) AS cusum_scaled
+        |FROM c, m ORDER BY c.day""".stripMargin) { (s, d) =>
+      val daily = T.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = daily.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(w))
+        .crossJoin(broadcast(m))
+        .select(col("day"), col("n"),
+          (col("cum") * col("nd") - col("k") * col("tot")).as("cusum_scaled"))
+        .orderBy(col("day"))
+    },
+
     // ── Exact-moment variance stats ────────────────────────────────────────
     // Per-type n/mean/variance/stddev where BOTH engines agree bitwise: a
     // double stddev_pop is order-dependent in the last ulp (Welford vs

@@ -1376,6 +1376,39 @@ object TextOps {
         .orderBy(col("cluster_id"))
     },
 
+    // N-gram NOVELTY scoring — the dedup diagnostic that grades each doc
+    // by how much of it is first-seen: for every distinct 4-gram, the
+    // MIN doc_id claims it; a doc's novelty is the fraction of its grams
+    // it claims. One gram-keyed shuffle builds ownership, and the join
+    // back rides the same key (exchange reuse); novelty = one exact
+    // integer division per doc. Corpus-order semantics (doc_id = arrival
+    // order) make this the batch mirror of the streaming gates' "is this
+    // new?" question, scored instead of gated.
+    Q(
+      "tx_ngram_novelty",
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(${QualityOps.gramsSql(4)})) AS gram FROM d),
+         |own AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS novelty
+         |FROM g JOIN own o USING (gram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val g = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(QualityOps.gramsSpark(4)))).as("gram"))
+      val own = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(own, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast(DoubleType) / col("n_grams")).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     // END-TO-END CURATION FUNNEL — the capstone report composing the
     // pipeline's own operators into one lineage: raw corpus → per-source
     // cap (the tx_source_cap hash race) → exact dedup (first doc per
