@@ -612,6 +612,30 @@ object Relational {
           / sum(rev).cast(DoubleType)).as("promo_share"))
     },
 
+    // Q6c GROUPING disambiguation — the rollup corner q6/q6b leave open:
+    // a NULL in a rollup row is ambiguous between "subtotal level" and "the
+    // data really was NULL"; GROUPING() resolves it, and the composed
+    // grouping id doubles as the subtotal-level key a report pivots on.
+    // Same single Expand + one partial-agged aggregation as the rollup
+    // itself — the id is free.
+    Q(
+      "q6c_grouping_id",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2
+          + grouping(col("l_linestatus"))).cast(LongType).as("gid"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // W8 RANGE-interval window frame (engine extension): per-user count of
     // events in the PRECEDING HOUR at each event — the rate-limit /
     // velocity feature shape. Spark's rangeBetween frame over a seconds
