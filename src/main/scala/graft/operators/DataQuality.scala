@@ -26,7 +26,10 @@ object DataQuality {
       (col("n_violations") === 0).as("passed"))
 
   private def countWhere(df: DataFrame, pred: Column): DataFrame =
-    df.agg(sum(when(pred, 1L).otherwise(0L)).as("n_violations"))
+    // count(when(...)) — not sum(when/otherwise) — so an EMPTY table
+    // reports 0 violations / passed=true like the oracle's count(*)
+    // (sum over zero rows is NULL)
+    df.agg(count(when(pred, 1L)).as("n_violations"))
 
   private def dupCount(df: DataFrame, key: String): DataFrame =
     df.agg((count(lit(1)) - countDistinct(col(key))).as("n_violations"))

@@ -159,19 +159,59 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"))
     },
 
-    // A1-at-scale: approx_count_distinct (HLL++) — the documented scale
-    // path for the distinct-actives metric (§2.4 note): mergeable sketches
-    // instead of shuffling the full key set. HLL implementations differ
-    // across engines, so this is registered WITHOUT an oracle (the driver
-    // records the weaker rows-only check by design); QueryRegistrySpec
-    // bounds its error against the exact count.
+    // A1-at-scale: approximate distinct actives via the DETERMINISTIC
+    // HyperLogLog (same machinery as a13_hll_sketch, ScaleOps) — mergeable
+    // 64-register sketches instead of shuffling the full key set, and,
+    // unlike Spark's built-in HLL++ (whose sketch internals are not
+    // reproducible in SQL), every step is exact cross-engine: md5-derived
+    // 60-bit hash, integer register index/rank (rank = a bit LENGTH, no
+    // log2), 128-bit-exact harmonic-sum accumulation, then one fixed chain
+    // of correctly-rounded double ops. Raw-range estimator only (n ≫ 2.5m
+    // here). The exact count rides beside the estimate so the error is
+    // visible in the row itself. Scale shape: one ≤64-key shuffle.
     Q(
       "a1b_approx_distinct",
-      (s: SparkSession, d: String) =>
-        T.events(s, d)
-          .filter(col("event_type").isin("purchase", "signup", "error"))
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx")),
-      oracle = None),
+      """WITH f AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type IN ('purchase','signup','error')),
+        |h AS (
+        |  SELECT CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h60
+        |  FROM f),
+        |r AS (
+        |  SELECT h60 % 64 AS j,
+        |    CASE WHEN h60 // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h60 // 64)) END AS rho
+        |  FROM h),
+        |m AS (SELECT j, max(rho) AS mj FROM r GROUP BY 1),
+        |s AS (SELECT
+        |    sum(CAST(CAST(1 AS BIGINT) << CAST(62 - mj AS INT) AS HUGEINT))
+        |      + (64 - count(*)) * CAST(4611686018427387904 AS HUGEINT) AS s4
+        |  FROM m),
+        |x AS (SELECT count(*) AS n_users_exact FROM f)
+        |SELECT x.n_users_exact,
+        |  (CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096 * CAST(4611686018427387904 AS DOUBLE)
+        |    / CAST(s4 AS DOUBLE) AS n_users_approx
+        |FROM s, x""".stripMargin) { (s, d) =>
+      val f = T.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup", "error"))
+        .select(col("user_id")).distinct()
+      val h = f.select(
+        conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("h60"))
+      val r = h.select(expr("h60 % 64").as("j"),
+        when(expr("h60 div 64") === 0, 55)
+          .otherwise(lit(55) - length(bin(expr("h60 div 64")))).as("rho"))
+      val m = r.groupBy(col("j")).agg(max(col("rho")).as("mj"))
+      val s4 = m.agg(
+        (sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(62 - mj AS INT)) AS DECIMAL(38,0))"))
+          + (lit(64) - count(lit(1))).cast(DecimalType(38, 0))
+            * lit(4611686018427387904L).cast(DecimalType(38, 0))).as("s4"))
+      val exact = f.agg(count(lit(1)).as("n_users_exact"))
+      s4.crossJoin(exact)
+        .select(col("n_users_exact"),
+          expr("(CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096 * CAST(4611686018427387904 AS DOUBLE)" +
+            " / CAST(s4 AS DOUBLE)").as("n_users_approx"))
+    },
 
     // A2 filtered row count (bp_user_operations.py:88-92).
     Q(

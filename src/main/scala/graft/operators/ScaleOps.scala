@@ -283,10 +283,9 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
-    // DETERMINISTIC HyperLogLog — the oracle-checkable cousin of
-    // a1b_approx_distinct (the registry's one oracle-less query, because
-    // Spark's HLL++ sketch internals aren't reproducible in SQL). This one
-    // is exact-comparable end to end: register index/rank come from the
+    // DETERMINISTIC HyperLogLog — the sketch construction that also powers
+    // a1b_approx_distinct (Spark's built-in HLL++ sketch internals aren't
+    // reproducible in SQL; this one is). It is exact-comparable end to end: register index/rank come from the
     // md5-derived 60-bit hash, the rank is a BIT LENGTH (length(bin(x)) —
     // an integer both engines compute identically; no log2 anywhere), the
     // harmonic-mean denominator Σ2^(62−M(j)) accumulates EXACTLY in
@@ -472,12 +471,18 @@ object ScaleOps {
       val ec = o.select(least(col("s"), col("t")).as("b"),
         greatest(col("s"), col("t")).as("c"))
       val tri = wedges.join(ec, Seq("b", "c"))
-      tri.select(col("a").as("n"))
+      // materialize the bounded per-part result eagerly so the oriented
+      // edge cache can be RELEASED here instead of accumulating across a
+      // full registry run
+      val out = tri.select(col("a").as("n"))
         .unionAll(tri.select(col("b").as("n")))
         .unionAll(tri.select(col("c").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
         .select(col("n").as("partkey"), col("n_tri"))
         .orderBy(col("partkey"))
+        .localCheckpoint(eager = true)
+      o.unpersist()
+      out
     }
   )
 }

@@ -1310,7 +1310,7 @@ object TextOps {
         |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
         |SELECT token, count(*) AS df,
         |  CAST(sum(tf) AS BIGINT) AS total_tf,
-        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
         |FROM tf GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
       val head20 = udaf(graft.functions.BoundedTopK[Long](20))
       T.documents(s, d)
@@ -1320,7 +1320,10 @@ object TextOps {
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
           head20(col("doc_id"), col("doc_id")).as("top"))
         .select(col("token"), col("df"), col("total_tf"),
-          transform(col("top"), t => t.getField("_1")).as("postings"))
+          // joined-string form: the list is deterministic (BoundedTopK
+          // ascending) and the flat column keeps the compare frame hashable
+          array_join(transform(col("top"), t => t.getField("_1").cast("string")), ",")
+            .as("postings"))
         .orderBy(col("token"))
     },
 
@@ -1355,7 +1358,7 @@ object TextOps {
          |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
          |  max(CASE WHEN rn = 1 THEN quality END) AS survivor_quality,
          |  count(*) AS n_members,
-         |  (list(doc_id ORDER BY doc_id))[1:20] AS members
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS members
          |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
       val labels = connectedComponents(
         winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
@@ -1372,7 +1375,8 @@ object TextOps {
           head20(col("doc_id"), col("doc_id")).as("top"))
         .select(col("cluster_id"), col("surv.doc_id").as("survivor_id"),
           col("surv.quality").as("survivor_quality"), col("n_members"),
-          transform(col("top"), t => t.getField("_1")).as("members"))
+          array_join(transform(col("top"), t => t.getField("_1").cast("string")), ",")
+            .as("members"))
         .orderBy(col("cluster_id"))
     },
 
@@ -1507,13 +1511,19 @@ object TextOps {
       def stageRow(n: Int, name: String, frame: DataFrame) =
         frame.agg(count(lit(1)).as("n_docs"))
           .select(lit(n).as("stage"), lit(name).as("name"), col("n_docs"))
-      stageRow(1, "raw", docs)
+      // the funnel report is 6 rows — materialize it eagerly and release
+      // the five stage caches (they'd otherwise sit in executor memory for
+      // the rest of a 200-query registry run)
+      val out = stageRow(1, "raw", docs)
         .unionAll(stageRow(2, "source_cap", s2))
         .unionAll(stageRow(3, "exact_dedup", s3))
         .unionAll(stageRow(4, "neardup_survivors", s4))
         .unionAll(stageRow(5, "decontaminated", s5))
         .unionAll(stageRow(6, "quality_gate", s6))
         .orderBy(col("stage"))
+        .localCheckpoint(eager = true)
+      Seq(labels, s2, s3, s4, s5).foreach(_.unpersist())
+      out
     }
   )
 }

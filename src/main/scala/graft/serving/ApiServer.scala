@@ -145,8 +145,27 @@ final class ApiServer(
       throw new IllegalStateException("no sketch state wired"))
     val est = graft.streaming.SketchStream.estimate(spark, dir, tokens.take(32))
     tokens.take(32).map(t =>
-      s""""${t.replace("\\", "").replace("\"", "")}":${est.getOrElse(t, 0L)}""")
+      s""""${jsonEscape(t)}":${est.getOrElse(t, 0L)}""")
       .mkString("{\"freq\":{", ",", "}}")
+  }
+
+  /** proper JSON string escaping (backslash, quote, control chars) — keys
+    * must round-trip the requested token exactly; stripping characters
+    * instead would let distinct tokens collide on one key. */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   // ── HTTP shell ────────────────────────────────────────────────────────
@@ -229,9 +248,33 @@ final class ApiServer(
         pricesOhlc(p.get("days").flatMap(_.toIntOption).getOrElse(30)))
       catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
     })
+    // health/info routes (webservice/bp_main.py:10-26): `/` empty-200,
+    // `/ping` a fixed OK string, `/infoapi` the version/store-health doc
+    // (Mongo server version → Spark version; collections-present check →
+    // required parquet tables present under dataDir)
+    server.createContext("/ping", (ex: HttpExchange) =>
+      respond(ex, 200, "webAppAPI OK", "text/plain"))
+    server.createContext("/infoapi", (ex: HttpExchange) =>
+      respond(ex, 200, infoApi()))
+    server.createContext("/", (ex: HttpExchange) => {
+      // exact-path match only — HttpServer's "/" context is the fallback
+      // for every unmapped path, which must stay 404
+      if (ex.getRequestURI.getPath == "/") respond(ex, 200, "", "text/plain")
+      else respond(ex, 404, "Not Found", "text/plain")
+    })
     server.setExecutor(null) // serve on the dispatch thread; Spark does the work
     server.start()
     server.getAddress.getPort
+  }
+
+  /** /infoapi — the API-info doc (webservice/bp_main.py:12-16): version
+    * stamp, engine version, and store health (all required tables
+    * readable under dataDir — the analogue of REQ_COLLECTIONS). */
+  def infoApi(): String = {
+    val tablesOk = ApiServer.RequiredTables.forall(t =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, s"$t.parquet")))
+    s"""{"webAppAPI":"${ApiServer.ApiVersion}","Spark":"${spark.version}",""" +
+      s""""DataBaseData":{"Store":"parquet:$dataDir","DB_Collections_Ok":$tablesOk}}"""
   }
 
   def stop(): Unit = if (server != null) { server.stop(0); server = null }
@@ -242,6 +285,11 @@ final class ApiServer(
   * the resolved settings doc. The parquet profile maps the store's db
   * name to the dataset root directory (the same seam DocumentSink uses). */
 object ApiServer {
+  /** API version stamp served by /infoapi (lib_tools.py:40 shape). */
+  val ApiVersion = "202608141200"
+  /** tables the serving endpoints read — the REQ_COLLECTIONS analogue. */
+  val RequiredTables: Seq[String] = Seq("events", "orders")
+
   def fromConfig(spark: SparkSession, cfg: graft.core.Config.Resolved): ApiServer =
     new ApiServer(spark, cfg.storeDb)
 }

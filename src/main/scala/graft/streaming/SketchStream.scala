@@ -28,6 +28,17 @@ object SketchStream {
 
   private def markerPath(dir: String) = Paths.get(dir, "LATEST")
 
+  /** generation number the marker currently points at, if any. */
+  private def markerGen(dir: String): Option[Long] = {
+    val m = markerPath(dir)
+    if (!Files.exists(m)) None
+    else {
+      val p = Files.readString(m).trim
+      val i = p.lastIndexOf("gen=")
+      if (i < 0) None else p.drop(i + 4).toLongOption
+    }
+  }
+
   private def emptySketch(spark: SparkSession): DataFrame =
     spark.range(0).select(lit(0).as("j"), lit(0L).as("pos"), lit(0L).as("cnt"))
       .filter(lit(false))
@@ -39,10 +50,12 @@ object SketchStream {
   private def sketchBefore(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return emptySketch(spark)
-    val gens = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
-      .filter(_ < batchId).toSeq
+    val gens = scala.util.Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
+        .filter(_ < batchId).toSeq
+    }
     if (gens.isEmpty) emptySketch(spark)
     else spark.read.parquet(s"$dir/gen=${gens.max}")
   }
@@ -65,11 +78,17 @@ object SketchStream {
       .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
     val genDir = s"$dir/gen=$batchId"
     merged.write.mode("overwrite").parquet(genDir)
-    val tmp = Paths.get(dir, s".LATEST.$batchId")
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(tmp, genDir)
-    Files.move(tmp, markerPath(dir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // never move the marker BACKWARDS: a replay of an old batch id after
+    // newer generations committed rewrites its gen dir (idempotent) but
+    // must not regress currentSketch to stale state
+    val current = markerGen(dir)
+    if (current.forall(batchId >= _)) {
+      val tmp = Paths.get(dir, s".LATEST.$batchId")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(tmp, genDir)
+      Files.move(tmp, markerPath(dir), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** wire a token stream (one `token` string column) into the sketch dir. */

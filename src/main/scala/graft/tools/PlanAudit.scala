@@ -40,11 +40,15 @@ object PlanAudit {
         val df = q.fn(spark, sfDir)
         df.collect() // finalize AQE so the executed plan is the real one
         val p = df.queryExecution.executedPlan.toString
+        // codegen renders as "*(n)" operator prefixes, one id per
+        // whole-stage span — count DISTINCT ids, not occurrences
+        val codegenSpans =
+          raw"\*\((\d+)\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
         val obj = Seq(
           "shuffles" -> (count(p, "Exchange hashpartitioning") +
             count(p, "Exchange rangepartitioning")),
           "broadcasts" -> count(p, "BroadcastExchange"),
-          "codegen_spans" -> count(p, "WholeStageCodegen"),
+          "codegen_spans" -> codegenSpans,
           // CartesianProduct is always a red flag; BroadcastNestedLoopJoin
           // is usually the benign physical of a broadcast 1-row scalar
           // crossJoin (the engine's documented pattern) — reported

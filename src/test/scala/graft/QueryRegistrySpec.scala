@@ -48,12 +48,21 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(clampPageSize(1) === 20) // below minimum → default
   }
 
-  test("approx distinct-actives lands within 5% of the exact count") {
-    val approx = QueryRegistry.byName("a1b_approx_distinct").fn(spark, sf)
+  test("deterministic-HLL distinct-actives lands within 3 sigma of exact") {
+    // m=64 registers → ~1.04/sqrt(64) ≈ 13% expected relative error; bound
+    // at 3σ. The row carries its own exact count, which must equal the
+    // countDistinct baseline exactly. Runs at sf0.01 (n=150): sf0.001's 15
+    // distinct users sit in the small-range regime the raw estimator
+    // deliberately doesn't correct for (a cross-engine-exact ln() doesn't
+    // exist; n ≫ 2.5m holds at every real verify/bench scale).
+    val hsf = "/root/testdata/sf0.01"
+    val row = QueryRegistry.byName("a1b_approx_distinct").fn(spark, hsf).collect()(0)
+    val exactInRow = row.getAs[Long]("n_users_exact").toDouble
+    val approx = row.getAs[Double]("n_users_approx")
+    val exact = QueryRegistry.byName("a1_distinct_users").fn(spark, hsf)
       .collect()(0).getLong(0).toDouble
-    val exact = QueryRegistry.byName("a1_distinct_users").fn(spark, sf)
-      .collect()(0).getLong(0).toDouble
-    assert(math.abs(approx - exact) / exact <= 0.05,
+    assert(exactInRow === exact, s"exact-in-row $exactInRow vs baseline $exact")
+    assert(math.abs(approx - exact) / exact <= 0.39,
       s"approx $approx vs exact $exact")
   }
 

@@ -167,4 +167,46 @@ class ServingSpec extends AnyFunSuite {
       assert(body.contains(""""total":0"""), "no synthetic address is 42 chars")
     }
   }
+
+  test("health routes: / empty-200, /ping OK, unmapped paths 404 (bp_main)") {
+    withServer(minAddrLen = 3) { port =>
+      val (rootStatus, rootBody) = get(port, "/")
+      assert(rootStatus === 200 && rootBody === "")
+      val (pingStatus, pingBody) = get(port, "/ping")
+      assert(pingStatus === 200 && pingBody === "webAppAPI OK")
+      // trailing-slash variant, like the reference's dual @route
+      assert(get(port, "/ping/")._1 === 200)
+      assert(get(port, "/no/such/route")._1 === 404)
+    }
+  }
+
+  test("infoapi serves the version/store-health doc (bp_main.infoabi)") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port, "/infoapi")
+      assert(status === 200)
+      assert(body.contains(s""""webAppAPI":"${ApiServer.ApiVersion}""""))
+      assert(body.contains(""""Spark":""") && body.contains(spark.version))
+      assert(body.contains(""""DB_Collections_Ok":true"""),
+        "all required tables exist under the sf0.001 dataset")
+      assert(get(port, "/infoapi/")._1 === 200)
+    }
+  }
+
+  test("stats/freq JSON-escapes keys so every token round-trips exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-esc").toString
+    // ingest two tokens that a strip-based sanitizer would COLLIDE: a"b → ab
+    import spark.implicits._
+    graft.streaming.SketchStream.mergeBatch(
+      Seq("a\"b", "ab", "ab", "back\\slash").toDF("token"), dir, 0L)
+    val srv = new ApiServer(spark, sf, minAddressLen = 3, sketchDir = Some(dir))
+    val port = srv.start()
+    try {
+      val q = java.net.URLEncoder.encode("a\"b,ab,back\\slash", "UTF-8")
+      val (status, body) = get(port, s"/api/v1/webapp/stats/freq?tokens=$q")
+      assert(status === 200)
+      assert(body.contains(""""a\"b":1"""), s"escaped quote key in $body")
+      assert(body.contains(""""ab":2"""), s"distinct ab key in $body")
+      assert(body.contains(""""back\\slash":1"""), s"escaped backslash in $body")
+    } finally srv.stop()
+  }
 }

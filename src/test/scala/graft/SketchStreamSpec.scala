@@ -56,4 +56,17 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(once === twice, "replay must start from the pre-batch generation")
     assert(once("x") >= 14L && once("y") >= 6L)
   }
+
+  test("replaying an OLD batch id never moves the LATEST marker backwards") {
+    val dir = Files.createTempDirectory("cms-marker").toString + "/state"
+    SketchStream.mergeBatch(Seq.fill(3)("x").toDF("token"), dir, 0L)
+    SketchStream.mergeBatch(Seq.fill(5)("x").toDF("token"), dir, 1L)
+    val atGen1 = SketchStream.estimate(spark, dir, Seq("x"))
+    // a straggler redelivery of batch 0 after gen=1 committed: its gen dir
+    // is rewritten (idempotent) but currentSketch must stay at gen=1
+    SketchStream.mergeBatch(Seq.fill(3)("x").toDF("token"), dir, 0L)
+    val after = SketchStream.estimate(spark, dir, Seq("x"))
+    assert(after === atGen1, "stale replay must not regress the served state")
+    assert(after("x") >= 8L)
+  }
 }

@@ -48,7 +48,9 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getAs[Long]("df")
-      val postings = r.getSeq[Long](r.fieldIndex("postings"))
+      // postings is the comma-joined ascending head (flat string so the
+      // driver's hash compare stays array-free)
+      val postings = r.getAs[String]("postings").split(',').map(_.toLong).toSeq
       assert(postings.length === math.min(df, 20L).toInt,
         "posting head is the min(df, 20) smallest doc_ids")
       assert(postings.toSeq === postings.sorted.toSeq)
@@ -78,7 +80,7 @@ class WarehouseSpec extends AnyFunSuite {
     val rows = QueryRegistry.byName("tx_survivorship").fn(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val members = r.getAs[scala.collection.Seq[Long]]("members")
+      val members = r.getAs[String]("members").split(',').map(_.toLong).toSeq
       assert(members.length <= 20)
       assert(members.toSeq === members.sorted.toSeq)
       assert(r.getAs[Long]("n_members") >= members.length.toLong)
