@@ -23,29 +23,41 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // three timed passes, report the per-query MINIMUM plus a per-query
-    // max/min spread: each number is a real measured run, the min shields
-    // against transient host/GC stalls (observed: the same query varying
-    // 0.6s ↔ 8s between runs on a noisy host with identical plans), and
-    // the spread lets a reader separate plan regressions from host steal —
-    // a genuine regression moves the min, steal only widens the spread.
-    def timedPass(): Map[String, Double] = {
-      // each query invocation builds fresh DataFrames, so persisted
-      // intermediates from the previous pass are dead weight — drop them
-      spark.catalog.clearCache()
-      ordered.map { case (name, fn) =>
+    // QUERY-MAJOR isolated timing (contention protocol, round 8): each
+    // query is timed three times BACK-TO-BACK and reports its minimum.
+    // Back-to-back runs see near-identical host conditions, so max/min
+    // spread measures real noise instead of cross-sweep host drift (the
+    // old pass-major protocol ran three full-registry sweeps; a sweep-to-
+    // sweep load change showed up as uniform ~1.5× "drift" on every
+    // query). Isolation between runs: the cache is cleared before EVERY
+    // run — no run reuses partitions persisted by a neighbor or by its
+    // own previous run (each fn() call re-persists its intermediates
+    // under a fresh plan, so stale entries are pure memory pressure) —
+    // and a System.gc() between queries drains accumulated GC debt so a
+    // heavy predecessor can't tax its successor's first run. The min
+    // still shields against transient host steal (observed: 0.6s ↔ 8s on
+    // identical plans); a genuine plan regression moves the min, steal
+    // only widens the spread.
+    val perQuery: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
+      System.gc()
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> ts.toSeq
     }
-    val passes = Seq(timedPass(), timedPass(), timedPass())
-    val results = ordered.map { case (name, _) =>
-      name -> passes.map(_(name)).min
-    }
-    val spreads = ordered.map { case (name, _) =>
-      val ts = passes.map(_(name))
+    val results = perQuery.map { case (name, ts) => name -> ts.min }
+    val spreads = perQuery.map { case (name, ts) =>
       name -> (if (ts.min > 0) ts.max / ts.min else 0.0)
+    }
+    // med/min is the steal-robust spread: ONE stolen run out of three
+    // inflates max/min but leaves the median untouched, so a med/min near
+    // 1 with a big max/min reads "host steal", while both high reads
+    // "genuinely unstable query"
+    val spreadsMed = perQuery.map { case (name, ts) =>
+      name -> (if (ts.min > 0) ts.sorted.apply(1) / ts.min else 0.0)
     }
     // Locale.ROOT: the f interpolator formats with the JVM default locale,
     // and a comma-decimal locale would make this line unparseable JSON
@@ -62,8 +74,11 @@ object Bench {
     // its head truncated and parses as null (BENCH_r5/r6 post-mortem).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     // best-effort: an unwritable cwd must not take down the stdout report
+    val runsObj = perQuery
+      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, "%.3f")).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"query-major min-of-3, cache cleared per run, gc per query","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"runs":$runsObj,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] full dump failed: ${e.getMessage}")
     }
@@ -79,10 +94,12 @@ object Bench {
       if (used + cost <= budget) { head += (k -> v); used += cost }
     }
     val rest = byWeight.drop(head.size)
-    val sortedSpreads = spreads.map(_._2).sorted
-    val spreadMedian =
-      if (sortedSpreads.isEmpty) 0.0 else sortedSpreads(sortedSpreads.size / 2)
-    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
+    def medianOf(xs: Seq[Double]) = {
+      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val spreadMedian = medianOf(spreads.map(_._2))
+    val spreadMedianM2 = medianOf(spreadsMed.map(_._2))
+    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

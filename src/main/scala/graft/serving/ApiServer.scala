@@ -137,13 +137,15 @@ final class ApiServer(
   }
 
   /** /stats/freq?tokens=a,b,c — point-frequency estimates from the LIVE
-    * streaming CMS state (SketchStream's generation dir): the query cost
-    * is a broadcast of ≤4096 sketch rows against ≤32 candidate tokens,
-    * whatever the stream has ingested. 404 when no sketch dir is wired. */
+    * streaming CMS state (SketchStream's generation dir). Served via the
+    * driver-side fast path: the ≤4096-cell sketch is cached per
+    * generation, so a request is pure arithmetic — no Spark job — and a
+    * new micro-batch commit invalidates the cache by moving the marker.
+    * 404 when no sketch dir is wired. */
   def statsFreq(tokens: Seq[String]): String = {
     val dir = sketchDir.getOrElse(
       throw new IllegalStateException("no sketch state wired"))
-    val est = graft.streaming.SketchStream.estimate(spark, dir, tokens.take(32))
+    val est = graft.streaming.SketchStream.estimateServing(spark, dir, tokens.take(32))
     tokens.take(32).map(t =>
       s""""${jsonEscape(t)}":${est.getOrElse(t, 0L)}""")
       .mkString("{\"freq\":{", ",", "}}")

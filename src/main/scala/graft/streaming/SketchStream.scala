@@ -106,4 +106,34 @@ object SketchStream {
       .select(col("token"), col("cms_est"))
       .as[(String, Long)].collect().toMap
   }
+
+  /** SERVING fast path: same estimates as [[estimate]], no Spark job. The
+    * sketch is ≤4096 (j,pos,cnt) cells — 32 KB — by construction, so a
+    * serving tier caches it on the driver PER GENERATION (the marker
+    * content is the cache key; a micro-batch commit moves the marker and
+    * invalidates) and answers point lookups with pure arithmetic: the same
+    * md5-derived 60-bit id, the same disjoint 10-bit row positions, min
+    * over the d=4 cells, absent cell = 0. One parquet read per generation
+    * amortizes over every request served against that generation. */
+  private val servingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[(Int, Long), Long])]()
+  def estimateServing(spark: SparkSession, dir: String, tokens: Seq[String]): Map[String, Long] = {
+    val m = markerPath(dir)
+    if (!Files.exists(m)) return tokens.map(_ -> 0L).toMap
+    val gen = Files.readString(m).trim
+    val cells = servingCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == gen) prev
+      else (gen, spark.read.parquet(gen).collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("pos")) -> r.getAs[Long]("cnt"))
+        .toMap))._2
+    tokens.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      t -> (0 until Cms.Rows)
+        .map(j => cells.getOrElse((j, (h >> (Cms.Bits * j)) & Cms.Mask), 0L))
+        .min
+    }.toMap
+  }
 }

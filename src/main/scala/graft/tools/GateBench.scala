@@ -100,7 +100,7 @@ object GateBench {
       ((System.nanoTime() - t0) / 1e9, cleaned)
     }
 
-    def driveSketch(): (Double, Long) = {
+    def driveSketch(): (Double, Long, String) = {
       val base = java.nio.file.Files.createTempDirectory("graft-sgatebench").toString
       val in = MemoryStream[(Long, String)]
       val q = graft.streaming.SketchStream.gate(
@@ -116,7 +116,44 @@ object GateBench {
         }
       } finally q.stop()
       val cells = graft.streaming.SketchStream.currentSketch(spark, s"$base/state").count()
-      ((System.nanoTime() - t0) / 1e9, cells)
+      ((System.nanoTime() - t0) / 1e9, cells, s"$base/state")
+    }
+
+    /** serving tier under load: a live ApiServer answering point-frequency
+      * queries from the CMS state the sketch gate just built, and OHLC
+      * candle pages aggregated from the events table — n sequential
+      * requests per route (after one warm request), reporting req/s and
+      * p50/p95 latency. This is the "serve from live streaming state"
+      * number: every /stats/freq hit is a broadcast of ≤4096 sketch cells
+      * against the candidate tokens, every /prices/ohlc hit a bounded
+      * daily-candle aggregation — neither touches corpus-scale state. */
+    def driveServing(sketchState: String): (Map[String, (Int, Double, Double, Double)]) = {
+      val srv = new graft.serving.ApiServer(spark, sfDir,
+        minAddressLen = 3, sketchDir = Some(sketchState))
+      val port = srv.start()
+      def hammer(path: String, nReq: Int): (Int, Double, Double, Double) = {
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setReadTimeout(120000)
+          require(conn.getResponseCode == 200, s"non-200 from $path")
+          conn.getInputStream.readAllBytes()
+          conn.disconnect()
+          (System.nanoTime() - t0) / 1e6 // ms
+        }
+        one() // warm: route-specific plan/JIT
+        val lat = (1 to nReq).map(_ => one()).sorted
+        val total = lat.sum / 1e3
+        (nReq, nReq / total, lat(nReq / 2), lat(math.min(nReq - 1, nReq * 95 / 100)))
+      }
+      try {
+        val freqTokens = docs.head._2.split(" ").take(8).distinct
+          .map(t => java.net.URLEncoder.encode(t, "UTF-8")).mkString(",")
+        Map(
+          "serve_freq" -> hammer(s"/api/v1/webapp/stats/freq?tokens=$freqTokens", 100),
+          "serve_ohlc" -> hammer("/api/v1/webapp/prices/ohlc?days=30", 20))
+      } finally srv.stop()
     }
 
     val (tB, aB) = drive(shuffleProbe = false)
@@ -124,10 +161,15 @@ object GateBench {
     val (tE, aE) = driveEmbed(shuffleProbe = false)
     val (tES, aES) = driveEmbed(shuffleProbe = true)
     val (tQ, aQ) = driveQuarantine()
-    val (tK, aK) = driveSketch()
+    val (tK, aK, sketchState) = driveSketch()
+    val serving = driveServing(sketchState)
     val n = docs.length
     val nv = vecs.length
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def srvObj(k: String) = {
+      val (nr, rps, p50, p95) = serving(k)
+      s""""$k":{"n":$nr,"req_per_sec":${fmt(rps)},"p50_ms":${fmt(p50)},"p95_ms":${fmt(p95)}}"""
+    }
     // scalastyle:off println
     println(s"""{"metric":"gate_docs_per_sec","docs":$n,"batches":$nBatches,""" +
       s""""broadcast":{"sec":${fmt(tB)},"admitted":$aB,"docs_per_sec":${fmt(n / tB)}},""" +
@@ -136,6 +178,7 @@ object GateBench {
       s""""embed_shuffle":{"sec":${fmt(tES)},"admitted":$aES,"vecs_per_sec":${fmt(nv / tES)}},""" +
       s""""quarantine":{"sec":${fmt(tQ)},"clean":$aQ,"docs_per_sec":${fmt(n / tQ)}},""" +
       s""""cms":{"sec":${fmt(tK)},"cells":$aK,"docs_per_sec":${fmt(n / tK)}},""" +
+      s"""${srvObj("serve_freq")},${srvObj("serve_ohlc")},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()

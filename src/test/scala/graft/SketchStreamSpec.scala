@@ -57,6 +57,22 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(once("x") >= 14L && once("y") >= 6L)
   }
 
+  test("driver-side serving estimates match the Spark-job estimates exactly") {
+    val dir = Files.createTempDirectory("cms-serve").toString + "/state"
+    SketchStream.mergeBatch(
+      (Seq.fill(30)("alpha") ++ Seq.fill(5)("beta") ++ Seq("gamma")).toDF("token"),
+      dir, 0L)
+    val toks = Seq("alpha", "beta", "gamma", "unseen-zzz")
+    assert(SketchStream.estimateServing(spark, dir, toks) ===
+      SketchStream.estimate(spark, dir, toks),
+      "fast path must be bit-identical to the DataFrame path")
+    // a new generation must invalidate the per-generation cache
+    SketchStream.mergeBatch(Seq.fill(7)("alpha").toDF("token"), dir, 1L)
+    val after = SketchStream.estimateServing(spark, dir, toks)
+    assert(after === SketchStream.estimate(spark, dir, toks))
+    assert(after("alpha") >= 37L, "post-commit requests see the new generation")
+  }
+
   test("replaying an OLD batch id never moves the LATEST marker backwards") {
     val dir = Files.createTempDirectory("cms-marker").toString + "/state"
     SketchStream.mergeBatch(Seq.fill(3)("x").toDF("token"), dir, 0L)
