@@ -125,15 +125,27 @@ final class ApiServer(
 
   /** /prices/ohlc?days=N — the a8_ohlc candle program served as JSON:
     * newest N daily candles (N clamped to [1, 90], default 30). The
-    * collect is bounded at N rows of 7 scalars regardless of table size —
-    * the aggregation has already reduced the stream to one row per day. */
+    * collect is bounded at 90 rows of 7 scalars regardless of table size —
+    * the aggregation has already reduced the stream to one row per day —
+    * and the collected page is cached for [[ApiServer.OhlcTtlMs]] (the
+    * reference's ~30 s block cadence IS its price-staleness budget,
+    * BASELINE.md), so a burst of candle requests costs one Spark job. */
+  @volatile private var ohlcCache: (Long, IndexedSeq[String]) = _
   def pricesOhlc(days: Int): String = {
     val n = math.min(math.max(days, 1), 90)
-    val page = graft.operators.Reports.ohlcBars(spark, dataDir)
-      .orderBy(col("day").desc).limit(n)
-      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-      .toJSON.collect()
-    s"""{"candles":[${page.mkString(",")}]}"""
+    val now = System.currentTimeMillis()
+    val cached = ohlcCache
+    val rows =
+      if (cached != null && now - cached._1 < ApiServer.OhlcTtlMs) cached._2
+      else {
+        val all = graft.operators.Reports.ohlcBars(spark, dataDir)
+          .orderBy(col("day").desc).limit(90)
+          .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+          .toJSON.collect().toIndexedSeq
+        ohlcCache = (now, all)
+        all
+      }
+    s"""{"candles":[${rows.take(n).mkString(",")}]}"""
   }
 
   /** /stats/freq?tokens=a,b,c — point-frequency estimates from the LIVE
@@ -289,6 +301,9 @@ final class ApiServer(
 object ApiServer {
   /** API version stamp served by /infoapi (lib_tools.py:40 shape). */
   val ApiVersion = "202608141200"
+  /** candle-page cache TTL — the reference's block cadence (~30 s) is the
+    * price tier's staleness budget. */
+  val OhlcTtlMs = 30000L
   /** tables the serving endpoints read — the REQ_COLLECTIONS analogue. */
   val RequiredTables: Seq[String] = Seq("events", "orders")
 

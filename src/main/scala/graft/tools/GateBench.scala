@@ -152,7 +152,9 @@ object GateBench {
           .map(t => java.net.URLEncoder.encode(t, "UTF-8")).mkString(",")
         Map(
           "serve_freq" -> hammer(s"/api/v1/webapp/stats/freq?tokens=$freqTokens", 100),
-          "serve_ohlc" -> hammer("/api/v1/webapp/prices/ohlc?days=30", 20))
+          "serve_ohlc" -> hammer("/api/v1/webapp/prices/ohlc?days=30", 100),
+          // the uncached contrast: /prices/var aggregates per request
+          "serve_var" -> hammer("/api/v1/webapp/prices/var", 20))
       } finally srv.stop()
     }
 
@@ -178,7 +180,7 @@ object GateBench {
       s""""embed_shuffle":{"sec":${fmt(tES)},"admitted":$aES,"vecs_per_sec":${fmt(nv / tES)}},""" +
       s""""quarantine":{"sec":${fmt(tQ)},"clean":$aQ,"docs_per_sec":${fmt(n / tQ)}},""" +
       s""""cms":{"sec":${fmt(tK)},"cells":$aK,"docs_per_sec":${fmt(n / tK)}},""" +
-      s"""${srvObj("serve_freq")},${srvObj("serve_ohlc")},""" +
+      s"""${srvObj("serve_freq")},${srvObj("serve_ohlc")},${srvObj("serve_var")},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
