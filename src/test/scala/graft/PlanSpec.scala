@@ -262,6 +262,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "interval overlap plans a nested loop")
   }
 
+  test("bucketed co-located join: zero hash exchanges, bucketed scans, SMJ") {
+    val p = plan("lo_bucketed_join")
+    assert(p.contains("Bucketed: true"), "scan does not use the bucket layout")
+    assert(p.contains("SortMergeJoin"), "join left the merge path")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed layout must satisfy every clustering requirement — " +
+        "aggregations and the join may not re-shuffle")
+    assert(!p.contains("BroadcastHashJoin"),
+      "merge hint lost — the demo must exercise the co-located SMJ path")
+  }
+
   test("int_dot multiply-accumulate stays inside whole-stage codegen") {
     val p = plan("ss_topk_brute")
     assert(p.contains("int_dot"), "int_dot expression missing from plan")
