@@ -339,17 +339,25 @@ object VectorOps {
        |ORDER BY n.vec_id""".stripMargin
 
   /** shared corpus/batch vec_id split (top-10% slice = the "new batch") for
-    * the two incremental embedding paths; the batch index is persisted —
-    * it feeds the code join AND the final verdict anchor. */
-  private[graft] def embedIncrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val emb = embeddingIndex(
-      T.embeddings(s, d).select(col("vec_id"), col("embedding")))
-    val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
-    val flagged = emb.crossJoin(broadcast(cut))
-    val newIdx = flagged.filter(col("vec_id") >= col("cutv")).drop("cutv").persist()
-    val corpIdx = flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
-    (newIdx, corpIdx)
-  }
+    * the two incremental embedding paths. Memoized per (session, dataset)
+    * as eager localCheckpoints — the corpus embedding index is the
+    * persisted artifact of the incremental story (see the text-side
+    * incrementalSplit for the full rationale). */
+  private val embSplitCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+  private[graft] def embedIncrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    embSplitCache.computeIfAbsent(
+      System.identityHashCode(s).toHexString + "@" + d,
+      _ => {
+        val emb = embeddingIndex(
+          T.embeddings(s, d).select(col("vec_id"), col("embedding")))
+        val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
+        val flagged = emb.crossJoin(broadcast(cut))
+        (flagged.filter(col("vec_id") >= col("cutv")).drop("cutv")
+            .localCheckpoint(eager = true),
+          flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
+            .localCheckpoint(eager = true))
+      })
 
   /** brute-force cosine top-k (query set = vec_id < 16, k = 5): broadcast
     * queries, pairwise codegen'd integer dot folds, bounded top-k agg.
