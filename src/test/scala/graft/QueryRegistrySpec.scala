@@ -66,6 +66,38 @@ class QueryRegistrySpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("memoized-artifact queries are keyed by dataset — no cross-dataset bleed") {
+    // every shared-artifact cache (winnow pairs, cluster labels, classifier
+    // state, ANN indexes, incremental splits, bucketed tables) keys on
+    // (session, dataset dir); a key bug would serve one dataset's artifact
+    // to another's query. Drive representative consumers at BOTH scales in
+    // one session, in both orders, and check the row counts differ and
+    // repeat-calls are stable.
+    // documents/embeddings are IDENTICAL between sf0.001 and sf0.01 (both
+    // 500 docs), so the contrast dataset must be sf0.1 for corpus-keyed
+    // queries; events DO scale 1k → 10k, so lo_bucketed_join contrasts
+    // against sf0.01.
+    val sf1 = "/root/testdata/sf0.1"
+    for (q <- Seq("dd_cluster", "tx_train_val_split", "dd_incremental_lsh",
+        "tx_classifier_score")) {
+      val fn = QueryRegistry.byName(q).fn
+      val small1 = fn(spark, sf).count()
+      val big1 = fn(spark, sf1).count()
+      val small2 = fn(spark, sf).count()
+      assert(small1 !== big1, s"$q: sf0.001 and sf0.1 row counts collide")
+      assert(small1 === small2, s"$q: repeat call at sf0.001 changed")
+    }
+    val bj = QueryRegistry.byName("lo_bucketed_join").fn
+    assert(bj(spark, sf).count() !== bj(spark, "/root/testdata/sf0.01").count(),
+      "lo_bucketed_join: per-user rows must differ between event scales")
+    // fixed 16×5 output shape — compare CONTENT across scales instead
+    val ivf = QueryRegistry.byName("ss_topk_ivfpq").fn
+    val smallRows = ivf(spark, sf).collect().map(_.toString).toSet
+    val bigRows = ivf(spark, sf1).collect().map(_.toString).toSet
+    assert(smallRows !== bigRows,
+      "ss_topk_ivfpq: identical top-k rows across datasets — index bleed")
+  }
+
   test("flagship q1_agg returns the 6 flag/status groups with positive sums") {
     val rows = QueryRegistry.byName("q1_agg").fn(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 6)
