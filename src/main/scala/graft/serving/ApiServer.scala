@@ -46,7 +46,11 @@ final class ApiServer(
     minAddressLen: Int = 25,
     /** optional live CMS state dir (graft.streaming.SketchStream) backing
       * /stats/freq — the serving tier reading STREAMING state directly. */
-    sketchDir: Option[String] = None) {
+    sketchDir: Option[String] = None,
+    /** optional live candle state dir (graft.streaming.CandleStream):
+      * when wired, /prices/ohlc serves the STREAMING candles (cached per
+      * generation) instead of aggregating the batch table. */
+    candleDir: Option[String] = None) {
 
   private var server: HttpServer = _
 
@@ -123,28 +127,48 @@ final class ApiServer(
     s"""{"current":$current,"delta":$delta}"""
   }
 
-  /** /prices/ohlc?days=N — the a8_ohlc candle program served as JSON:
-    * newest N daily candles (N clamped to [1, 90], default 30). The
-    * collect is bounded at 90 rows of 7 scalars regardless of table size —
-    * the aggregation has already reduced the stream to one row per day —
-    * and the collected page is cached for [[ApiServer.OhlcTtlMs]] (the
-    * reference's ~30 s block cadence IS its price-staleness budget,
-    * BASELINE.md), so a burst of candle requests costs one Spark job. */
+  /** /prices/ohlc?days=N — daily candles as JSON: newest N (clamped to
+    * [1, 90], default 30). Two sources, same shape: the LIVE streaming
+    * candle state (CandleStream, when `candleDir` is wired and committed
+    * — page cached per generation) or the batch a8_ohlc aggregation
+    * (page cached for [[ApiServer.OhlcTtlMs]]; the reference's ~30 s
+    * block cadence IS its price-staleness budget, BASELINE.md). Either
+    * way the collect is bounded at 90 rows of 7 scalars — the state /
+    * aggregation has already reduced the stream to one row per day. */
   @volatile private var ohlcCache: (Long, IndexedSeq[String]) = _
+  @volatile private var liveOhlcCache: (String, IndexedSeq[String]) = _
+  private def candlePage(df: org.apache.spark.sql.DataFrame): IndexedSeq[String] =
+    df.orderBy(col("day").desc).limit(90)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .toJSON.collect().toIndexedSeq
   def pricesOhlc(days: Int): String = {
     val n = math.min(math.max(days, 1), 90)
-    val now = System.currentTimeMillis()
-    val cached = ohlcCache
-    val rows =
+    // live streaming candles when wired AND committed: cached per
+    // GENERATION (the marker is the key — a micro-batch commit
+    // invalidates), so a burst of requests against one generation costs
+    // one bounded read of the few-rows-per-day state
+    val live = candleDir.flatMap(cd =>
+      graft.streaming.Generations.latestDir(cd).map { gen =>
+        val c = liveOhlcCache
+        if (c != null && c._1 == gen) c._2
+        else {
+          val all = candlePage(
+            graft.streaming.CandleStream.currentCandles(spark, cd))
+          liveOhlcCache = (gen, all)
+          all
+        }
+      })
+    val rows = live.getOrElse {
+      // batch-table path, recomputed at most once per TTL
+      val now = System.currentTimeMillis()
+      val cached = ohlcCache
       if (cached != null && now - cached._1 < ApiServer.OhlcTtlMs) cached._2
       else {
-        val all = graft.operators.Reports.ohlcBars(spark, dataDir)
-          .orderBy(col("day").desc).limit(90)
-          .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-          .toJSON.collect().toIndexedSeq
+        val all = candlePage(graft.operators.Reports.ohlcBars(spark, dataDir))
         ohlcCache = (now, all)
         all
       }
+    }
     s"""{"candles":[${rows.take(n).mkString(",")}]}"""
   }
 

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters.IteratorHasAsScala
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The GENERATION protocol shared by every streaming state maintainer
+  * (Count-Min sketch, OHLC candles): each micro-batch writes its merged
+  * state to a fresh `gen=<batchId>` directory and then atomically moves a
+  * `LATEST` marker file pointing at it.
+  *
+  * Properties the protocol buys, independent of what the state is:
+  *  - **Replay idempotence**: the merge input for batch N is the newest
+  *    committed generation STRICTLY BEFORE N ([[before]]) — a redelivered
+  *    batch starts from the state before itself (never from its own
+  *    output, which would double-count) and overwrites `gen=N` with
+  *    identical content.
+  *  - **Monotonic visibility**: [[commit]] never moves the marker
+  *    backwards — a straggler replay of an old batch id after newer
+  *    generations committed rewrites its gen dir but cannot regress the
+  *    served state.
+  *  - **Atomic cut-over**: readers resolve the marker to a fully-written
+  *    directory; a crash mid-write leaves the previous generation live.
+  *
+  * Reference analog: the bucketed-upsert discipline of the indexer's
+  * scan loop (scan_raw_txs.py checkpoint advance), generalized from a
+  * scalar cursor to whole state tables.
+  */
+object Generations {
+
+  private def markerPath(dir: String) = Paths.get(dir, "LATEST")
+
+  /** generation number the marker currently points at, if any. */
+  def markerGen(dir: String): Option[Long] = {
+    val m = markerPath(dir)
+    if (!Files.exists(m)) None
+    else {
+      val p = Files.readString(m).trim
+      val i = p.lastIndexOf("gen=")
+      if (i < 0) None else p.drop(i + 4).toLongOption
+    }
+  }
+
+  /** the committed generation directory the marker points at, if any. */
+  def latestDir(dir: String): Option[String] = {
+    val m = markerPath(dir)
+    if (Files.exists(m)) Some(Files.readString(m).trim) else None
+  }
+
+  /** the newest COMMITTED generation directory strictly before `batchId` —
+    * the merge input that makes a batch replay idempotent. */
+  def before(dir: String, batchId: Long): Option[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return None
+    val gens = scala.util.Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
+        .filter(_ < batchId).toSeq
+    }
+    if (gens.isEmpty) None else Some(s"$dir/gen=${gens.max}")
+  }
+
+  /** write `state` as generation `batchId` and advance the marker —
+    * unless the marker already points at a NEWER generation. */
+  def commit(state: DataFrame, dir: String, batchId: Long): Unit = {
+    val genDir = s"$dir/gen=$batchId"
+    state.write.mode("overwrite").parquet(genDir)
+    if (markerGen(dir).forall(batchId >= _)) {
+      val tmp = Paths.get(dir, s".LATEST.$batchId")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(tmp, genDir)
+      Files.move(tmp, markerPath(dir), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** read the current committed state, or None before the first commit. */
+  def current(spark: SparkSession, dir: String): Option[DataFrame] =
+    latestDir(dir).map(spark.read.parquet(_))
+}

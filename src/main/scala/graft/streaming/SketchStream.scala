@@ -1,9 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters.IteratorHasAsScala
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,69 +22,28 @@ import graft.functions.Cms
   */
 object SketchStream {
 
-  private def markerPath(dir: String) = Paths.get(dir, "LATEST")
-
-  /** generation number the marker currently points at, if any. */
-  private def markerGen(dir: String): Option[Long] = {
-    val m = markerPath(dir)
-    if (!Files.exists(m)) None
-    else {
-      val p = Files.readString(m).trim
-      val i = p.lastIndexOf("gen=")
-      if (i < 0) None else p.drop(i + 4).toLongOption
-    }
-  }
-
   private def emptySketch(spark: SparkSession): DataFrame =
     spark.range(0).select(lit(0).as("j"), lit(0L).as("pos"), lit(0L).as("cnt"))
       .filter(lit(false))
 
-  /** the newest COMMITTED generation strictly before `batchId` — the merge
-    * input that makes a batch replay idempotent: re-running batch N starts
-    * from the state BEFORE N (never from its own output, which would
-    * double-count) and overwrites gen=N with identical content. */
-  private def sketchBefore(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return emptySketch(spark)
-    val gens = scala.util.Using.resource(Files.list(d)) { st =>
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
-        .filter(_ < batchId).toSeq
-    }
-    if (gens.isEmpty) emptySketch(spark)
-    else spark.read.parquet(s"$dir/gen=${gens.max}")
-  }
-
   /** read the current sketch (empty frame if none committed yet). */
-  def currentSketch(spark: SparkSession, dir: String): DataFrame = {
-    val m = markerPath(dir)
-    if (Files.exists(m)) spark.read.parquet(Files.readString(m).trim)
-    else emptySketch(spark)
-  }
+  def currentSketch(spark: SparkSession, dir: String): DataFrame =
+    Generations.current(spark, dir).getOrElse(emptySketch(spark))
 
   /** one micro-batch's merge — the foreachBatch body, callable directly
-    * (the spec drives an explicit replay through it). */
+    * (the spec drives an explicit replay through it). Replay idempotence
+    * and marker monotonicity come from the shared [[Generations]]
+    * protocol: merge input = the newest generation STRICTLY BEFORE this
+    * batch id, commit never moves the marker backwards. */
   private[graft] def mergeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val inc = Cms.cells(batch.select(col("token"),
       conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h")))
-    val merged = sketchBefore(spark, dir, batchId)
+    val merged = Generations.before(dir, batchId)
+      .map(spark.read.parquet(_)).getOrElse(emptySketch(spark))
       .unionByName(inc)
       .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
-    val genDir = s"$dir/gen=$batchId"
-    merged.write.mode("overwrite").parquet(genDir)
-    // never move the marker BACKWARDS: a replay of an old batch id after
-    // newer generations committed rewrites its gen dir (idempotent) but
-    // must not regress currentSketch to stale state
-    val current = markerGen(dir)
-    if (current.forall(batchId >= _)) {
-      val tmp = Paths.get(dir, s".LATEST.$batchId")
-      Files.createDirectories(Paths.get(dir))
-      Files.writeString(tmp, genDir)
-      Files.move(tmp, markerPath(dir), StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    Generations.commit(merged, dir, batchId)
   }
 
   /** wire a token stream (one `token` string column) into the sketch dir. */
@@ -118,9 +73,10 @@ object SketchStream {
   private val servingCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Map[(Int, Long), Long])]()
   def estimateServing(spark: SparkSession, dir: String, tokens: Seq[String]): Map[String, Long] = {
-    val m = markerPath(dir)
-    if (!Files.exists(m)) return tokens.map(_ -> 0L).toMap
-    val gen = Files.readString(m).trim
+    val gen = Generations.latestDir(dir) match {
+      case None => return tokens.map(_ -> 0L).toMap
+      case Some(g) => g
+    }
     val cells = servingCache.compute(dir, (_, prev) =>
       if (prev != null && prev._1 == gen) prev
       else (gen, spark.read.parquet(gen).collect()

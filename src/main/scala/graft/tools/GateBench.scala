@@ -119,17 +119,51 @@ object GateBench {
       ((System.nanoTime() - t0) / 1e9, cells, s"$base/state")
     }
 
+    /** candle gate: the events stream maintained as live OHLC state
+      * (CandleStream) in N micro-batches — the price tier's streaming
+      * ingestion. Returns wall, days held, and the state dir for the
+      * serving hammer. */
+    def driveCandles(): (Double, Long, String, Int) = {
+      val base = java.nio.file.Files.createTempDirectory("graft-cgatebench").toString
+      val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      val ts = evs.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
+      val rows = evs.select(ts.as("ts"), col("event_id"), col("event_type"),
+          col("value"))
+        .as[(java.sql.Timestamp, Long, String, Double)].collect()
+      val per = math.max(1, rows.length / nBatches)
+      val in = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val q = graft.streaming.CandleStream.gate(
+        in.toDF().toDF("ts", "event_id", "event_type", "value"), s"$base/state")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      val t0 = System.nanoTime()
+      try {
+        rows.grouped(per).foreach { g =>
+          in.addData(g.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val days = graft.streaming.CandleStream
+        .currentCandles(spark, s"$base/state").count()
+      ((System.nanoTime() - t0) / 1e9, days, s"$base/state", rows.length)
+    }
+
     /** serving tier under load: a live ApiServer answering point-frequency
-      * queries from the CMS state the sketch gate just built, and OHLC
+      * queries from the CMS state the sketch gate just built, live candles
+      * from the streaming OHLC state, and OHLC
       * candle pages aggregated from the events table — n sequential
       * requests per route (after one warm request), reporting req/s and
       * p50/p95 latency. This is the "serve from live streaming state"
       * number: every /stats/freq hit is a broadcast of ≤4096 sketch cells
       * against the candidate tokens, every /prices/ohlc hit a bounded
       * daily-candle aggregation — neither touches corpus-scale state. */
-    def driveServing(sketchState: String): (Map[String, (Int, Double, Double, Double)]) = {
+    def driveServing(sketchState: String,
+        candleState: String): (Map[String, (Int, Double, Double, Double)]) = {
       val srv = new graft.serving.ApiServer(spark, sfDir,
-        minAddressLen = 3, sketchDir = Some(sketchState))
+        minAddressLen = 3, sketchDir = Some(sketchState),
+        candleDir = Some(candleState))
       val port = srv.start()
       def hammer(path: String, nReq: Int): (Int, Double, Double, Double) = {
         def one(): Double = {
@@ -152,7 +186,8 @@ object GateBench {
           .map(t => java.net.URLEncoder.encode(t, "UTF-8")).mkString(",")
         Map(
           "serve_freq" -> hammer(s"/api/v1/webapp/stats/freq?tokens=$freqTokens", 100),
-          "serve_ohlc" -> hammer("/api/v1/webapp/prices/ohlc?days=30", 100),
+          // ohlc serves the LIVE streaming candle state (candleDir wired)
+          "serve_ohlc_live" -> hammer("/api/v1/webapp/prices/ohlc?days=30", 100),
           // the uncached contrast: /prices/var aggregates per request
           "serve_var" -> hammer("/api/v1/webapp/prices/var", 20))
       } finally srv.stop()
@@ -164,7 +199,8 @@ object GateBench {
     val (tES, aES) = driveEmbed(shuffleProbe = true)
     val (tQ, aQ) = driveQuarantine()
     val (tK, aK, sketchState) = driveSketch()
-    val serving = driveServing(sketchState)
+    val (tC, aC, candleState, nEvents) = driveCandles()
+    val serving = driveServing(sketchState, candleState)
     val n = docs.length
     val nv = vecs.length
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -180,7 +216,8 @@ object GateBench {
       s""""embed_shuffle":{"sec":${fmt(tES)},"admitted":$aES,"vecs_per_sec":${fmt(nv / tES)}},""" +
       s""""quarantine":{"sec":${fmt(tQ)},"clean":$aQ,"docs_per_sec":${fmt(n / tQ)}},""" +
       s""""cms":{"sec":${fmt(tK)},"cells":$aK,"docs_per_sec":${fmt(n / tK)}},""" +
-      s"""${srvObj("serve_freq")},${srvObj("serve_ohlc")},${srvObj("serve_var")},""" +
+      s""""candles":{"sec":${fmt(tC)},"days":$aC,"events_per_sec":${fmt(nEvents / tC)}},""" +
+      s"""${srvObj("serve_freq")},${srvObj("serve_ohlc_live")},${srvObj("serve_var")},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
