@@ -1306,6 +1306,67 @@ object QualityOps {
         .orderBy(col("doc_id"))
     },
 
+    // Classifier CALIBRATION — the eval a curation pipeline reads before
+    // trusting a learned gate: accuracy per margin DECILE (does a bigger
+    // margin actually mean a more reliable verdict?). The decile needs a
+    // GLOBAL rank by (margin, doc_id); at scale that is never a
+    // single-partition ntile — it is the two-pass shape used everywhere
+    // else in the engine: fixed-width margin buckets from the exact
+    // min/max, per-bucket counts, Prefix.exclusiveCumsum over the bounded
+    // totals table, rank = bucket offset + a window bounded INSIDE each
+    // bucket. Bucketing by margin is monotone, so the concatenated order
+    // IS the (margin, doc_id) order and the oracle can say plain
+    // row_number(). Consumes the memoized classifier artifact — one
+    // margin pass plus bounded rank arithmetic.
+    Q(
+      "tx_classifier_calibration",
+      s"""WITH $qualityDocsSql,
+         |$classifierSql,
+         |cS AS (SELECT CAST(coalesce(sum(s.z0*w.w), 0) AS BIGINT) AS c
+         |  FROM stz s JOIN wbest w USING(bucket)),
+         |mf AS (SELECT f.doc_id, CAST(sum(f.dz*w.w) AS BIGINT) + (SELECT c FROM cS) AS margin
+         |  FROM fz f JOIN wbest w USING(bucket) GROUP BY 1),
+         |scored AS (SELECT l.doc_id, m.margin,
+         |    (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.label AS correct
+         |  FROM lab l JOIN mf m USING(doc_id)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY margin, doc_id) AS rnk,
+         |    (SELECT count(*) FROM scored) AS n FROM scored)
+         |SELECT ((rnk - 1) * 10) // n AS decile,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / count(*) AS accuracy,
+         |  min(margin) AS margin_lo, max(margin) AS margin_hi
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val st = classifierState(s, d)
+      val scored = st.lab
+        .join(classifierMargins(st.fz, st.stats, st.w), Seq("doc_id"))
+        .select(col("doc_id"), col("margin"),
+          ((when(col("margin") > 0, 1L).otherwise(-1L)) === col("label"))
+            .as("correct"))
+      val mm = scored.agg(min(col("margin")).as("minm"),
+        max(col("margin")).as("maxm"), count(lit(1)).as("n"))
+      val bucketed = scored.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          expr("((margin - minm) * 1024) div (maxm - minm + 1)"))
+      val totals = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(
+        totals, Seq(), "bkt", expr("bkt div 256"), "cnt")
+      val wInBkt = Window.partitionBy(col("bkt"))
+        .orderBy(col("margin"), col("doc_id"))
+      bucketed
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rnk", col("offset") + row_number().over(wInBkt))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+          (sum(when(col("correct"), 1L).otherwise(0L)).cast(DoubleType)
+            / count(lit(1))).as("accuracy"),
+          min(col("margin")).as("margin_lo"), max(col("margin")).as("margin_hi"))
+        .orderBy(col("decile"))
+    },
+
     // Deterministic global shuffle + shard packing — the training-order
     // step: documents laid out in md5-hash order (a reproducible
     // pseudo-random permutation; no RNG state to version) and packed into
