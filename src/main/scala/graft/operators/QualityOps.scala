@@ -257,7 +257,6 @@ object QualityOps {
       .select(col("doc_id"), col("bucket"),
         expr("IF(bucket = -1, cnt, ((cnt*1000 - mu)*1000) div sd1 - z0)").as("dz"))
       .repartition(col("doc_id"))
-      .persist()
 
   /** per-document integer margins under weight table `w` via the sparse
     * decomposition: Σ_present dz·w plus the broadcast scalar Σ_buckets z0·w. */
@@ -309,8 +308,14 @@ object QualityOps {
       _ => {
         val feat = classifierFeatures(s, d)
         val stats = classifierStats(s, d, feat).localCheckpoint()
-        val fz = classifierFeatZ(feat, stats)
-        val lab = labelsPartitioned(s, d)
+        // fz/lab are CHECKPOINTED, not persisted: every scoring pass reads
+        // them, and a checkpoint survives cache clears (a persisted frame
+        // would silently rebuild the whole feature pipeline per run); the
+        // doc_id partitioning is materialized with the data. The feat
+        // cache only feeds this build — release it once fz exists.
+        val fz = classifierFeatZ(feat, stats).localCheckpoint(eager = true)
+        val lab = labelsPartitioned(s, d).localCheckpoint(eager = true)
+        feat.unpersist(blocking = false)
         val w = trainedWeightsFrom(fz, stats, lab).localCheckpoint(eager = true)
         ClsState(fz, stats, lab, w)
       })
@@ -319,7 +324,7 @@ object QualityOps {
     * pass joins them against the doc_id-clustered margins, so pinning the
     * layout once removes the label-side exchange from all epochs. */
   private def labelsPartitioned(s: SparkSession, d: String): DataFrame =
-    classifierLabels(s, d).repartition(col("doc_id")).persist()
+    classifierLabels(s, d).repartition(col("doc_id"))
 
   private def trainedWeightsFrom(fz: DataFrame, stats: DataFrame,
       lab: DataFrame): DataFrame = {
