@@ -780,6 +780,12 @@ object QualityOps {
     // chained-replace encoding (see BpeExpressions scaladoc) and takes the
     // same argmax — so the row is green iff the derivation reproduces
     // Bpe.CorpusMerges from the data, which BpeSpec asserts directly.
+    // Scale pin: CorpusMerges is trained from the sf0.01 corpus (the
+    // verify scale), so this oracle compares green there and ONLY there —
+    // on a corpus with different text the live training rightly diverges
+    // from the pinned unroll (a dynamic 32-round unroll, where each
+    // round's winner feeds the next round's encoding, is not expressible
+    // in one SQL text; the pin is what makes the spec writable at all).
     Q(
       "tx_bpe_train", {
         val rounds = (1 to 32).map { r =>
