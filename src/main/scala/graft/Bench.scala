@@ -17,6 +17,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // COLD ARTIFACT PASS (round 9): the memoized one-time artifacts
+    // (quantized corpus, PQ/IVF indexes, winnow pairs, cluster labels,
+    // classifier state, bucketed layout) are deliberately excluded from
+    // the per-query mins — that is the correct steady-state framing, but
+    // it made the build costs INVISIBLE (tx_classifier_train reported
+    // 0.04 s without ever training). Build them here first, timed
+    // individually from a cleared cache in dependency order, so
+    // bench_full.json reports the cold cost next to the warm queries. At
+    // 100 TB these builds ARE the pipeline. Round-over-round comparisons
+    // of the per-query numbers are warm-vs-warm by construction.
+    // (skipped under SPARK_GRAFT_ONLY — an isolation run warms what it
+    // needs in the warmup sweep; the cold numbers belong to full runs)
+    val coldBuilds: Seq[(String, Double)] = if (only.nonEmpty) Seq() else {
+      graft.core.SessionCache.invalidate(spark)
+      graft.tools.ColdBuilds.all.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try build(spark, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val coldTotal = coldBuilds.map(_._2).sum
     // warmup pass: JIT/codegen compilation and parquet footer reads happen
     // once here so the timed passes measure steady-state query execution
     // (the first query otherwise absorbs several seconds of JVM warmup).
@@ -78,7 +99,7 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, "%.3f")).mkString(",") + "]" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"query-major min-of-3, cache cleared per run, gc per query","queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"runs":$runsObj,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"cold artifact pass, then query-major min-of-3, cache cleared per run, gc per query","cold_builds":${obj(coldBuilds)},"cold_total":${fmt(coldTotal, "%.4f")},"queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"runs":$runsObj,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] full dump failed: ${e.getMessage}")
     }
@@ -99,7 +120,7 @@ object Bench {
     }
     val spreadMedian = medianOf(spreads.map(_._2))
     val spreadMedianM2 = medianOf(spreadsMed.map(_._2))
-    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_cold_builds":${coldBuilds.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

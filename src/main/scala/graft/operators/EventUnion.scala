@@ -33,6 +33,78 @@ object EventUnion {
     "token_involved", "amount_wei", "usd_wei", "leverage", "interests_wei",
     "is_positive")
 
+  /** the per-event pipelines + canonical union over an ARBITRARY events
+    * frame with an explicit chain head — the registered batch query and
+    * the streaming end-to-end chain (tools.E2EBench applies it per
+    * micro-batch, the head being the highest block seen so far) share this
+    * one derivation, so the streamed Transaction rows are definitionally
+    * the batch program's rows. No sort: callers order (or upsert) as they
+    * need. */
+  def canonical(events: DataFrame, headDf: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      md5(col("event_id").cast(StringType)).as("tx_hash"),
+      concat(lit("0xa"), col("user_id").cast(StringType)).as("addr_a"),
+      concat(lit("0xb"), col("user_id").cast(StringType)).as("addr_b"),
+      (floor(col("value") * 100).cast(LongType) * 1000000000000L).as("amt"),
+      concat((lit(10) + col("user_id") % 10).cast(StringType), lit("0" * 18)).as("price"))
+
+    def leg(filter: org.apache.spark.sql.Column,
+        address: org.apache.spark.sql.Column, event: String)(
+        extra: DataFrame => DataFrame): DataFrame =
+      extra(base.filter(filter)
+        .select(col("event_id"), col("user_id"), col("tx_hash"),
+          address.as("address"), lit(event).as("event"),
+          col("amt"), col("price"), col("ts").as("created_at")))
+
+    def withMoney(df: DataFrame, token: String): DataFrame = df
+      .withColumn("token_involved", lit(token))
+      .withColumn("amount_wei", col("amt").cast(StringType))
+      .withColumn("usd_wei", Wei.toWeiStr(Wei.usdAmount(col("amt"), col("price"))))
+      .withColumn("is_positive", lit(true))
+
+    val et = col("event_type")
+    val mint = leg(et === "purchase", col("addr_a"), "RiskProMint")(withMoney(_, "RISKPRO"))
+    val riskprox = leg(et === "purchase" && col("user_id") % 2 === 1,
+      col("addr_a"), "RiskProxMint") { df =>
+      withMoney(df, "RISKPROX").withColumn("leverage", col("user_id") % 5 + 2)
+    }
+    // StableTokenMint: userAmount sourced from reserveTotal, not amount
+    // (mocexchange.py:428-430) — amount_wei deliberately carries amt
+    val stableMint = leg(et === "view", col("addr_a"), "StableTokenMint")(withMoney(_, "STABLE"))
+    val transferFrom = leg(et === "click", col("addr_a"), "Transfer") {
+      _.withColumn("token_involved", lit("RISKPRO"))
+        .withColumn("amount_wei", col("amt").cast(StringType))
+        .withColumn("is_positive", lit(false))
+    }
+    val transferTo = leg(et === "click", col("addr_b"), "Transfer") {
+      _.withColumn("token_involved", lit("RISKPRO"))
+        .withColumn("amount_wei", col("amt").cast(StringType))
+        .withColumn("is_positive", lit(true))
+    }
+    val approval = leg(et === "signup", col("addr_a"), "Approval") {
+      _.withColumn("token_involved", lit("STABLE"))
+        .withColumn("amount_wei", col("amt").cast(StringType))
+    }
+    val inrate = leg(et === "signup" && col("event_id") % 2 === 0,
+      col("addr_a"), "InrateDailyPay") {
+      _.withColumn("token_involved", lit("RISKPRO"))
+        .withColumn("interests_wei", expr("amt div 100").cast(StringType))
+        .withColumn("is_positive", lit(true))
+    }
+    val settle = leg(et === "error", lit("0xsys"), "SettlementStarted")(identity)
+
+    val unioned = Seq(mint, riskprox, stableMint, transferFrom, transferTo,
+        approval, inrate, settle)
+      .map(_.drop("amt", "price", "user_id"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+    unioned.crossJoin(broadcast(headDf))
+      .select(OutCols.map(col) :+
+        when(col("h") - col("event_id") > 10, "confirmed").otherwise("confirming")
+          .as("status") :+ col("created_at"): _*)
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q(
@@ -110,69 +182,8 @@ object EventUnion {
         |  u.created_at
         |FROM unioned u, head
         |ORDER BY u.event_id, u.event, u.address""".stripMargin) { (s, d) =>
-      val base = T.events(s, d).select(
-        col("event_id"), col("user_id"), col("event_type"), col("ts"),
-        md5(col("event_id").cast(StringType)).as("tx_hash"),
-        concat(lit("0xa"), col("user_id").cast(StringType)).as("addr_a"),
-        concat(lit("0xb"), col("user_id").cast(StringType)).as("addr_b"),
-        (floor(col("value") * 100).cast(LongType) * 1000000000000L).as("amt"),
-        concat((lit(10) + col("user_id") % 10).cast(StringType), lit("0" * 18)).as("price"))
-
-      def leg(filter: org.apache.spark.sql.Column,
-          address: org.apache.spark.sql.Column, event: String)(
-          extra: DataFrame => DataFrame): DataFrame =
-        extra(base.filter(filter)
-          .select(col("event_id"), col("user_id"), col("tx_hash"),
-            address.as("address"), lit(event).as("event"),
-            col("amt"), col("price"), col("ts").as("created_at")))
-
-      def withMoney(df: DataFrame, token: String): DataFrame = df
-        .withColumn("token_involved", lit(token))
-        .withColumn("amount_wei", col("amt").cast(StringType))
-        .withColumn("usd_wei", Wei.toWeiStr(Wei.usdAmount(col("amt"), col("price"))))
-        .withColumn("is_positive", lit(true))
-
-      val et = col("event_type")
-      val mint = leg(et === "purchase", col("addr_a"), "RiskProMint")(withMoney(_, "RISKPRO"))
-      val riskprox = leg(et === "purchase" && col("user_id") % 2 === 1,
-        col("addr_a"), "RiskProxMint") { df =>
-        withMoney(df, "RISKPROX").withColumn("leverage", col("user_id") % 5 + 2)
-      }
-      // StableTokenMint: userAmount sourced from reserveTotal, not amount
-      // (mocexchange.py:428-430) — amount_wei deliberately carries amt
-      val stableMint = leg(et === "view", col("addr_a"), "StableTokenMint")(withMoney(_, "STABLE"))
-      val transferFrom = leg(et === "click", col("addr_a"), "Transfer") {
-        _.withColumn("token_involved", lit("RISKPRO"))
-          .withColumn("amount_wei", col("amt").cast(StringType))
-          .withColumn("is_positive", lit(false))
-      }
-      val transferTo = leg(et === "click", col("addr_b"), "Transfer") {
-        _.withColumn("token_involved", lit("RISKPRO"))
-          .withColumn("amount_wei", col("amt").cast(StringType))
-          .withColumn("is_positive", lit(true))
-      }
-      val approval = leg(et === "signup", col("addr_a"), "Approval") {
-        _.withColumn("token_involved", lit("STABLE"))
-          .withColumn("amount_wei", col("amt").cast(StringType))
-      }
-      val inrate = leg(et === "signup" && col("event_id") % 2 === 0,
-        col("addr_a"), "InrateDailyPay") {
-        _.withColumn("token_involved", lit("RISKPRO"))
-          .withColumn("interests_wei", expr("amt div 100").cast(StringType))
-          .withColumn("is_positive", lit(true))
-      }
-      val settle = leg(et === "error", lit("0xsys"), "SettlementStarted")(identity)
-
-      val unioned = Seq(mint, riskprox, stableMint, transferFrom, transferTo,
-          approval, inrate, settle)
-        .map(_.drop("amt", "price", "user_id"))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
-
-      val head = T.events(s, d).agg(max(col("event_id")).as("h"))
-      unioned.crossJoin(broadcast(head))
-        .select(OutCols.map(col) :+
-          when(col("h") - col("event_id") > 10, "confirmed").otherwise("confirming")
-            .as("status") :+ col("created_at"): _*)
+      canonical(T.events(s, d),
+        T.events(s, d).agg(max(col("event_id")).as("h")))
         .orderBy(col("event_id"), col("event"), col("address"))
     }
   )

@@ -294,31 +294,35 @@ object QualityOps {
     * run — `tx_classifier_train` and `tx_classifier_score` share it, so
     * the score query measures what it claims to (one broadcast join +
     * one partial-agged groupBy over the cached features), exactly the
-    * production shape where a trained model scores many corpora. Keyed by
-    * session identity so a restarted session never reads frames of a
-    * stopped one; results are hash-identical to the uncached path because
-    * the cached weights ARE the uncached computation's output. */
+    * production shape where a trained model scores many corpora. Keyed on
+    * the session OBJECT (core.SessionCache) so a restarted session can
+    * never alias a stopped one's frames; results are hash-identical to the
+    * uncached path because the cached weights ARE the uncached
+    * computation's output. */
   private final case class ClsState(
       fz: DataFrame, stats: DataFrame, lab: DataFrame, w: DataFrame)
-  private val clsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ClsState]()
+  private val clsCache = new graft.core.SessionCache[ClsState]()
   private def classifierState(s: SparkSession, d: String): ClsState =
-    clsCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d,
-      _ => {
-        val feat = classifierFeatures(s, d)
-        val stats = classifierStats(s, d, feat).localCheckpoint()
-        // fz/lab are CHECKPOINTED, not persisted: every scoring pass reads
-        // them, and a checkpoint survives cache clears (a persisted frame
-        // would silently rebuild the whole feature pipeline per run); the
-        // doc_id partitioning is materialized with the data. The feat
-        // cache only feeds this build — release it once fz exists.
-        val fz = classifierFeatZ(feat, stats).localCheckpoint(eager = true)
-        val lab = labelsPartitioned(s, d).localCheckpoint(eager = true)
-        feat.unpersist(blocking = false)
-        val w = trainedWeightsFrom(fz, stats, lab).localCheckpoint(eager = true)
-        ClsState(fz, stats, lab, w)
-      })
+    clsCache.get(s, d) {
+      val feat = classifierFeatures(s, d)
+      val stats = classifierStats(s, d, feat).localCheckpoint()
+      // fz/lab are CHECKPOINTED, not persisted: every scoring pass reads
+      // them, and a checkpoint survives cache clears (a persisted frame
+      // would silently rebuild the whole feature pipeline per run); the
+      // doc_id partitioning is materialized with the data. The feat
+      // cache only feeds this build — release it once fz exists.
+      val fz = classifierFeatZ(feat, stats).localCheckpoint(eager = true)
+      val lab = labelsPartitioned(s, d).localCheckpoint(eager = true)
+      feat.unpersist(blocking = false)
+      val w = trainedWeightsFrom(fz, stats, lab).localCheckpoint(eager = true)
+      ClsState(fz, stats, lab, w)
+    }
+
+  /** cold-build hook: force the memoized classifier state so the bench's
+    * artifact pass can time training in isolation (core.ColdBuilds). */
+  private[graft] def buildClassifierState(s: SparkSession, d: String): Unit = {
+    classifierState(s, d); ()
+  }
 
   /** labels hash-partitioned on doc_id and persisted: every epoch's mistake
     * pass joins them against the doc_id-clustered margins, so pinning the

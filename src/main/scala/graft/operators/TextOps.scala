@@ -263,20 +263,17 @@ object TextOps {
     * from storage, they don't re-sign the corpus per probe mode), and the
     * checkpoint both survives the bench's cache clears and stops each
     * caller re-persisting its own copy. */
-  private val incCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame)]()
+  private val incCache = new graft.core.SessionCache[(DataFrame, DataFrame)]()
   private[graft] def incrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    incCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d,
-      _ => {
-        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-        val cutDf = docs.agg(expr("(max(doc_id)*9) div 10").as("cutv"))
-        val flagged = docs.crossJoin(broadcast(cutDf))
-        (minhashSignatures(flagged.filter(col("doc_id") < col("cutv")))
-            .localCheckpoint(eager = true),
-          minhashSignatures(flagged.filter(col("doc_id") >= col("cutv")))
-            .localCheckpoint(eager = true))
-      })
+    incCache.get(s, d) {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val cutDf = docs.agg(expr("(max(doc_id)*9) div 10").as("cutv"))
+      val flagged = docs.crossJoin(broadcast(cutDf))
+      (minhashSignatures(flagged.filter(col("doc_id") < col("cutv")))
+          .localCheckpoint(eager = true),
+        minhashSignatures(flagged.filter(col("doc_id") >= col("cutv")))
+          .localCheckpoint(eager = true))
+    }
 
   /** one oracle for both incremental-LSH paths (broadcast probe and
     * large-batch shuffle probe) — identical verdicts required of both. */
@@ -395,30 +392,38 @@ object TextOps {
     * sign+group+expand pipeline again measured the wrong thing. The
     * checkpoint (not .persist) survives the bench's per-run cache clears,
     * and the fpGroups cache is released once the pairs are materialized. */
-  private val wpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val wpCache = new graft.core.SessionCache[DataFrame]()
   private def winnowPairs(s: SparkSession, d: String): DataFrame =
-    wpCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d,
-      _ => {
-        val grouped = fpGroups(s, d).persist()
-        val pairs = pairsFromGroups(grouped).localCheckpoint(eager = true)
-        grouped.unpersist(blocking = false)
-        pairs
-      })
+    wpCache.get(s, d) {
+      val grouped = fpGroups(s, d).persist()
+      val pairs = pairsFromGroups(grouped).localCheckpoint(eager = true)
+      grouped.unpersist(blocking = false)
+      pairs
+    }
+
+  /** cold-build hook: force the memoized winnow-pair artifact so the
+    * bench's artifact pass can time the pair build in isolation. */
+  private[graft] def buildWinnowPairs(s: SparkSession, d: String): Unit = {
+    winnowPairs(s, d); ()
+  }
 
   /** near-dup cluster labels over [[winnowPairs]] — memoized like the
     * pairs themselves (the cluster assignment is THE per-snapshot dedup
     * artifact; four queries consume it). Eager localCheckpoint: the
     * pointer-jumping RDD loop runs once per (session, dataset). */
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ccCache = new graft.core.SessionCache[DataFrame]()
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    ccCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d,
-      _ => connectedComponents(
+    ccCache.get(s, d) {
+      connectedComponents(
         winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
-        .localCheckpoint(eager = true))
+        .localCheckpoint(eager = true)
+    }
+
+  /** cold-build hook: force the memoized cluster labels so the bench's
+    * artifact pass can time the pointer-jumping loop in isolation. */
+  private[graft] def buildClusterLabels(s: SparkSession, d: String): Unit = {
+    clusterLabels(s, d); ()
+  }
 
   /** Connected components over an undirected pair graph `(doc_a, doc_b)`:
     * returns one `(doc_id, label)` row per node, label = min node id of

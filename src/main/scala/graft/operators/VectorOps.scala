@@ -109,19 +109,16 @@ object VectorOps {
     * one-time index-build step of the vector store (a probe never
     * re-quantizes the corpus), and the checkpoint survives the bench's
     * per-run cache clears. One narrow map pass per dataset, total. */
-  private val quantCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def quantized(s: SparkSession, d: String, withBucket: Boolean): DataFrame =
-    quantCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d + "@" + withBucket,
-      _ => {
-        val base = T.embeddings(s, d)
-          .withColumn("qarr", quantArr("embedding"))
-          .withColumn("nrm", normOf("qarr"))
-        (if (withBucket) {
-          base.withColumn("bucket", signBucket("embedding").cast(LongType))
-        } else base).localCheckpoint(eager = true)
-      })
+  private val quantCache = new graft.core.SessionCache[DataFrame]()
+  private[graft] def quantized(s: SparkSession, d: String, withBucket: Boolean): DataFrame =
+    quantCache.get(s, d + "@" + withBucket) {
+      val base = T.embeddings(s, d)
+        .withColumn("qarr", quantArr("embedding"))
+        .withColumn("nrm", normOf("qarr"))
+      (if (withBucket) {
+        base.withColumn("bucket", signBucket("embedding").cast(LongType))
+      } else base).localCheckpoint(eager = true)
+    }
 
   // ── reusable embedding dedup-index API (dd_incremental_embed[_big];
   //    streaming: Pipelines.embedDupGate) — the vector mirror of TextOps'
@@ -182,11 +179,21 @@ object VectorOps {
   /** exactly-once pair emission for a code-table join: TRUE iff the join's
     * table `t` is the FIRST table where the two vectors' codes agree — so a
     * pair colliding in several tables survives on exactly one row, as a
-    * row-local codegen'd filter (zip_with + array_position over two 4-long
-    * arrays) instead of a candidate-sized dedup shuffle. */
-  private def firstTableMatch(codesA: String, codesB: String): Column =
-    expr(s"array_position(zip_with($codesA, $codesB, (x, y) -> x = y), true)") ===
-      col("t").cast(LongType) + 1L
+    * row-local filter instead of a candidate-sized dedup shuffle.
+    *
+    * UNROLLED over the [[EmbedCodeTables]]=4 fixed tables: the round-8 form
+    * (`array_position(zip_with(...))`) used higher-order functions, which
+    * are CodegenFallback and knocked the whole candidate-join stage out of
+    * whole-stage codegen (dd_embed_cosine audited `codegen_spans: 0`). The
+    * equivalent boolean over `GetArrayItem` comparisons stays inside
+    * codegen: match at the row's table, disagree at every earlier one. */
+  private def firstTableMatch(codesA: String, codesB: String): Column = {
+    def eqAt(i: Int): Column = col(codesA).getItem(i) === col(codesB).getItem(i)
+    (0 until EmbedCodeTables).map { t =>
+      (0 until t).map(u => !eqAt(u))
+        .foldLeft(col("t") === t && eqAt(t))(_ && _)
+    }.reduce(_ || _)
+  }
 
   /** probe a persisted embedding index with a new batch → one verdict row
     * per new vector (vec_id, n_cand, best_cos, is_dup at `threshold`).
@@ -343,21 +350,18 @@ object VectorOps {
     * as eager localCheckpoints — the corpus embedding index is the
     * persisted artifact of the incremental story (see the text-side
     * incrementalSplit for the full rationale). */
-  private val embSplitCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame)]()
+  private val embSplitCache = new graft.core.SessionCache[(DataFrame, DataFrame)]()
   private[graft] def embedIncrementalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    embSplitCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d,
-      _ => {
-        val emb = embeddingIndex(
-          T.embeddings(s, d).select(col("vec_id"), col("embedding")))
-        val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
-        val flagged = emb.crossJoin(broadcast(cut))
-        (flagged.filter(col("vec_id") >= col("cutv")).drop("cutv")
-            .localCheckpoint(eager = true),
-          flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
-            .localCheckpoint(eager = true))
-      })
+    embSplitCache.get(s, d) {
+      val emb = embeddingIndex(
+        T.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val cut = emb.agg(expr("(max(vec_id)*9) div 10").as("cutv"))
+      val flagged = emb.crossJoin(broadcast(cut))
+      (flagged.filter(col("vec_id") >= col("cutv")).drop("cutv")
+          .localCheckpoint(eager = true),
+        flagged.filter(col("vec_id") < col("cutv")).drop("cutv")
+          .localCheckpoint(eager = true))
+    }
 
   /** brute-force cosine top-k (query set = vec_id < 16, k = 5): broadcast
     * queries, pairwise codegen'd integer dot folds, bounded top-k agg.
@@ -606,12 +610,10 @@ object VectorOps {
     * construction + lookup ([[pqAdcTables]]). Shared by `ss_topk_pq` /
     * `ss_topk_ivfpq` / the recall/MRR panels. */
   private final case class PqIdx(cb: DataFrame, codes: DataFrame)
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, PqIdx]()
+  private val pqCache = new graft.core.SessionCache[PqIdx]()
   private def pqIndex(s: SparkSession, d: String): PqIdx =
-    pqCache.computeIfAbsent(
-      System.identityHashCode(s).toHexString + "@" + d,
-      _ => {
+    pqCache.get(s, d) {
+      {
         val sub = pqSub(quantized(s, d, withBucket = false))
         val cb = sub.filter(col("vec_id") < PqK)
           .select(col("vec_id").as("cid"), col("sp"), col("sarr").as("carr"))
@@ -631,7 +633,14 @@ object VectorOps {
             col("best.cid").as("cid"), col("best.cn").as("cn"))
           .localCheckpoint(eager = true)
         PqIdx(cb, codes)
-      })
+      }
+    }
+
+  /** cold-build hook: force the memoized PQ codebook + corpus code table
+    * so the bench's artifact pass can time the index build in isolation. */
+  private[graft] def buildPqIndex(s: SparkSession, d: String): Unit = {
+    pqIndex(s, d); ()
+  }
 
   /** per-query ADC lookup tables (q_id, sp, cid, pdot) against a built
     * [[pqIndex]] — the query-time half of PQ scoring. */
@@ -691,7 +700,7 @@ object VectorOps {
     * on 4-byte codes); only the composed top-15 pays exact rerank. */
   private def topkIvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = quantized(s, d, withBucket = false)
-    val cand = ivfCand(emb)
+    val cand = ivfCand(s, d)
     val (codes, qd) = pqEncode(s, d)
     val qn = emb.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("q_id"), col("nrm").as("nq"))
@@ -715,8 +724,8 @@ object VectorOps {
     * BoundedTopK aggregation pass, exact integer-cosine rerank inside the
     * probed posting lists only. Shared by `ss_topk_ivf` and the `ss_recall`
     * panel. */
-  private def ivfCand(emb: DataFrame): DataFrame = {
-    val cells = ivfCells(emb)
+  private def ivfCand(s: SparkSession, d: String): DataFrame = {
+    val cells = ivfCells(s, d)
     val assign = cells.select(col("vec_id"), col("cell"))
     val probe = cells.filter(col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), explode(col("cells")("_2")).as("cell"))
@@ -729,14 +738,16 @@ object VectorOps {
     * per (session, dataset) as an eager localCheckpoint: centroid
     * training and corpus assignment are the one-time index build (no
     * vector store re-clusters per query); a query pays only the posting-
-    * list probe + rerank in [[ivfCand]]'s tail. One row per vector. */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def ivfCells(emb: DataFrame): DataFrame =
-    ivfCache.computeIfAbsent(
-      System.identityHashCode(emb.sparkSession).toHexString + "@" +
-        System.identityHashCode(emb).toHexString,
-      _ => {
+    * list probe + rerank in [[ivfCand]]'s tail. One row per vector. Keyed
+    * per (session object, dataset) — the round-8 key was the INPUT FRAME's
+    * identity hash, which a collected frame's reused hash could alias to a
+    * different corpus; the dataset dir is the stable identity of what the
+    * cells were trained on. */
+  private val ivfCache = new graft.core.SessionCache[DataFrame]()
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    ivfCache.get(s, d) {
+      {
+        val emb = quantized(s, d, withBucket = false)
         val n = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         val flat = emb.select(col("vec_id"), col("label"),
             posexplode(col("qarr")).as(Seq("i0", "v")))
@@ -757,11 +768,18 @@ object VectorOps {
           .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cell"),
             top2(col("d2"), col("cl")).as("cells"))
           .localCheckpoint(eager = true)
-      })
+      }
+    }
+
+  /** cold-build hook: force the memoized IVF cell assignment so the
+    * bench's artifact pass can time centroid training in isolation. */
+  private[graft] def buildIvfCells(s: SparkSession, d: String): Unit = {
+    ivfCells(s, d); ()
+  }
 
   private def topkIvf(s: SparkSession, d: String): DataFrame = {
     val emb = quantized(s, d, withBucket = false)
-    val cand = ivfCand(emb)
+    val cand = ivfCand(s, d)
     val qSide = emb.select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
       col("nrm").as("nq"))
     val nSide = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))

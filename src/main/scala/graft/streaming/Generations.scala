@@ -54,10 +54,15 @@ object Generations {
   def before(dir: String, batchId: Long): Option[String] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return None
+    // toLongOption, not toLong: a stray non-numeric `gen=...` entry (a
+    // half-cleaned temp dir, a hand-placed marker) must be SKIPPED — a
+    // NumberFormatException here would crash every subsequent micro-batch
+    // of every gate sharing the state root (markerGen parses the same way)
     val gens = scala.util.Using.resource(Files.list(d)) { st =>
       st.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
+        .filter(_.startsWith("gen="))
+        .flatMap(_.drop(4).toLongOption)
         .filter(_ < batchId).toSeq
     }
     if (gens.isEmpty) None else Some(s"$dir/gen=${gens.max}")

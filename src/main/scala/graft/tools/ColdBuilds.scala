@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{QualityOps, ScaleOps, TextOps, VectorOps}
+
+/** The registry of one-time memoized artifact builds — everything a
+  * production pipeline would persist once per corpus snapshot and that the
+  * engine memoizes per (session, dataset): quantized vector indexes, PQ
+  * codebooks, IVF cells, MinHash/embedding incremental-split indexes,
+  * winnow pairs, near-dup cluster labels, the trained quality classifier,
+  * and the bucketed at-rest layout.
+  *
+  * Why this exists: the bench's min-of-3 protocol plus memoization means a
+  * consumer query's timed runs NEVER pay these builds — `tx_classifier_train`
+  * reports ~0.04 s because training happened once during warmup. At 100 TB
+  * these builds ARE the pipeline, so the bench times them separately
+  * (Bench's cold pass) and reports cold and warm numbers side by side.
+  *
+  * Entries are in DEPENDENCY ORDER (pq/ivf read the quantized corpus,
+  * cluster labels read winnow pairs): timing each build with its upstreams
+  * already built attributes each artifact its own incremental cost, and
+  * the sum is the true cold total.
+  */
+object ColdBuilds {
+  val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "vec_quantized" ->
+      ((s: SparkSession, d: String) => { VectorOps.quantized(s, d, withBucket = false); () }),
+    "vec_quantized_bucketed" ->
+      ((s: SparkSession, d: String) => { VectorOps.quantized(s, d, withBucket = true); () }),
+    "vec_embed_split_index" ->
+      ((s: SparkSession, d: String) => { VectorOps.embedIncrementalSplit(s, d); () }),
+    "vec_pq_index" ->
+      ((s: SparkSession, d: String) => VectorOps.buildPqIndex(s, d)),
+    "vec_ivf_cells" ->
+      ((s: SparkSession, d: String) => VectorOps.buildIvfCells(s, d)),
+    "text_minhash_split_index" ->
+      ((s: SparkSession, d: String) => { TextOps.incrementalSplit(s, d); () }),
+    "text_winnow_pairs" ->
+      ((s: SparkSession, d: String) => TextOps.buildWinnowPairs(s, d)),
+    "text_cluster_labels" ->
+      ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
+    "classifier_state" ->
+      ((s: SparkSession, d: String) => QualityOps.buildClassifierState(s, d)),
+    "bucketed_tables" ->
+      ((s: SparkSession, d: String) => ScaleOps.buildBucketedTables(s, d)))
+}

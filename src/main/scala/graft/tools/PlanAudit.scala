@@ -1,7 +1,9 @@
 package graft.tools
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.core.QueryRegistry
@@ -10,12 +12,50 @@ import graft.core.QueryRegistry
   * small SF and writes one JSON line per query with the plan-quality
   * counters PlanSpec asserts pointwise — shuffle exchanges, broadcasts,
   * whole-stage-codegen spans, cartesian products, and pushed-filter
-  * presence. The output (`plan_audit.json`) is the at-a-glance evidence
-  * that the fleet's physical plans stay scale-shaped, and a diff of it
-  * across rounds shows exactly which query's plan regressed.
+  * presence — plus MEASURED stage-metric bytes (shuffle read/write,
+  * memory/disk spill) from a SparkListener: the operator counts say the
+  * plans are scale-shaped, the bytes say it louder (a query with two
+  * Exchanges moving 40 MB is a different animal from one moving 40 GB,
+  * and any nonzero spill at sf0.001 flags a memory-shape problem long
+  * before 100 TB does). The output (`plan_audit.json`) is the at-a-glance
+  * evidence that the fleet's physical plans stay scale-shaped, and a diff
+  * of it across rounds shows exactly which query's plan regressed.
   * Usage: runMain graft.tools.PlanAudit [sfDir] [outPath]
   */
 object PlanAudit {
+
+  /** cumulative stage-metric bytes; per-query deltas are taken around each
+    * execution. Listener delivery is async — [[settle]] polls until two
+    * consecutive reads agree, so a query's trailing stage-completed events
+    * land in its own row, not its successor's. */
+  private final class BytesListener extends SparkListener {
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: Seq[Long] =
+      Seq(shufRead.get, shufWrite.get, spillMem.get, spillDisk.get)
+    def settle(): Seq[Long] = {
+      var prev = snapshot
+      var tries = 0
+      while (tries < 40) {
+        Thread.sleep(50)
+        val cur = snapshot
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outPath = if (args.length > 1) args(1) else "plan_audit.json"
@@ -35,10 +75,31 @@ object PlanAudit {
       n
     }
 
+    val bytes = new BytesListener
+    spark.sparkContext.addSparkListener(bytes)
+
+    // build the memoized one-time artifacts FIRST (same framing as the
+    // bench's cold pass): per-query bytes then measure each query's own
+    // steady-state traffic, and the artifact-build traffic is reported
+    // as its own row instead of landing in whichever consumer ran first
+    val coldBefore = bytes.settle()
+    ColdBuilds.all.foreach { case (_, build) =>
+      try build(spark, sfDir) catch { case _: Throwable => () }
+    }
+    val coldAfter = bytes.settle()
+    val coldLine = {
+      val Seq(r, w, m, dd) = coldAfter.zip(coldBefore).map { case (a, b) => a - b }
+      s"""{"query":"__cold_artifact_builds__","shuffle_read_bytes":$r,""" +
+        s""""shuffle_write_bytes":$w,"spill_mem_bytes":$m,"spill_disk_bytes":$dd}"""
+    }
+
     val lines = QueryRegistry.all.map { q =>
       try {
+        val before = bytes.settle()
         val df = q.fn(spark, sfDir)
         df.collect() // finalize AQE so the executed plan is the real one
+        val after = bytes.settle()
+        val Seq(shufR, shufW, spM, spD) = after.zip(before).map { case (a, b) => a - b }
         val p = df.queryExecution.executedPlan.toString
         // codegen renders as "*(n)" operator prefixes, one id per
         // whole-stage span — count DISTINCT ids, not occurrences
@@ -57,7 +118,11 @@ object PlanAudit {
           "bnlj" -> count(p, "BroadcastNestedLoopJoin"),
           "sorts" -> count(p, "Sort ["),
           "windows" -> count(p, "Window ["))
-          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",") +
+          // measured bytes, not estimates: what actually crossed the wire
+          // and what actually spilled during this query's jobs
+          s""","shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW""" +
+          s""","spill_mem_bytes":$spM,"spill_disk_bytes":$spD"""
         val pushed = p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")
         s"""{"query":"${q.name}",$obj,"pushed_filters":$pushed}"""
       } catch { case e: Throwable =>
@@ -65,7 +130,7 @@ object PlanAudit {
              .replaceAll("[\"\\\\\n\r\t]", " ").take(120)}"}"""
       }
     }
-    Files.writeString(Paths.get(outPath), lines.mkString("\n") + "\n")
+    Files.writeString(Paths.get(outPath), (coldLine +: lines).mkString("\n") + "\n")
     // scalastyle:off println
     println(s"[plan-audit] ${lines.size} queries -> $outPath")
     // scalastyle:on println
