@@ -163,18 +163,28 @@ object VectorOps {
     * full code array lets a join dedup multi-table collisions with
     * [[firstTableMatch]] — a row-local filter instead of a per-pair
     * aggregation shuffle. */
-  def embedCodeTable(idx: DataFrame): DataFrame =
+  def embedCodeTable(idx: DataFrame): DataFrame = {
+    // UNROLLED code derivation (4 tables × 16 bits = 64 fixed terms over
+    // try_element_at, which is codegen'd): the round-8 form used
+    // transform/aggregate/sequence higher-order functions — CodegenFallback
+    // expressions that pushed every consumer's scan-side projection (and
+    // with it the candidate join) out of whole-stage codegen
+    // (dd_embed_cosine audited codegen_spans 0). A slice index beyond a
+    // short vector's length still contributes no bit: try_element_at
+    // yields NULL, NULL >= 0 is NULL, and `when` falls through to 0.
+    def codeAt(t: Int): Column =
+      (1 to EmbedCodeBits).map { i =>
+        when(expr(s"try_element_at(qarr, ${t * EmbedCodeBits + i})") >= 0L,
+          lit(1L << (i - 1))).otherwise(lit(0L))
+      }.reduce(_ + _)
     idx.select(col("vec_id"), col("qarr"), col("nrm"))
-      .withColumn("codes", expr(
-        s"transform(sequence(0, ${EmbedCodeTables - 1}), t -> " +
-          s"aggregate(sequence(1, $EmbedCodeBits), cast(0 as bigint), (acc, i) -> " +
-          s"acc + if(try_element_at(qarr, t*$EmbedCodeBits + i) >= cast(0 as bigint), " +
-          s"cast(pow(2, i-1) as bigint), cast(0 as bigint))))"))
+      .withColumn("codes", array((0 until EmbedCodeTables).map(codeAt): _*))
       .select(col("vec_id"), col("qarr"), col("nrm"), col("codes"),
         posexplode(col("codes")).as(Seq("t", "code")))
       .withColumn("bkey",
         col("t").cast(LongType) * (1L << EmbedCodeBits) + col("code"))
       .drop("code")
+  }
 
   /** exactly-once pair emission for a code-table join: TRUE iff the join's
     * table `t` is the FIRST table where the two vectors' codes agree — so a
@@ -1055,8 +1065,13 @@ object VectorOps {
          |  JOIN norms nb ON nb.vec_id = vec_b)
          |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val codes = embedCodeTable(embeddingIndex(
-        T.embeddings(s, d).select(col("vec_id"), col("embedding"))))
+      // codes derive from the MEMOIZED quantized corpus index (the same
+      // persisted artifact every ANN variant reads): the checkpoint scan
+      // keeps the transform-based quantization out of this plan, so the
+      // candidate join stays inside whole-stage codegen end to end
+      val codes = embedCodeTable(
+        quantized(s, d, withBucket = false)
+          .select(col("vec_id"), col("qarr"), col("nrm")))
       val a = codes.select(col("vec_id").as("vec_a"), col("qarr").as("qa"),
         col("nrm").as("na"), col("codes").as("ca"), col("t"), col("bkey"))
       val b = codes.select(col("vec_id").as("vec_b"), col("qarr").as("qb"),

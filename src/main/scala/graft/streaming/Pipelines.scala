@@ -84,11 +84,24 @@ object Pipelines {
 
   def upsertBatch(spark: SparkSession, stateDir: String,
       batch: DataFrame, keys: Seq[String],
-      nBuckets: Int = StateBuckets): Unit = {
+      nBuckets: Int = StateBuckets,
+      filesPerBucket: Int = 0): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
     val fs = root.getFileSystem(conf)
     ensureBucketMarker(fs, root, nBuckets)
+    // Generation FILE WIDTH: a bucket merge's join inherits the session's
+    // shuffle width, so an un-coalesced write leaves shuffle.partitions
+    // near-empty part files per bucket PER GENERATION — measured in the
+    // end-to-end chain: 32 buckets × 32 files = ~1k files per micro-batch
+    // for 20 MB of state, and per-batch latency was dominated by file
+    // creation, not data (E2EBench p50 went 15.6 s → see README). Default
+    // keeps TOTAL write parallelism at the session's shuffle width (one
+    // file per bucket at 32/32); a state whose buckets outgrow one
+    // task's comfort raises the knob (or nBuckets) explicitly.
+    val perBucketFiles =
+      if (filesPerBucket > 0) filesPerBucket
+      else math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt / nBuckets)
     val bkt = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
     val batchB = batch.withColumn("__bkt", bkt).persist()
     val touched = batchB.select(col("__bkt")).distinct()
@@ -108,7 +121,7 @@ object Pipelines {
       // generation behind
       val next =
         if (curComplete) new Path(bDir, f"gen=${genNo(cur) + 1}%06d") else cur
-      merged.write.mode("overwrite").parquet(next.toString)
+      merged.coalesce(perBucketFiles).write.mode("overwrite").parquet(next.toString)
       fs.listStatus(bDir).map(_.getPath)
         .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
         .foreach(p => fs.delete(p, true))

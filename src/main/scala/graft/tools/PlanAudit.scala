@@ -97,10 +97,15 @@ object PlanAudit {
       try {
         val before = bytes.settle()
         val df = q.fn(spark, sfDir)
-        df.collect() // finalize AQE so the executed plan is the real one
+        val nRows = df.collect().length // finalize AQE → real executed plan
         val after = bytes.settle()
         val Seq(shufR, shufW, spM, spD) = after.zip(before).map { case (a, b) => a - b }
         val p = df.queryExecution.executedPlan.toString
+        // a query whose RESULT is empty at this SF collapses to
+        // EmptyRelation under AQE — its plan string then carries no
+        // codegen markers AT ALL (there is no plan left to run), so a
+        // 0-span row must be read against this flag, not as fallback
+        val emptyCollapse = nRows == 0 && p.contains("EmptyRelation")
         // codegen renders as "*(n)" operator prefixes, one id per
         // whole-stage span — count DISTINCT ids, not occurrences
         val codegenSpans =
@@ -122,7 +127,8 @@ object PlanAudit {
           // measured bytes, not estimates: what actually crossed the wire
           // and what actually spilled during this query's jobs
           s""","shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW""" +
-          s""","spill_mem_bytes":$spM,"spill_disk_bytes":$spD"""
+          s""","spill_mem_bytes":$spM,"spill_disk_bytes":$spD""" +
+          s""","rows":$nRows,"empty_collapse":$emptyCollapse"""
         val pushed = p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")
         s"""{"query":"${q.name}",$obj,"pushed_filters":$pushed}"""
       } catch { case e: Throwable =>
