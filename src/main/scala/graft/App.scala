@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Config
+import graft.operators.EventUnion
+import graft.streaming.{CandleStream, HeadLivenessListener, Pipelines, Triggers}
+
+/** The APP SHELL — the reference's boot path (app.py:30-51 → tasks.py /
+  * tasks_manager.py) as one config-driven entry point: resolve the
+  * settings document with env overrides (core.Config, the
+  * config_parser.py precedence rules), read the store coordinates from it
+  * (`mongo.db` → dataset root to READ, `mongo.uri` → state root to
+  * WRITE — the parquet document-store profile), start the task set at the
+  * `tasks.<name>.interval` cadences, the liveness watchdog, and the
+  * serving tier.
+  *
+  * Tasks wired (the §2.9 streaming shell, each its own micro-batch query):
+  *  - `scan_raw_txs`: the events file stream → canonical per-event
+  *    Transaction derivation (EventUnion.canonical — the oracle-checked
+  *    one) → keyed idempotent upsert into the bucketed generation state +
+  *    cursor advance with audit history.
+  *  - `scan_prices`: the same stream folded into live OHLC candle state
+  *    (CandleStream on the Generations protocol), served by
+  *    `/prices/ohlc` from the page cache.
+  *
+  * `networks.<net>.app_mode` is read eagerly and fails loudly on an
+  * unknown network — the reference's KeyError-at-boot behavior
+  * (tasks.py:43).
+  *
+  * Usage: runMain graft.GraftApp <settings.json> <connectionNet> <configNet>
+  * (each arg overridable by APP_CONFIG / APP_CONNECTION_NETWORK /
+  * APP_CONFIG_NETWORK, exactly like the reference.)
+  */
+object GraftApp {
+
+  /** a booted app: the live serving port, the streaming task handles, and
+    * a clean shutdown. */
+  final case class Running(
+      server: graft.serving.ApiServer,
+      port: Int,
+      tasks: Seq[StreamingQuery],
+      watchdog: HeadLivenessListener,
+      stateRoot: String) {
+    def stop(): Unit = {
+      tasks.foreach(q => try q.stop() catch { case _: Throwable => () })
+      server.stop()
+    }
+  }
+
+  /** boot against an existing session — the testable core ([[main]] adds
+    * only arg/env resolution and blocking). */
+  def boot(spark: SparkSession, cfg: Config.Resolved): Running = {
+    val dataDir = cfg.storeDb
+    val stateRoot = cfg.storeUri.stripPrefix("file://").stripPrefix("file:")
+    val appMode = cfg.appMode // fail-at-boot on a typo'd network, as the reference does
+    require(appMode.nonEmpty)
+
+    val watchdog = new HeadLivenessListener()
+    spark.streams.addListener(watchdog)
+
+    // the driver datasets ship events as a single FILE, and a file-stream
+    // source's base path must be a directory — stream the dataset root
+    // with a glob pinned to the events file(s)
+    val evPath = s"$dataDir/events.parquet"
+    val schema = spark.read.parquet(evPath).schema
+    def eventStream: DataFrame =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dataDir)
+
+    // scan_raw_txs: stream → canonical derivation → Transaction upsert +
+    // cursor advance. The chain head is the max block seen so far — the
+    // same running-head discipline as the scan loop's cursor.
+    @volatile var head = 0L
+    val scanTxs = eventStream.writeStream
+      .queryName("scan_raw_txs")
+      .trigger(Triggers.forTask(cfg, "scan_raw_txs", Triggers.Events))
+      .option("checkpointLocation", s"$stateRoot/_ckpt/scan_raw_txs")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().persist()
+        val mx = b.agg(max(col("event_id"))).collect()(0)
+        if (!mx.isNullAt(0)) head = math.max(head, mx.getLong(0))
+        val tx = EventUnion.canonical(b,
+          spark.range(1).select(lit(head).as("h")))
+        Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", tx,
+          Seq("event_id", "event", "address"))
+        Pipelines.advanceCursor(spark, stateRoot,
+          spark.range(1).select(
+            lit(true).as("processed"), lit(head).as("block_number"),
+            current_timestamp().as("block_ts"),
+            lit(head).as("last_raw_tx_block"),
+            lit(head).as("last_moc_status_block"),
+            current_timestamp().as("updatedAt")))
+        b.unpersist()
+        ()
+      }.start()
+
+    // scan_prices: the price tier's live candle state.
+    val tsExpr = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    val scanPrices = eventStream
+      .select(tsExpr.as("ts"), col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .queryName("scan_prices")
+      .trigger(Triggers.forTask(cfg, "scan_prices", Triggers.Prices))
+      .option("checkpointLocation", s"$stateRoot/_ckpt/scan_prices")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        CandleStream.mergeBatch(batch.toDF(), s"$stateRoot/candles", batchId)
+      }.start()
+
+    // serving tier: dataset tables from the config's store db, live candle
+    // pages from the state this boot maintains
+    val server = new graft.serving.ApiServer(spark, dataDir,
+      candleDir = Some(s"$stateRoot/candles"))
+    val port = server.start()
+
+    Running(server, port, Seq(scanTxs, scanPrices), watchdog, stateRoot)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = Config.resolve(sys.env,
+      args.headOption.map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)),
+      args.lift(1), args.lift(2))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val running = boot(spark, cfg)
+    // scalastyle:off println
+    println(s"[graft-app] serving on port ${running.port}, " +
+      s"state under ${running.stateRoot}, mode ${cfg.appMode}")
+    // scalastyle:on println
+    running.tasks.foreach(_.awaitTermination())
+  }
+}

@@ -84,41 +84,57 @@ object E2EBench {
 
     val in = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
     val stream = in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value")
+    // per-stage wall accumulators: where the per-batch floor actually goes
+    val stageNs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def staged[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      try body finally stageNs
+        .computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong)
+        .addAndGet(System.nanoTime() - t0)
+    }
     val query = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().persist()
         val headDf = spark.range(1).select(lit(head).as("h"))
         // 1. canonical Transaction rows — the oracle-checked derivation
-        val tx = graft.operators.EventUnion.canonical(b, headDf)
-        Pipelines.upsertBatch(spark, txDir, tx,
-          Seq("event_id", "event", "address"))
+        staged("tx_upsert") {
+          val tx = graft.operators.EventUnion.canonical(b, headDf)
+          Pipelines.upsertBatch(spark, txDir, tx,
+            Seq("event_id", "event", "address"))
+        }
         // 2. dirty-user balance refresh: batch deltas folded onto the
         //    prior state (only touched users are rewritten — T6 shape)
-        val delta = userDelta(b)
-        val prior = scala.util.Try(Pipelines.readState(spark, userDir)).toOption
-        val absolute = prior match {
-          case Some(st) => delta.join(
-              st.select(col("user_id"), col("balance").as("prior_balance")),
-              Seq("user_id"), "left")
-            .select(col("user_id"),
-              (coalesce(col("prior_balance").cast(DecimalType(38, 4)), lit(0).cast(DecimalType(38, 4)))
-                + col("delta")).cast(DoubleType).as("balance"))
-          case None => delta.select(col("user_id"),
-            col("delta").cast(DoubleType).as("balance"))
+        staged("user_refresh") {
+          val delta = userDelta(b)
+          val prior = scala.util.Try(Pipelines.readState(spark, userDir)).toOption
+          val absolute = prior match {
+            case Some(st) => delta.join(
+                st.select(col("user_id"), col("balance").as("prior_balance")),
+                Seq("user_id"), "left")
+              .select(col("user_id"),
+                (coalesce(col("prior_balance").cast(DecimalType(38, 4)), lit(0).cast(DecimalType(38, 4)))
+                  + col("delta")).cast(DoubleType).as("balance"))
+            case None => delta.select(col("user_id"),
+              col("delta").cast(DoubleType).as("balance"))
+          }
+          Pipelines.upsertBatch(spark, userDir, absolute, Seq("user_id"))
         }
-        Pipelines.upsertBatch(spark, userDir, absolute, Seq("user_id"))
         // 3. OHLC candle state (price serving tier)
-        CandleStream.mergeBatch(
-          b.select(col("ts"), col("event_id"), col("event_type"), col("value")),
-          candleDir, batchId)
+        staged("candles") {
+          CandleStream.mergeBatch(
+            b.select(col("ts"), col("event_id"), col("event_type"), col("value")),
+            candleDir, batchId)
+        }
         // 4. cursor advance + audit history
-        Pipelines.advanceCursor(spark, cursorDir,
-          spark.range(1).select(
-            lit(true).as("processed"), lit(head).as("block_number"),
-            lit(headTs).as("block_ts"), lit(head).as("last_raw_tx_block"),
-            lit(head).as("last_moc_status_block"),
-            current_timestamp().as("updatedAt")))
+        staged("cursor") {
+          Pipelines.advanceCursor(spark, cursorDir,
+            spark.range(1).select(
+              lit(true).as("processed"), lit(head).as("block_number"),
+              lit(headTs).as("block_ts"), lit(head).as("last_raw_tx_block"),
+              lit(head).as("last_moc_status_block"),
+              current_timestamp().as("updatedAt")))
+        }
         b.unpersist()
         ()
       }.start()
@@ -180,6 +196,11 @@ object E2EBench {
       s""""freshness_ms":{"p50":${fmt(pct(freshMs.toSeq, 0.5))},"p99":${fmt(pct(freshMs.toSeq, 0.99))}},""" +
       s""""serve_ohlc_ms":{"p50":${fmt(pct(serveMs.toSeq, 0.5))},"p99":${fmt(pct(serveMs.toSeq, 0.99))}},""" +
       s""""events_per_sec":${fmt(rows.length / ingestSec.sum)},""" +
+      s""""stage_mean_sec":{${
+        scala.jdk.CollectionConverters.MapHasAsScala(stageNs).asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${fmt(v.get / 1e9 / ingestSec.length)}""" }
+          .mkString(",")
+      }},""" +
       s""""state":{"tx_rows":$nState,"users":$nUsers,"candle_days":$nDays,"cursor_advances":$nCursor},""" +
       s""""reference_budget":{"scan_interval_sec":"3-10","block_time_sec":30,"task_timeout_sec":180}}""")
     // scalastyle:on println
