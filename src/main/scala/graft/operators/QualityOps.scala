@@ -663,6 +663,64 @@ object QualityOps {
         .orderBy(col("true_count").desc, col("token"))
     },
 
+    // CMS shard-merge — the ADDITIVE half of the sketch-mergeability story
+    // (the HLL union in `a15_hll_union` is the max-merge half): two
+    // Count-Min sketches built INDEPENDENTLY over disjoint corpus shards
+    // (doc_id parity — stand-in for per-partition / per-day partials at
+    // 100 TB) merged by plain (j, pos) cell summation, then evaluated
+    // against the sketch built over the whole corpus in one pass. The
+    // `merge_delta` column is 0 on every row — merged-then-estimate equals
+    // build-over-everything, the algebra that lets a 100 TB pipeline keep
+    // one ≤4096-row sketch per shard and combine them without a second
+    // scan. Same integer-exact construction as `tx_cms_heavyhitters`
+    // (shared graft.functions.Cms, also the streaming gate's state).
+    Q(
+      "tx_cms_shard_merge",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         |th AS (SELECT doc_id, token, ${sid60Sql("token")} AS h FROM tok),
+         |shardcells AS (
+         |  SELECT t.doc_id % 2 AS shard, r.j, (t.h >> (10*r.j)) & 1023 AS pos, count(*) AS cnt
+         |  FROM th t CROSS JOIN range(4) r(j) GROUP BY 1, 2, 3),
+         |merged AS (SELECT j, pos, CAST(sum(cnt) AS BIGINT) AS cnt FROM shardcells GROUP BY 1, 2),
+         |whole AS (
+         |  SELECT r.j, (t.h >> (10*r.j)) & 1023 AS pos, count(*) AS cnt
+         |  FROM th t CROSS JOIN range(4) r(j) GROUP BY 1, 2),
+         |truth AS (SELECT token, any_value(h) AS h, count(*) AS true_count
+         |          FROM th GROUP BY token),
+         |top AS (SELECT * FROM truth ORDER BY true_count DESC, token LIMIT 20),
+         |estm AS (
+         |  SELECT t.token, t.true_count, min(c.cnt) AS cms_merged
+         |  FROM top t JOIN merged c ON c.pos = (t.h >> (10*c.j)) & 1023
+         |  GROUP BY 1, 2),
+         |estw AS (
+         |  SELECT t.token, min(c.cnt) AS cms_whole
+         |  FROM top t JOIN whole c ON c.pos = (t.h >> (10*c.j)) & 1023
+         |  GROUP BY 1)
+         |SELECT m.token, m.true_count, m.cms_merged, w.cms_whole,
+         |  m.cms_merged - w.cms_whole AS merge_delta
+         |FROM estm m JOIN estw w USING (token)
+         |ORDER BY m.true_count DESC, m.token""".stripMargin) { (s, d) =>
+      val th = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .withColumn("h", sid60(col("token")))
+      // two sketches, each built seeing only its shard
+      val merged = graft.functions.Cms.cells(th.filter(col("doc_id") % 2 === 0))
+        .unionByName(graft.functions.Cms.cells(th.filter(col("doc_id") % 2 =!= 0)))
+        .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+      val whole = graft.functions.Cms.cells(th)
+      val top = th.groupBy(col("token"))
+        .agg(first(col("h")).as("h"), count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("token")).limit(20)
+      val em = graft.functions.Cms.estimate(top, merged)
+        .withColumnRenamed("cms_est", "cms_merged")
+      val ew = graft.functions.Cms.estimate(top.select(col("token"), col("h")), whole)
+        .withColumnRenamed("cms_est", "cms_whole").drop("h")
+      em.join(ew, Seq("token"))
+        .select(col("token"), col("true_count"), col("cms_merged"), col("cms_whole"),
+          (col("cms_merged") - col("cms_whole")).as("merge_delta"))
+        .orderBy(col("true_count").desc, col("token"))
+    },
+
     // Corpus length-distribution report: per-language token-count
     // percentiles (EXACT linear-interpolated percentile, not approx — the
     // report a curation run prints before choosing length cutoffs). One

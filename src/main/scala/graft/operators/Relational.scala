@@ -213,6 +213,78 @@ object Relational {
             " / CAST(s4 AS DOUBLE)").as("n_users_approx"))
     },
 
+    // A1-at-scale, part 2 — sketch MERGEABILITY, the property that makes a
+    // distinct-count sketch a cross-partition / cross-day combine at 100 TB:
+    // two INDEPENDENT 64-register HLLs (one per event type, built without
+    // seeing each other's input) merged by register-wise MAX estimate the
+    // UNION's cardinality, while the plain SUM of the two per-sketch
+    // estimates over-counts the overlap — both facts visible in the one
+    // output row beside the exact union count. Same deterministic
+    // construction as `a1b_approx_distinct` (md5-derived 60-bit hash,
+    // bit-LENGTH rank, 128-bit-exact harmonic sum, one fixed chain of
+    // correctly-rounded double ops), so the compare is exact cross-engine.
+    // Scale shape: each sketch is ≤64 rows; the merge is a ≤128-row
+    // shuffle — constant regardless of input size.
+    Q(
+      "a15_hll_union",
+      """WITH f AS (
+        |  SELECT DISTINCT event_type AS grp, user_id FROM events
+        |  WHERE event_type IN ('purchase','click')),
+        |h AS (
+        |  SELECT grp, CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h60
+        |  FROM f),
+        |r AS (
+        |  SELECT grp, h60 % 64 AS j,
+        |    CASE WHEN h60 // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h60 // 64)) END AS rho
+        |  FROM h),
+        |pg AS (SELECT grp, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |mrg AS (SELECT j, max(mj) AS mj FROM pg GROUP BY 1),
+        |su AS (SELECT
+        |    sum(CAST(CAST(1 AS BIGINT) << CAST(62 - mj AS INT) AS HUGEINT))
+        |      + (64 - count(*)) * CAST(4611686018427387904 AS HUGEINT) AS s4
+        |  FROM mrg),
+        |sg AS (SELECT grp,
+        |    sum(CAST(CAST(1 AS BIGINT) << CAST(62 - mj AS INT) AS HUGEINT))
+        |      + (64 - count(*)) * CAST(4611686018427387904 AS HUGEINT) AS s4
+        |  FROM pg GROUP BY 1),
+        |eg AS (SELECT grp,
+        |    (CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096 * CAST(4611686018427387904 AS DOUBLE)
+        |      / CAST(s4 AS DOUBLE) AS e FROM sg),
+        |x AS (SELECT count(DISTINCT user_id) AS n_union_exact FROM f)
+        |SELECT x.n_union_exact,
+        |  (CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096 * CAST(4611686018427387904 AS DOUBLE)
+        |    / CAST(su.s4 AS DOUBLE) AS n_union_approx,
+        |  (SELECT max(CASE WHEN grp = 'purchase' THEN e END)
+        |        + max(CASE WHEN grp = 'click' THEN e END) FROM eg) AS n_sum_parts_approx
+        |FROM su, x""".stripMargin) { (s, d) =>
+      val f = T.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("grp"), col("user_id")).distinct()
+      val h = f.select(col("grp"),
+        conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("h60"))
+      val r = h.select(col("grp"), expr("h60 % 64").as("j"),
+        when(expr("h60 div 64") === 0, 55)
+          .otherwise(lit(55) - length(bin(expr("h60 div 64")))).as("rho"))
+      val pg = r.groupBy(col("grp"), col("j")).agg(max(col("rho")).as("mj"))
+      def s4Agg = (sum(expr(
+          "CAST(shiftleft(CAST(1 AS BIGINT), CAST(62 - mj AS INT)) AS DECIMAL(38,0))"))
+        + (lit(64) - count(lit(1))).cast(DecimalType(38, 0))
+          * lit(4611686018427387904L).cast(DecimalType(38, 0))).as("s4")
+      def estOfS4 = expr(
+        "(CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/64)) * 4096" +
+          " * CAST(4611686018427387904 AS DOUBLE) / CAST(s4 AS DOUBLE)")
+      val union = pg.groupBy(col("j")).agg(max(col("mj")).as("mj"))
+        .agg(s4Agg).select(estOfS4.as("n_union_approx"))
+      val parts = pg.groupBy(col("grp")).agg(s4Agg)
+        .select(col("grp"), estOfS4.as("e"))
+        .agg((max(when(col("grp") === "purchase", col("e")))
+          + max(when(col("grp") === "click", col("e")))).as("n_sum_parts_approx"))
+      f.agg(countDistinct(col("user_id")).as("n_union_exact"))
+        .crossJoin(union).crossJoin(parts)
+    },
+
     // A2 filtered row count (bp_user_operations.py:88-92).
     Q(
       "a2_filtered_count",
