@@ -73,72 +73,92 @@ object Pipelines {
     * Production can still swap in a transactional table format (Delta
     * MERGE) or Mongo upserts behind DocumentSink.
     *
-    * Touched-bucket merge jobs are INDEPENDENT (disjoint directories,
-    * disjoint key ranges) and run through a bounded pool of
-    * [[UpsertPoolSize]] concurrent Spark jobs, so per-batch latency tracks
-    * the LARGEST touched bucket, not the sum of all of them — the
-    * generation protocol needs no cross-bucket coordination, which
-    * StreamingSpec's concurrent-submission case pins.
+    * The merge is ONE Spark job no matter how many buckets the batch
+    * touches: the touched buckets' current generations are read as one
+    * union scan, merged with the batch in a single key shuffle, written
+    * bucket-partitioned into a staging dir (invisible to [[readState]]),
+    * and each touched bucket then atomically swaps — rename, `_SUCCESS`,
+    * retire — into its next generation. Earlier rounds ran one merge job
+    * PER bucket through a bounded thread pool — correct, but per-batch
+    * latency was dominated by 32 scheduler round-trips even at 20 MB of
+    * state (E2EBench's stage attribution measured ~3 s per upsert with
+    * the data itself near-free); one job makes per-batch cost track DATA,
+    * with cross-bucket parallelism coming from tasks instead of jobs.
+    * Crash windows are unchanged: a kill mid-staging leaves only an
+    * ignored `_staging-*` dir (reaped on the next batch), a kill mid-swap
+    * leaves every bucket with a complete generation (old or new), and
+    * replaying the batch is a no-op on contents.
+    *
+    * Generation FILE WIDTH: `filesPerBucket` (default 1) bounds the part
+    * files written per bucket per generation — the tiny-files guard. An
+    * un-bounded write left shuffle.partitions near-empty files per bucket
+    * PER GENERATION (~1k files per micro-batch for 20 MB of state) and
+    * per-batch latency was file creation, not data (E2EBench p50 15.6 s →
+    * see README). A state whose buckets outgrow one task's comfort raises
+    * the knob (or nBuckets) explicitly.
     */
-  val UpsertPoolSize = 8
-
   def upsertBatch(spark: SparkSession, stateDir: String,
       batch: DataFrame, keys: Seq[String],
       nBuckets: Int = StateBuckets,
-      filesPerBucket: Int = 0): Unit = {
+      filesPerBucket: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
     val fs = root.getFileSystem(conf)
     ensureBucketMarker(fs, root, nBuckets)
-    // Generation FILE WIDTH: a bucket merge's join inherits the session's
-    // shuffle width, so an un-coalesced write leaves shuffle.partitions
-    // near-empty part files per bucket PER GENERATION — measured in the
-    // end-to-end chain: 32 buckets × 32 files = ~1k files per micro-batch
-    // for 20 MB of state, and per-batch latency was dominated by file
-    // creation, not data (E2EBench p50 went 15.6 s → see README). Default
-    // keeps TOTAL write parallelism at the session's shuffle width (one
-    // file per bucket at 32/32); a state whose buckets outgrow one
-    // task's comfort raises the knob (or nBuckets) explicitly.
-    val perBucketFiles =
-      if (filesPerBucket > 0) filesPerBucket
-      else math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt / nBuckets)
+    // reap staging leftovers from a killed batch — the micro-batch model
+    // guarantees a single writer per state table, so nothing points at them
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("_staging-"))
+        .foreach(p => fs.delete(p, true))
     val bkt = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
-    val batchB = batch.withColumn("__bkt", bkt).persist()
-    val touched = batchB.select(col("__bkt")).distinct()
+    val batchB = batch.withColumn("__gbkt", bkt).persist()
+    val touched = batchB.select(col("__gbkt")).distinct()
       .collect().map(_.getLong(0)).sorted
-    def mergeBucket(b: Long): Unit = {
+    if (touched.isEmpty) { batchB.unpersist(); return }
+    // resolve each touched bucket's newest COMPLETE generation and the
+    // generation this batch will install (a partial leftover from a kill
+    // is overwritten in place; see the kill-sim spec)
+    val infos = touched.map { b =>
       val bDir = new Path(s"$stateDir/__gbkt=$b")
       val cur = latestGen(fs, bDir)
-      val bBatch = batchB.filter(col("__bkt") === b).drop("__bkt")
-      val curComplete = fs.exists(new Path(cur, "_SUCCESS"))
-      val merged =
-        if (curComplete)
-          Merge.upsert(spark.read.parquet(cur.toString), bBatch, keys)
-        else bBatch
-      // write the next generation (overwrites any partial leftover from a
-      // killed batch), then retire older generations — strictly after the
-      // new _SUCCESS exists, so every crash point leaves a complete
-      // generation behind
-      val next =
-        if (curComplete) new Path(bDir, f"gen=${genNo(cur) + 1}%06d") else cur
-      merged.coalesce(perBucketFiles).write.mode("overwrite").parquet(next.toString)
-      fs.listStatus(bDir).map(_.getPath)
-        .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
-        .foreach(p => fs.delete(p, true))
+      val complete = fs.exists(new Path(cur, "_SUCCESS"))
+      val next = if (complete) new Path(bDir, f"gen=${genNo(cur) + 1}%06d") else cur
+      (b, complete, next)
     }
-    val par = math.min(UpsertPoolSize, touched.length)
-    if (par <= 1) touched.foreach(mergeBucket)
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val es = java.util.concurrent.Executors.newFixedThreadPool(par)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(es)
-      try Await.result(
-        Future.sequence(touched.toSeq.map(b => Future(mergeBucket(b)))),
-        Duration.Inf)
-      finally es.shutdown()
+    val priors = infos.collect { case (_, true, next) =>
+      new Path(next.getParent, f"gen=${genNo(next) - 1}%06d").toString
     }
+    val merged =
+      if (priors.isEmpty) batchB.drop("__gbkt")
+      else Merge.upsert(spark.read.parquet(priors.toIndexedSeq: _*),
+        batchB.drop("__gbkt"), keys)
+    val width = math.max(1, filesPerBucket)
+    val parted =
+      if (width == 1) merged.withColumn("__gbkt", bkt)
+        .repartition(nBuckets, col("__gbkt"))
+      else merged.withColumn("__gbkt", bkt)
+        .repartition(nBuckets * width, col("__gbkt"),
+          pmod(xxhash64(keys.map(col): _*), lit(width.toLong)))
+    val staging = new Path(root,
+      s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    parted.write.partitionBy("__gbkt").mode("overwrite").parquet(staging.toString)
     batchB.unpersist()
+    infos.foreach { case (b, _, next) =>
+      val src = new Path(staging, s"__gbkt=$b")
+      if (fs.exists(src)) {
+        val bDir = next.getParent
+        fs.mkdirs(bDir)
+        if (fs.exists(next)) fs.delete(next, true) // partial leftover from a kill
+        fs.rename(src, next)
+        val ok = fs.create(new Path(next, "_SUCCESS"), true)
+        ok.close()
+        fs.listStatus(bDir).map(_.getPath)
+          .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
+          .foreach(p => fs.delete(p, true))
+      }
+    }
+    fs.delete(staging, true)
   }
 
   /** pin the state layout: bucket count recorded on first write, enforced

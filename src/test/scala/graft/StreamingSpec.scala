@@ -155,11 +155,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) === "V1" && got(2L) === "v2" && got.size === 200)
   }
 
-  test("concurrent bucket merges (bounded pool) preserve the generation protocol") {
+  test("all-bucket batches preserve the generation protocol") {
     val dir = Files.createTempDirectory("graft-cstate").toString + "/state"
     val sink = new graft.streaming.ParquetDocumentSink(spark, dir)
-    // every one of the 32 buckets touched → 4× UpsertPoolSize merge jobs
-    // racing through the pool, twice, with an overlapping key range
+    // every one of the 32 buckets touched by one single-job merge, twice,
+    // with an overlapping key range
     sink.upsert((1L to 500L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
     sink.upsert((250L to 750L).map(k => (k, s"w$k")).toDF("k", "v"), Seq("k"))
     val got = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
