@@ -155,6 +155,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) === "V1" && got(2L) === "v2" && got.size === 200)
   }
 
+  test("single-job staging crash windows: leftover staging + half-swapped batch") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = Files.createTempDirectory("graft-sstate").toString + "/state"
+    val sink = new graft.streaming.ParquetDocumentSink(spark, dir)
+    sink.upsert((1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
+
+    // window 1: kill AFTER the staging write, BEFORE any swap — a
+    // `_staging-*` dir lingers at the state root. Readers must ignore it,
+    // and the next batch must reap it.
+    val staging = JPaths.get(s"$dir/_staging-deadbeef/__gbkt=0")
+    JFiles.createDirectories(staging)
+    JFiles.write(staging.resolve("part-junk.parquet"), Array[Byte](9, 9))
+    val got1 = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(got1.size === 200 && got1(1L) === "v1",
+      "a staging leftover must be invisible to readers")
+    sink.upsert(Seq((1L, "V1")).toDF("k", "v"), Seq("k"))
+    val stagingDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_staging-"))
+    assert(stagingDirs.isEmpty, "the next batch must reap staging leftovers")
+    assert(Pipelines.readState(spark, dir)
+      .as[(Long, String)].collect().toMap.apply(1L) === "V1")
+
+    // window 2: kill MID-SWAP of a multi-bucket batch — one bucket already
+    // advanced to its next generation, its sibling still on the old one.
+    // Each bucket is independently consistent (readers see new for one,
+    // old for the other), and replaying the SAME batch converges both.
+    val touchedOf = (k: Long) => spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(Pipelines.StateBuckets.toLong)))
+      .collect()(0).getLong(0)
+    val (kA, kB) = {
+      // two keys in distinct buckets
+      val a = 1L
+      val b = (2L to 64L).find(touchedOf(_) != touchedOf(a)).get
+      (a, b)
+    }
+    // simulate: apply the batch fully, then REGRESS bucket B to its prior
+    // generation state by replaying only A's half — equivalent on-disk to a
+    // kill after A's swap and before B's. Easiest faithful simulation:
+    // snapshot B's bucket dir, run the full batch, restore B's snapshot.
+    val bDirB = JPaths.get(s"$dir/__gbkt=${touchedOf(kB)}")
+    val tmp = JFiles.createTempDirectory("graft-snap")
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      JFiles.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (JFiles.isDirectory(p)) JFiles.createDirectories(t)
+        else { JFiles.createDirectories(t.getParent); JFiles.copy(p, t) }
+      }
+    }
+    copyTree(bDirB, tmp.resolve("b"))
+    val batch = Seq((kA, "AA"), (kB, "BB")).toDF("k", "v")
+    sink.upsert(batch, Seq("k"))
+    // regress B: delete and restore the pre-batch snapshot
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (JFiles.exists(p)) {
+        JFiles.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => JFiles.delete(q))
+      }
+    deleteTree(bDirB)
+    copyTree(tmp.resolve("b"), bDirB)
+    val midSwap = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(midSwap(kA) === "AA", "the swapped bucket serves the new generation")
+    assert(midSwap(kB) !== "BB", "the unswapped bucket still serves the old one")
+    // replay the same batch — at-least-once delivery — and both converge
+    sink.upsert(batch, Seq("k"))
+    val healed = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
+    assert(healed(kA) === "AA" && healed(kB) === "BB" && healed.size === 200)
+  }
+
   test("all-bucket batches preserve the generation protocol") {
     val dir = Files.createTempDirectory("graft-cstate").toString + "/state"
     val sink = new graft.streaming.ParquetDocumentSink(spark, dir)
