@@ -22,6 +22,10 @@ import graft.streaming.{CandleStream, HeadLivenessListener, Pipelines, Triggers}
   *    Transaction derivation (EventUnion.canonical — the oracle-checked
   *    one) → keyed idempotent upsert into the bucketed generation state +
   *    cursor advance with audit history.
+  *  - `scan_moc_state`: per-height MocState snapshot docs folded from
+  *    batch partials through the mergeable (max, sum) aggregate and the
+  *    SAME document derivation as the oracle-checked `s15_mocstate_doc`
+  *    (Snapshot.mocStateDoc).
   *  - `scan_prices`: the same stream folded into live OHLC candle state
   *    (CandleStream on the Generations protocol), served by
   *    `/prices/ohlc` from the page cache.
@@ -98,6 +102,41 @@ object GraftApp {
         ()
       }.start()
 
+    // scan_moc_state: the reference's 10 s state-snapshot cadence
+    // (moc_state.py → scan_moc_state task) — each batch folds its
+    // per-height partial (max user / event count) into the keyed MocState
+    // docs via the MERGEABLE aggregate, then derives the document fields
+    // through the SAME Snapshot.mocStateDoc the oracle-checked
+    // `s15_mocstate_doc` batch query uses (AppBootSpec asserts the folded
+    // state equals the batch query). Only touched heights are re-read and
+    // re-derived — O(batch), not O(history).
+    val scanState = eventStream.writeStream
+      .queryName("scan_moc_state")
+      .trigger(Triggers.forTask(cfg, "scan_moc_state", Triggers.State))
+      .option("checkpointLocation", s"$stateRoot/_ckpt/scan_moc_state")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val mocDir = s"$stateRoot/MocState"
+        val inc = batch.toDF()
+          .groupBy(expr("event_id div 100").as("block_height"))
+          .agg(max(col("user_id")).as("mu"), count(lit(1)).as("cnt"))
+          .persist()
+        val prior = scala.util.Try(Pipelines.readState(spark, mocDir)).toOption
+        val combined = prior match {
+          case Some(st) => st
+            .select(col("block_height"), col("mu"), col("cnt"))
+            .join(inc.select(col("block_height")), Seq("block_height"), "left_semi")
+            .unionByName(inc)
+            .groupBy(col("block_height"))
+            .agg(max(col("mu")).as("mu"), sum(col("cnt")).as("cnt"))
+          case None => inc
+        }
+        val rows = combined
+          .join(graft.operators.Snapshot.mocStateDoc(combined), Seq("block_height"))
+        Pipelines.upsertBatch(spark, mocDir, rows, Seq("block_height"))
+        inc.unpersist()
+        ()
+      }.start()
+
     // scan_prices: the price tier's live candle state.
     val tsExpr = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
@@ -119,7 +158,7 @@ object GraftApp {
       candleDir = Some(s"$stateRoot/candles"))
     val port = server.start()
 
-    Running(server, port, Seq(scanTxs, scanPrices), watchdog, stateRoot)
+    Running(server, port, Seq(scanTxs, scanState, scanPrices), watchdog, stateRoot)
   }
 
   def main(args: Array[String]): Unit = {

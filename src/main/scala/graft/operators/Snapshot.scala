@@ -18,6 +18,43 @@ import graft.core.{Q, Tables => T}
   */
 object Snapshot {
 
+  private val MocRateKeys = Seq(
+    "MINT_BPRO_FEES_RBTC", "REDEEM_BPRO_FEES_RBTC",
+    "MINT_DOC_FEES_RBTC", "REDEEM_DOC_FEES_RBTC",
+    "MINT_BTCX_FEES_RBTC", "REDEEM_BTCX_FEES_RBTC",
+    "MINT_BPRO_FEES_MOC", "REDEEM_BPRO_FEES_MOC",
+    "MINT_DOC_FEES_MOC", "REDEEM_DOC_FEES_MOC",
+    "MINT_BTCX_FEES_MOC", "REDEEM_BTCX_FEES_MOC")
+
+  /** the MocState document derivation from a `(block_height, mu, cnt)`
+    * aggregate — ONE definition shared by the `s15_mocstate_doc` batch
+    * query and the app shell's `scan_moc_state` task, so the
+    * streaming-folded state equals the batch query by construction
+    * (AppBootSpec asserts the equality). The per-height aggregate itself
+    * is mergeable (max(mu) / sum(cnt)), which is what lets the task fold
+    * batch partials into state without re-reading history. */
+  def mocStateDoc(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Wei
+    val dec = DecimalType(38, 0)
+    val W = lit(new java.math.BigDecimal("1000000000000000000"))
+    val btc = ((col("mu") % 10 + 10).cast(dec).multiply(W)).cast(dec)
+    val bprox2 = ((col("mu") % 5 + 1).cast(dec).multiply(W)).cast(dec)
+    val mapArgs = MocRateKeys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(lit(k),
+        ((col("block_height") % 100 + i).cast(dec) * 1000000000000L)
+          .cast(dec).cast(StringType))
+    }
+    g.select(
+      col("block_height"),
+      btc.cast(StringType).as("bitcoin_price"),
+      bprox2.cast(StringType).as("bprox2_price_rbtc"),
+      Wei.toWeiStr(Wei.usdAmount(bprox2, btc)).as("bprox2_price_usd"),
+      (lit(100) - col("block_height") % 100).as("blocks_to_settlement"),
+      (col("cnt") % 4).as("state"),
+      (col("block_height") % 7 === 0).as("paused"),
+      to_json(map(mapArgs: _*)).as("commission_rates"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // A4 wide-struct snapshot per key + F24 JSON serialization: per-user
@@ -118,36 +155,10 @@ object Snapshot {
            |  CAST(json_object($jsonArgs) AS VARCHAR) AS commission_rates
            |FROM doc ORDER BY block_height""".stripMargin
       }) { (s, d) =>
-      import graft.functions.Wei
-      val dec = DecimalType(38, 0)
-      val W = lit(new java.math.BigDecimal("1000000000000000000"))
-      val rateKeys = Seq(
-        "MINT_BPRO_FEES_RBTC", "REDEEM_BPRO_FEES_RBTC",
-        "MINT_DOC_FEES_RBTC", "REDEEM_DOC_FEES_RBTC",
-        "MINT_BTCX_FEES_RBTC", "REDEEM_BTCX_FEES_RBTC",
-        "MINT_BPRO_FEES_MOC", "REDEEM_BPRO_FEES_MOC",
-        "MINT_DOC_FEES_MOC", "REDEEM_DOC_FEES_MOC",
-        "MINT_BTCX_FEES_MOC", "REDEEM_BTCX_FEES_MOC")
       val g = T.events(s, d)
         .groupBy(expr("event_id div 100").as("block_height"))
         .agg(max(col("user_id")).as("mu"), count(lit(1)).as("cnt"))
-      val btc = ((col("mu") % 10 + 10).cast(dec).multiply(W)).cast(dec)
-      val bprox2 = ((col("mu") % 5 + 1).cast(dec).multiply(W)).cast(dec)
-      val mapArgs = rateKeys.zipWithIndex.flatMap { case (k, i) =>
-        Seq(lit(k),
-          ((col("block_height") % 100 + i).cast(dec) * 1000000000000L)
-            .cast(dec).cast(StringType))
-      }
-      g.select(
-          col("block_height"),
-          btc.cast(StringType).as("bitcoin_price"),
-          bprox2.cast(StringType).as("bprox2_price_rbtc"),
-          Wei.toWeiStr(Wei.usdAmount(bprox2, btc)).as("bprox2_price_usd"),
-          (lit(100) - col("block_height") % 100).as("blocks_to_settlement"),
-          (col("cnt") % 4).as("state"),
-          (col("block_height") % 7 === 0).as("paused"),
-          to_json(map(mapArgs: _*)).as("commission_rates"))
-        .orderBy(col("block_height"))
+      mocStateDoc(g).orderBy(col("block_height"))
     },
 
     // A5 TVL / protocol report scalars (historical.py:106-121): single-row

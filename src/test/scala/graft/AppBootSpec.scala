@@ -45,6 +45,20 @@ class AppBootSpec extends AnyFunSuite {
       assert(CandleStream.currentCandles(spark, s"$stateRoot/candles").count() > 0,
         "scan_prices must maintain live candle state")
 
+      // scan_moc_state's folded docs equal the oracle-checked batch query
+      // over the same events — the streaming fold IS the batch definition
+      val cols = Seq("block_height", "bitcoin_price", "bprox2_price_rbtc",
+        "bprox2_price_usd", "blocks_to_settlement", "state", "paused",
+        "commission_rates")
+      val folded = Pipelines.readState(spark, s"$stateRoot/MocState")
+        .select(cols.head, cols.tail: _*).orderBy("block_height")
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.core.QueryRegistry.byName("s15_mocstate_doc")
+        .fn(spark, sf).select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSeq
+      assert(folded === batch,
+        "the streaming-folded MocState must equal the batch s15 query")
+
       def get(path: String): (Int, String) = {
         val conn = java.net.URI.create(s"http://127.0.0.1:${running.port}$path")
           .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
