@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.Config
 import graft.operators.EventUnion
-import graft.streaming.{CandleStream, HeadLivenessListener, Pipelines, Triggers}
+import graft.streaming.{CandleStream, HeadLivenessListener, Pipelines, StatusDrain, Triggers}
 
 /** The APP SHELL — the reference's boot path (app.py:30-51 → tasks.py /
   * tasks_manager.py) as one config-driven entry point: resolve the
@@ -22,6 +22,10 @@ import graft.streaming.{CandleStream, HeadLivenessListener, Pipelines, Triggers}
   *    Transaction derivation (EventUnion.canonical — the oracle-checked
   *    one) → keyed idempotent upsert into the bucketed generation state +
   *    cursor advance with audit history.
+  *  - `scan_transactions_status`: the status-update loop — pending rows
+  *    past the confirmation depth flip to `confirmed` as the head
+  *    advances, via a window-bounded pending queue and bucket-pruned
+  *    state rewrites (StatusDrain).
   *  - `scan_moc_state`: per-height MocState snapshot docs folded from
   *    batch partials through the mergeable (max, sum) aggregate and the
   *    SAME document derivation as the oracle-checked `s15_mocstate_doc`
@@ -88,9 +92,14 @@ object GraftApp {
         val mx = b.agg(max(col("event_id"))).collect()(0)
         if (!mx.isNullAt(0)) head = math.max(head, mx.getLong(0))
         val tx = EventUnion.canonical(b,
-          spark.range(1).select(lit(head).as("h")))
+          spark.range(1).select(lit(head).as("h"))).persist()
         Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", tx,
           Seq("event_id", "event", "address"))
+        // rows still inside the confirmation window join the status
+        // task's pending queue (StatusDrain — the reference's
+        // scan_transactions_status loop)
+        StatusDrain.appendPending(spark, stateRoot, tx)
+        tx.unpersist()
         Pipelines.advanceCursor(spark, stateRoot,
           spark.range(1).select(
             lit(true).as("processed"), lit(head).as("block_number"),
@@ -99,6 +108,24 @@ object GraftApp {
             lit(head).as("last_moc_status_block"),
             current_timestamp().as("updatedAt")))
         b.unpersist()
+        ()
+      }.start()
+
+    // scan_transactions_status: the reference's status-update loop — as
+    // the head advances, pending rows past the confirmation depth flip to
+    // `confirmed` WITHOUT a new event arriving for them. The head comes
+    // from the cursor the ingest task maintains (the reference's status
+    // task reads its own collection's cursor the same way), and the drain
+    // touches only the pending keys' buckets (StatusDrain scaladoc).
+    val scanStatus = eventStream.writeStream
+      .queryName("scan_transactions_status")
+      .trigger(Triggers.forTask(cfg, "scan_transactions_status", Triggers.Status))
+      .option("checkpointLocation", s"$stateRoot/_ckpt/scan_transactions_status")
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val h = scala.util.Try(
+          spark.read.parquet(s"$stateRoot/moc_indexer")
+            .agg(max(col("block_number"))).collect()(0).getLong(0)).getOrElse(0L)
+        if (h > 0) StatusDrain.drain(spark, stateRoot, h)
         ()
       }.start()
 
@@ -158,7 +185,8 @@ object GraftApp {
       candleDir = Some(s"$stateRoot/candles"))
     val port = server.start()
 
-    Running(server, port, Seq(scanTxs, scanState, scanPrices), watchdog, stateRoot)
+    Running(server, port, Seq(scanTxs, scanStatus, scanState, scanPrices),
+      watchdog, stateRoot)
   }
 
   def main(args: Array[String]): Unit = {

@@ -201,6 +201,57 @@ object Pipelines {
     spark.read.parquet(gens.toIndexedSeq: _*)
   }
 
+  /** BUCKET-PRUNED state read: only the named buckets' newest complete
+    * generations are listed, opened, or scanned. When the caller already
+    * knows the keys it needs (the status drain, a point lookup), this is
+    * the bucketed layout paying off on the READ side — touching k buckets
+    * of n is O(k/n) of the table at any state size. Buckets with no
+    * complete generation yet simply contribute nothing. */
+  def readStateBuckets(spark: SparkSession, stateDir: String,
+      buckets: Seq[Long]): Option[DataFrame] = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = buckets.distinct.sorted
+      .map(b => new Path(root, s"__gbkt=$b"))
+      .filter(fs.exists)
+      .map(b => latestGen(fs, b))
+      .filter(g => fs.exists(new Path(g, "_SUCCESS")))
+      .map(_.toString)
+    if (gens.isEmpty) None else Some(spark.read.parquet(gens.toIndexedSeq: _*))
+  }
+
+  /** the bucket a key row lands in — MUST stay in lockstep with
+    * [[upsertBatch]]'s partitioner (same hash, same column order). */
+  def bucketOf(keys: Seq[String], nBuckets: Int = StateBuckets): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+
+  /** read-modify-write a SMALL single-dir generation state (the running
+    * dataset card, the status drain's pending queue): `f` receives the
+    * current state (None before the first write) and returns the next,
+    * which is written as the next `gen=` dir and swapped in — the same
+    * crash discipline as the bucketed table, at table granularity, for
+    * states bounded to ~queue size where bucketing would be overhead. */
+  def swapSmallState(spark: SparkSession, dir: String)(
+      f: Option[DataFrame] => DataFrame): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = if (fs.exists(root)) Some(latestGen(fs, root)).filter(g =>
+      fs.exists(new Path(g, "_SUCCESS"))) else None
+    val next = new Path(root, f"gen=${cur.map(genNo).getOrElse(-1L) + 1}%06d")
+    f(cur.map(g => spark.read.parquet(g.toString)))
+      .coalesce(1).write.mode("overwrite").parquet(next.toString)
+    cur.foreach(g => fs.delete(g, true))
+  }
+
+  /** the newest complete small state written by [[swapSmallState]], if any. */
+  def readSmallState(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else Some(latestGen(fs, root)).filter(g => fs.exists(new Path(g, "_SUCCESS")))
+      .map(g => spark.read.parquet(g.toString))
+  }
+
   /** how many index runs may accumulate before the gate merges the
     * smallest ones (size-tiered compaction). Bounds the probe's
     * file/listing cost at streaming cadence — without it, batch N's probe
@@ -229,21 +280,14 @@ object Pipelines {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         sum(when(col("n_tok") < 10, 1L).otherwise(0L)).as("n_short"))
-    val root = new Path(cardDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = if (fs.exists(root)) Some(latestGen(fs, root)).filter(g =>
-      fs.exists(new Path(g, "_SUCCESS"))) else None
-    val merged = cur match {
-      case Some(g) =>
-        spark.read.parquet(g.toString).unionByName(inc)
+    swapSmallState(spark, cardDir) {
+      case Some(cur) =>
+        cur.unionByName(inc)
           .groupBy(col("lang"))
           .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
             sum(col("n_short")).as("n_short"))
       case None => inc
     }
-    val next = new Path(root, f"gen=${cur.map(genNo).getOrElse(-1L) + 1}%06d")
-    merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
-    cur.foreach(g => fs.delete(g, true))
   }
 
   /** the newest complete running card written by [[cardSink]]. */
