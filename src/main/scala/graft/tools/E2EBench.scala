@@ -63,7 +63,7 @@ object E2EBench {
     val per = math.max(1, rows.length / nBatches)
 
     val base = java.nio.file.Files.createTempDirectory("graft-e2ebench").toString
-    val txDir = s"$base/tx"
+    val txDir = s"$base/Transaction" // StatusDrain's convention
     val userDir = s"$base/user"
     val candleDir = s"$base/candles"
     val cursorDir = s"$base/cursor"
@@ -97,11 +97,15 @@ object E2EBench {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().persist()
         val headDf = spark.range(1).select(lit(head).as("h"))
-        // 1. canonical Transaction rows — the oracle-checked derivation
+        // 1. canonical Transaction rows — the oracle-checked derivation —
+        //    plus the status loop's pending-queue append
         staged("tx_upsert") {
-          val tx = graft.operators.EventUnion.canonical(b, headDf)
+          val tx = graft.operators.EventUnion.canonical(b, headDf).persist()
           Pipelines.upsertBatch(spark, txDir, tx,
             Seq("event_id", "event", "address"))
+          graft.streaming.StatusDrain.appendPending(spark, base, tx)
+          tx.unpersist()
+          ()
         }
         // 2. dirty-user balance refresh: batch deltas folded onto the
         //    prior state (only touched users are rewritten — T6 shape)
@@ -134,6 +138,11 @@ object E2EBench {
               lit(headTs).as("block_ts"), lit(head).as("last_raw_tx_block"),
               lit(head).as("last_moc_status_block"),
               current_timestamp().as("updatedAt")))
+        }
+        // 5. status drain: flip now-ripe pending rows (the reference's
+        //    scan_transactions_status loop) — O(window), bucket-pruned
+        staged("status_drain") {
+          graft.streaming.StatusDrain.drain(spark, base, head)
         }
         b.unpersist()
         ()
@@ -181,6 +190,14 @@ object E2EBench {
     // final-state sanity: the streamed Transaction state must hold exactly
     // the batch program's rows for the full event table at this head
     val nState = Pipelines.readState(spark, txDir).count()
+    // status-loop invariant: after the final drain at the final head, only
+    // rows inside the confirmation window may still read `confirming`
+    val nConfirming = Pipelines.readState(spark, txDir)
+      .filter(col("status") === "confirming").count()
+    val nDeep = Pipelines.readState(spark, txDir)
+      .filter(col("status") === "confirming"
+        && lit(head) - col("event_id") > graft.streaming.StatusDrain.Depth).count()
+    require(nDeep == 0, s"$nDeep past-depth rows still confirming after the drain")
     val nUsers = Pipelines.readState(spark, userDir).count()
     val nDays = CandleStream.currentCandles(spark, candleDir).count()
     val nCursor = spark.read.parquet(s"$cursorDir/moc_indexer_history").count()
@@ -201,7 +218,7 @@ object E2EBench {
           .map { case (k, v) => s""""$k":${fmt(v.get / 1e9 / ingestSec.length)}""" }
           .mkString(",")
       }},""" +
-      s""""state":{"tx_rows":$nState,"users":$nUsers,"candle_days":$nDays,"cursor_advances":$nCursor},""" +
+      s""""state":{"tx_rows":$nState,"confirming_in_window":$nConfirming,"users":$nUsers,"candle_days":$nDays,"cursor_advances":$nCursor},""" +
       s""""reference_budget":{"scan_interval_sec":"3-10","block_time_sec":30,"task_timeout_sec":180}}""")
     // scalastyle:on println
     spark.stop()
