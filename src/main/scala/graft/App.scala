@@ -69,6 +69,11 @@ object GraftApp {
     val watchdog = new HeadLivenessListener()
     spark.streams.addListener(watchdog)
 
+    // Transaction keys are monotonic in event_id → RANGE-bucketed state:
+    // append-mostly batches touch only tail buckets and the status drain
+    // stays range-local (Pipelines.Bucketing scaladoc).
+    val txBucketing = Some(Pipelines.Bucketing.range("event_id", 4096L))
+
     // the driver datasets ship events as a single FILE, and a file-stream
     // source's base path must be a directory — stream the dataset root
     // with a glob pinned to the events file(s)
@@ -94,7 +99,7 @@ object GraftApp {
         val tx = EventUnion.canonical(b,
           spark.range(1).select(lit(head).as("h"))).persist()
         Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", tx,
-          Seq("event_id", "event", "address"))
+          Seq("event_id", "event", "address"), bucketing = txBucketing)
         // rows still inside the confirmation window join the status
         // task's pending queue (StatusDrain — the reference's
         // scan_transactions_status loop)
@@ -125,7 +130,7 @@ object GraftApp {
         val h = scala.util.Try(
           spark.read.parquet(s"$stateRoot/moc_indexer")
             .agg(max(col("block_number"))).collect()(0).getLong(0)).getOrElse(0L)
-        if (h > 0) StatusDrain.drain(spark, stateRoot, h)
+        if (h > 0) StatusDrain.drain(spark, stateRoot, h, txBucketing)
         ()
       }.start()
 

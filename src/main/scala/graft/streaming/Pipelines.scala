@@ -47,6 +47,39 @@ object Pipelines {
     * (≤ min(|batch keys|, buckets)), never the whole table. */
   val StateBuckets = 32
 
+  /** HOW state rows map to buckets — pluggable because the right layout
+    * depends on the KEY DISTRIBUTION. [[Bucketing.hash]] spreads keys
+    * uniformly: point-lookup friendly, but any batch with ≥ n distinct
+    * keys touches every bucket, so per-batch write amplification becomes
+    * O(state) for large batches. [[Bucketing.range]] clusters MONOTONIC
+    * keys (event ids, block heights): an append-mostly batch lands in the
+    * tail buckets only, so per-batch work stays O(batch + window) no
+    * matter how large the state grows — and the status drain's window is
+    * range-local too. The layout tag is pinned in the `_graft_buckets`
+    * marker; reopening a state with a different layout fails fast instead
+    * of stranding rows. */
+  final case class Bucketing(
+      tag: String,
+      exprOf: Seq[String] => org.apache.spark.sql.Column,
+      /** staging-write width: Some(n) for a fixed bucket count (hash);
+        * None → use the batch's touched-bucket count (range, unbounded ids) */
+      fixedWidth: Option[Int])
+
+  object Bucketing {
+    def hash(n: Int = StateBuckets): Bucketing = Bucketing(
+      s"n=$n",
+      keys => pmod(xxhash64(keys.map(col): _*), lit(n.toLong)),
+      Some(n))
+
+    /** monotonic-key layout: bucket = `keyCol div span`. `keyCol` must be
+      * one of (or derivable from) the upsert keys so rows can never move
+      * between buckets. */
+    def range(keyCol: String, span: Long): Bucketing = Bucketing(
+      s"range=$keyCol/$span",
+      _ => expr(s"$keyCol div $span"),
+      None)
+  }
+
   /** T7/S6: one idempotent micro-batch application — MERGE the batch into
     * the parquet-backed state table by natural key (updates win). The
     * state dir is hive-partitioned by a key-hash bucket
@@ -100,18 +133,20 @@ object Pipelines {
   def upsertBatch(spark: SparkSession, stateDir: String,
       batch: DataFrame, keys: Seq[String],
       nBuckets: Int = StateBuckets,
-      filesPerBucket: Int = 1): Unit = {
+      filesPerBucket: Int = 1,
+      bucketing: Option[Bucketing] = None): Unit = {
+    val bk = bucketing.getOrElse(Bucketing.hash(nBuckets))
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
     val fs = root.getFileSystem(conf)
-    ensureBucketMarker(fs, root, nBuckets)
+    ensureBucketMarker(fs, root, bk.tag)
     // reap staging leftovers from a killed batch — the micro-batch model
     // guarantees a single writer per state table, so nothing points at them
     if (fs.exists(root))
       fs.listStatus(root).map(_.getPath)
         .filter(_.getName.startsWith("_staging-"))
         .foreach(p => fs.delete(p, true))
-    val bkt = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+    val bkt = bk.exprOf(keys)
     val batchB = batch.withColumn("__gbkt", bkt).persist()
     val touched = batchB.select(col("__gbkt")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -134,11 +169,12 @@ object Pipelines {
       else Merge.upsert(spark.read.parquet(priors.toIndexedSeq: _*),
         batchB.drop("__gbkt"), keys)
     val width = math.max(1, filesPerBucket)
+    val baseW = bk.fixedWidth.getOrElse(touched.length)
     val parted =
       if (width == 1) merged.withColumn("__gbkt", bkt)
-        .repartition(nBuckets, col("__gbkt"))
+        .repartition(baseW, col("__gbkt"))
       else merged.withColumn("__gbkt", bkt)
-        .repartition(nBuckets * width, col("__gbkt"),
+        .repartition(baseW * width, col("__gbkt"),
           pmod(xxhash64(keys.map(col): _*), lit(width.toLong)))
     val staging = new Path(root,
       s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -161,19 +197,23 @@ object Pipelines {
     fs.delete(staging, true)
   }
 
-  /** pin the state layout: bucket count recorded on first write, enforced
-    * forever after; a populated pre-marker (flat-bucket) dir fails fast
-    * instead of being misread as empty generations. */
+  /** pin the state layout: the bucketing tag recorded on first write,
+    * enforced forever after (changing the bucket count OR the layout kind
+    * would strand rows in old buckets); a populated pre-marker
+    * (flat-bucket) dir fails fast instead of being misread as empty
+    * generations. A legacy integer marker reads as the hash layout it
+    * always meant. */
   private def ensureBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, nBuckets: Int): Unit = {
+      root: Path, tag: String): Unit = {
     val marker = new Path(root, "_graft_buckets")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      val n = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
-      if (n != nBuckets) throw new IllegalStateException(
-        s"state at $root is bucketed with n=$n, asked for n=$nBuckets — " +
-          "changing the bucket count strands rows; rewrite the state instead")
+      val existing = if (raw.forall(_.isDigit)) s"n=$raw" else raw
+      if (existing != tag) throw new IllegalStateException(
+        s"state at $root is bucketed with $existing, asked for $tag — " +
+          "changing the bucket layout strands rows; rewrite the state instead")
     } else if (fs.exists(root) &&
         fs.listStatus(root).exists(_.getPath.getName.startsWith("__gbkt="))) {
       throw new IllegalStateException(
@@ -182,7 +222,7 @@ object Pipelines {
           "into a fresh directory")
     } else {
       val o = fs.create(marker, true)
-      try o.write(nBuckets.toString.getBytes("UTF-8")) finally o.close()
+      try o.write(tag.getBytes("UTF-8")) finally o.close()
     }
   }
 

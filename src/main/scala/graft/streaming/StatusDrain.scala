@@ -48,20 +48,25 @@ object StatusDrain {
   }
 
   /** flip every ripe pending row to `confirmed` and shrink the queue.
-    * Returns the number of rows flipped. */
-  def drain(spark: SparkSession, stateRoot: String, head: Long): Long = {
+    * `bucketing` must match the Transaction state's layout (range on
+    * event_id makes the drain's window RANGE-LOCAL: ripe keys live in the
+    * tail buckets by construction). Returns the number of rows flipped. */
+  def drain(spark: SparkSession, stateRoot: String, head: Long,
+      bucketing: Option[Pipelines.Bucketing] = None): Long = {
+    val bk = bucketing.getOrElse(Pipelines.Bucketing.hash())
     val pending = Pipelines.readSmallState(spark, pendingDir(stateRoot))
       .getOrElse(return 0L)
     val ripe = pending.filter(lit(head) - col("event_id") > Depth).persist()
     val nRipe = ripe.count()
     if (nRipe > 0) {
-      val buckets = ripe.select(Pipelines.bucketOf(Keys).as("b"))
+      val buckets = ripe.select(bk.exprOf(Keys).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq
       Pipelines.readStateBuckets(spark, s"$stateRoot/Transaction", buckets)
         .foreach { touched =>
           val flipped = touched.join(ripe, Keys, "left_semi")
             .withColumn("status", lit("confirmed"))
-          Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", flipped, Keys)
+          Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", flipped, Keys,
+            bucketing = bucketing)
         }
       Pipelines.swapSmallState(spark, pendingDir(stateRoot)) {
         case Some(cur) => cur.join(ripe, Keys, "left_anti")

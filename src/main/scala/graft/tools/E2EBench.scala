@@ -64,6 +64,12 @@ object E2EBench {
 
     val base = java.nio.file.Files.createTempDirectory("graft-e2ebench").toString
     val txDir = s"$base/Transaction" // StatusDrain's convention
+    // Transaction keys are MONOTONIC in event_id, so the state is laid out
+    // in RANGE buckets: an append-mostly batch touches only tail buckets
+    // (O(batch) write amplification at any state size) and the status
+    // drain's window is range-local. Hash stays the default for states
+    // with uniform point-update keys (UserState below).
+    val txBucketing = Some(Pipelines.Bucketing.range("event_id", 4096L))
     val userDir = s"$base/user"
     val candleDir = s"$base/candles"
     val cursorDir = s"$base/cursor"
@@ -102,7 +108,7 @@ object E2EBench {
         staged("tx_upsert") {
           val tx = graft.operators.EventUnion.canonical(b, headDf).persist()
           Pipelines.upsertBatch(spark, txDir, tx,
-            Seq("event_id", "event", "address"))
+            Seq("event_id", "event", "address"), bucketing = txBucketing)
           graft.streaming.StatusDrain.appendPending(spark, base, tx)
           tx.unpersist()
           ()
@@ -142,7 +148,7 @@ object E2EBench {
         // 5. status drain: flip now-ripe pending rows (the reference's
         //    scan_transactions_status loop) — O(window), bucket-pruned
         staged("status_drain") {
-          graft.streaming.StatusDrain.drain(spark, base, head)
+          graft.streaming.StatusDrain.drain(spark, base, head, txBucketing)
         }
         b.unpersist()
         ()
