@@ -92,14 +92,15 @@ object GraftApp {
       .queryName("scan_raw_txs")
       .trigger(Triggers.forTask(cfg, "scan_raw_txs", Triggers.Events))
       .option("checkpointLocation", s"$stateRoot/_ckpt/scan_raw_txs")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().persist()
         val mx = b.agg(max(col("event_id"))).collect()(0)
         if (!mx.isNullAt(0)) head = math.max(head, mx.getLong(0))
         val tx = EventUnion.canonical(b,
           spark.range(1).select(lit(head).as("h"))).persist()
         Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", tx,
-          Seq("event_id", "event", "address"), bucketing = txBucketing)
+          Seq("event_id", "event", "address"), bucketing = txBucketing,
+          batchId = Some(batchId))
         // rows still inside the confirmation window join the status
         // task's pending queue (StatusDrain — the reference's
         // scan_transactions_status loop)

@@ -73,7 +73,12 @@ object Pipelines {
 
     /** monotonic-key layout: bucket = `keyCol div span`. `keyCol` must be
       * one of (or derivable from) the upsert keys so rows can never move
-      * between buckets. */
+      * between buckets. SIZE `span` like `maxPartitionBytes`, not like a
+      * bucket count: bucket count = key range / span, so pick a span that
+      * lands each bucket in the hundreds-of-MB range at the target scale
+      * (a too-small span turns [[readState]]'s bucket listing into the
+      * bottleneck; a too-large one re-merges a huge tail bucket every
+      * batch). */
     def range(keyCol: String, span: Long): Bucketing = Bucketing(
       s"range=$keyCol/$span",
       _ => expr(s"$keyCol div $span"),
@@ -129,12 +134,39 @@ object Pipelines {
     * per-batch latency was file creation, not data (E2EBench p50 15.6 s →
     * see README). A state whose buckets outgrow one task's comfort raises
     * the knob (or nBuckets) explicitly.
+    *
+    * ACCUMULATOR MERGE (`mergeWith`): by default the merge is
+    * [[Merge.upsert]] — batch rows REPLACE prior rows by key, so replaying
+    * a batch is naturally a no-op. A state that FOLDS the batch onto the
+    * prior (a running balance absorbing deltas, a count absorbing
+    * increments) passes `mergeWith`: it receives the touched buckets'
+    * prior rows (None on first write) and the batch, and returns the next
+    * state for those buckets. This keeps accumulator state single-read —
+    * the fold happens inside the one merge job instead of the caller
+    * reading the whole state, joining, and upserting a second read — but
+    * a fold is NOT replay-idempotent, which is what `batchId` is for.
+    *
+    * REPLAY GUARD (`batchId`): when given, each installed generation also
+    * records the batch id that produced it (`_BATCHID`, written before
+    * `_SUCCESS`). On entry, touched buckets whose CURRENT complete
+    * generation already carries this id are dropped from the merge — so
+    * re-running a batch after a crash re-applies it only to the buckets
+    * the first attempt didn't finish swapping. Because the swap is
+    * per-bucket atomic, this makes even non-idempotent folds
+    * effectively-once: a kill between two bucket swaps leaves some
+    * buckets advanced (skipped on replay) and some on the prior
+    * generation (re-merged on replay), never a double-fold
+    * (AccumulatorStateSpec simulates both windows). A bucket skipped on
+    * replay keeps any stale older generation until its next touch —
+    * readers always resolve the newest complete one.
     */
   def upsertBatch(spark: SparkSession, stateDir: String,
       batch: DataFrame, keys: Seq[String],
       nBuckets: Int = StateBuckets,
       filesPerBucket: Int = 1,
-      bucketing: Option[Bucketing] = None): Unit = {
+      bucketing: Option[Bucketing] = None,
+      mergeWith: Option[(Option[DataFrame], DataFrame) => DataFrame] = None,
+      batchId: Option[Long] = None): Unit = {
     val bk = bucketing.getOrElse(Bucketing.hash(nBuckets))
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
@@ -154,22 +186,45 @@ object Pipelines {
     // resolve each touched bucket's newest COMPLETE generation and the
     // generation this batch will install (a partial leftover from a kill
     // is overwritten in place; see the kill-sim spec)
-    val infos = touched.map { b =>
+    val infos0 = touched.map { b =>
       val bDir = new Path(s"$stateDir/__gbkt=$b")
       val cur = latestGen(fs, bDir)
       val complete = fs.exists(new Path(cur, "_SUCCESS"))
       val next = if (complete) new Path(bDir, f"gen=${genNo(cur) + 1}%06d") else cur
       (b, complete, next)
     }
+    // replay guard: a bucket whose current complete generation was
+    // installed by THIS batch id already applied it — drop it from the
+    // merge so a crash-replay never folds the same batch twice
+    val already: Set[Long] = batchId match {
+      case Some(id) => infos0.collect {
+        case (b, true, next)
+            if committedBatchId(fs,
+              new Path(next.getParent, f"gen=${genNo(next) - 1}%06d"))
+              .contains(id) => b
+      }.toSet
+      case None => Set.empty
+    }
+    val infos = infos0.filterNot(i => already.contains(i._1))
+    if (infos.isEmpty) { batchB.unpersist(); return }
+    val batchR =
+      if (already.isEmpty) batchB
+      else batchB.filter(!col("__gbkt").isin(already.toSeq: _*))
     val priors = infos.collect { case (_, true, next) =>
       new Path(next.getParent, f"gen=${genNo(next) - 1}%06d").toString
     }
-    val merged =
-      if (priors.isEmpty) batchB.drop("__gbkt")
-      else Merge.upsert(spark.read.parquet(priors.toIndexedSeq: _*),
-        batchB.drop("__gbkt"), keys)
+    val priorDf =
+      if (priors.isEmpty) None
+      else Some(spark.read.parquet(priors.toIndexedSeq: _*))
+    val merged = mergeWith match {
+      case Some(f) => f(priorDf, batchR.drop("__gbkt"))
+      case None => priorDf match {
+        case Some(p) => Merge.upsert(p, batchR.drop("__gbkt"), keys)
+        case None => batchR.drop("__gbkt")
+      }
+    }
     val width = math.max(1, filesPerBucket)
-    val baseW = bk.fixedWidth.getOrElse(touched.length)
+    val baseW = bk.fixedWidth.getOrElse(infos.length)
     val parted =
       if (width == 1) merged.withColumn("__gbkt", bkt)
         .repartition(baseW, col("__gbkt"))
@@ -187,6 +242,13 @@ object Pipelines {
         fs.mkdirs(bDir)
         if (fs.exists(next)) fs.delete(next, true) // partial leftover from a kill
         fs.rename(src, next)
+        // _BATCHID lands BEFORE _SUCCESS: a generation is only ever
+        // replay-skipped once it is complete, and a kill between the two
+        // writes leaves an incomplete generation that replay overwrites
+        batchId.foreach { id =>
+          val o = fs.create(new Path(next, "_BATCHID"), true)
+          try o.write(id.toString.getBytes("UTF-8")) finally o.close()
+        }
         val ok = fs.create(new Path(next, "_SUCCESS"), true)
         ok.close()
         fs.listStatus(bDir).map(_.getPath)
@@ -482,6 +544,20 @@ object Pipelines {
   }
 
   private def genNo(p: Path): Long = p.getName.stripPrefix("gen=").toLong
+
+  /** the batch id recorded in a complete generation dir, if any — the
+    * replay guard [[upsertBatch]] consults before re-merging a bucket. */
+  private def committedBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Option[Long] = {
+    val marker = new Path(gen, "_BATCHID")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      raw.toLongOption
+    }
+  }
 
   /** newest COMPLETE (`_SUCCESS`-marked) generation dir under `base`, or
     * `gen=000000` when none exists yet (the first append creates it). */

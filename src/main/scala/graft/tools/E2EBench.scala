@@ -108,27 +108,33 @@ object E2EBench {
         staged("tx_upsert") {
           val tx = graft.operators.EventUnion.canonical(b, headDf).persist()
           Pipelines.upsertBatch(spark, txDir, tx,
-            Seq("event_id", "event", "address"), bucketing = txBucketing)
+            Seq("event_id", "event", "address"), bucketing = txBucketing,
+            batchId = Some(batchId))
           graft.streaming.StatusDrain.appendPending(spark, base, tx)
           tx.unpersist()
           ()
         }
         // 2. dirty-user balance refresh: batch deltas folded onto the
-        //    prior state (only touched users are rewritten — T6 shape)
+        //    prior state INSIDE the merge job (accumulator merge — one
+        //    state read per batch, not a full read + a touched re-read),
+        //    with the _BATCHID replay guard making the non-idempotent
+        //    fold effectively-once across crash-replays
         staged("user_refresh") {
-          val delta = userDelta(b)
-          val prior = scala.util.Try(Pipelines.readState(spark, userDir)).toOption
-          val absolute = prior match {
-            case Some(st) => delta.join(
-                st.select(col("user_id"), col("balance").as("prior_balance")),
-                Seq("user_id"), "left")
-              .select(col("user_id"),
-                (coalesce(col("prior_balance").cast(DecimalType(38, 4)), lit(0).cast(DecimalType(38, 4)))
-                  + col("delta")).cast(DoubleType).as("balance"))
-            case None => delta.select(col("user_id"),
-              col("delta").cast(DoubleType).as("balance"))
-          }
-          Pipelines.upsertBatch(spark, userDir, absolute, Seq("user_id"))
+          Pipelines.upsertBatch(spark, userDir, userDelta(b), Seq("user_id"),
+            batchId = Some(batchId),
+            mergeWith = Some { (prior, d) =>
+              prior match {
+                case Some(st) => st.join(d, Seq("user_id"), "full_outer")
+                  .select(col("user_id"),
+                    when(col("delta").isNull, col("balance")) // untouched rows bit-identical
+                      .otherwise((coalesce(
+                          col("balance").cast(DecimalType(38, 4)),
+                          lit(0).cast(DecimalType(38, 4))) + col("delta"))
+                        .cast(DoubleType)).as("balance"))
+                case None => d.select(col("user_id"),
+                  col("delta").cast(DoubleType).as("balance"))
+              }
+            })
         }
         // 3. OHLC candle state (price serving tier)
         staged("candles") {
