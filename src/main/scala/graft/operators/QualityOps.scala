@@ -100,6 +100,17 @@ object QualityOps {
   // genuinely two-class target instead of a constant
   private val ClsLabelThr = 680000L
 
+  // ── DSIR parameters: hashed-unigram importance resampling (the Xie et
+  //    al. 2023 "Data Selection via Importance Resampling" shape, exact).
+  //    512 feature buckets keeps the per-feature count table BOUNDED at any
+  //    corpus size (it broadcasts as <10 KB even at 100 TB), and the
+  //    importance weight is an integer likelihood ratio
+  //    (Scale·(tgt+1)) div (raw+1) — add-one smoothed, no log, no float —
+  //    so the per-doc score is a sum of exact integers on both engines.
+  private val DsirBuckets = 512L
+  private val DsirScale = 1000000L
+  private val DsirK = 20
+
   // ── shard-packing parameters: 4096-token shards, fixed-width hash
   //    buckets (md5 uniformity makes fixed-width equi-depth) for the
   //    two-pass global cumsum over the shuffled order.
@@ -778,6 +789,54 @@ object QualityOps {
           col("rarity_sum").cast(DoubleType) / col("n_tok"))
         .select(col("doc_id"), col("rarity_sum"), col("n_tok"), col("rarity"))
         .orderBy(col("doc_id"))
+    },
+
+    // DSIR — data selection via importance resampling (hashed-unigram
+    // variant): score every document by how much its hashed token
+    // distribution looks like the TARGET slice (lang='en' stands in for
+    // the curated target corpus) relative to the raw pool, then keep the
+    // top-K. Plan shape at 100 TB: one partial-agged shuffle on
+    // (doc_id, feature) builds per-doc feature counts; the per-feature
+    // target/raw totals REUSE that table and collapse to ≤512 rows, which
+    // broadcast back as the integer weight table; scoring is a broadcast
+    // hash join + one doc_id-keyed partial agg; top-K is TakeOrdered. The
+    // corpus is never joined to itself and nothing global is sorted.
+    // Weights are add-one-smoothed integer likelihood ratios — tgt ≤ raw
+    // always, so w ≤ Scale, and score ≤ n_tok·Scale (QualityOpsSpec pins
+    // both bounds plus the en-vs-rest separation).
+    Q(
+      "tx_dsir",
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token FROM documents),
+         |df AS (SELECT doc_id, lang, ${sid60Sql("'dsir:'||token")} % $DsirBuckets AS f, count(*) AS c
+         |  FROM tok GROUP BY 1, 2, 3),
+         |feat AS (SELECT f, CAST(sum(c) AS BIGINT) AS raw_c,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_c
+         |  FROM df GROUP BY f),
+         |llr AS (SELECT f, ($DsirScale * (tgt_c + 1)) // (raw_c + 1) AS w FROM feat)
+         |SELECT d.doc_id, any_value(d.lang) AS lang,
+         |  CAST(sum(d.c * l.w) AS BIGINT) AS score,
+         |  CAST(sum(d.c) AS BIGINT) AS n_tok
+         |FROM df d JOIN llr l ON d.f = l.f
+         |GROUP BY d.doc_id
+         |ORDER BY score DESC, doc_id LIMIT $DsirK""".stripMargin) { (s, d) =>
+      val df = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"), col("lang"),
+          (sid60(concat(lit("dsir:"), col("token"))) % DsirBuckets).as("f"))
+        .groupBy(col("doc_id"), col("lang"), col("f"))
+        .agg(count(lit(1)).as("c"))
+      val llr = df.groupBy(col("f"))
+        .agg(sum(col("c")).as("raw_c"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
+        .select(col("f"), expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("w"))
+      df.join(broadcast(llr), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"),
+          sum(col("c") * col("w")).as("score"),
+          sum(col("c")).as("n_tok"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(DsirK)
+        .select(col("doc_id"), col("lang"), col("score"), col("n_tok"))
     },
 
     // Incremental dedup — the production shape: a NEW batch (here the

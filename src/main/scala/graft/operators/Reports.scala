@@ -232,6 +232,50 @@ object Reports {
         .orderBy(col("event_type"))
     },
 
+    // ── Exponentially time-decayed engagement counters ─────────────────────
+    // The feature-store primitive: per-user activity counters where an
+    // event's contribution halves per half-life elapsed (1-day and 7-day
+    // half-lives side by side). EXACT on both engines: the weight is the
+    // integer 2^(20 − age/halflife) (a shift, zero past 20 half-lives — at
+    // 2^-20 ≈ 1e-6 the contribution is below any feature's precision
+    // anyway), so the decayed counter is a sum of exact integers scaled by
+    // 2^20 — no float pow, no summation-order sensitivity. Plan: narrow map
+    // (date arithmetic + shift) → ONE partial-agged groupBy(user_id) →
+    // TakeOrdered; the max-day anchor is a 1-row broadcast. At 100 TB this
+    // is the same shape as a1_group_count — the decay adds zero shuffles.
+    Q(
+      "a16_decay",
+      """WITH mx AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd FROM events),
+        |e AS (SELECT user_id,
+        |    date_diff('day', CAST(date_trunc('day', ts) AS DATE), mx.maxd) AS age
+        |  FROM events, mx),
+        |w AS (SELECT user_id,
+        |    CASE WHEN age <= 20 THEN (CAST(1 AS BIGINT) << CAST(20 - age AS INTEGER))
+        |         ELSE CAST(0 AS BIGINT) END AS w1,
+        |    CASE WHEN age // 7 <= 20 THEN (CAST(1 AS BIGINT) << CAST(20 - age // 7 AS INTEGER))
+        |         ELSE CAST(0 AS BIGINT) END AS w7
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(w1) AS BIGINT) AS decay1_scaled,
+        |  CAST(sum(w7) AS BIGINT) AS decay7_scaled
+        |FROM w GROUP BY user_id
+        |ORDER BY decay7_scaled DESC, user_id LIMIT 25""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      val mx = ev.agg(max(col("day")).as("maxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("maxd"), col("day")).cast(LongType))
+        .withColumn("w1", expr(
+          "CASE WHEN age <= 20 THEN shiftleft(CAST(1 AS BIGINT), CAST(20 - age AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("w7", expr(
+          "CASE WHEN age div 7 <= 20 THEN shiftleft(CAST(1 AS BIGINT), CAST(20 - age div 7 AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w1")).as("decay1_scaled"), sum(col("w7")).as("decay7_scaled"))
+        .orderBy(col("decay7_scaled").desc, col("user_id"))
+        .limit(25)
+    },
+
     // ── Robust outliers (median/MAD) ───────────────────────────────────────
     // Modified-z-score outlier flagging per event_type: |cents − median| >
     // 3.5·MAD, the robust alternative to mean/stddev that the monitoring

@@ -209,4 +209,45 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(scores.nonEmpty && scores.distinct.length > 10,
       "lm scores collapsed to a near-constant — smoothing or counts broken")
   }
+
+  test("tx_dsir: weight bounds hold and the target language separates from the rest") {
+    val rows = run("tx_dsir").select("doc_id", "lang", "score", "n_tok").collect()
+    assert(rows.length === 20)
+    // tgt_c <= raw_c per feature, so every weight <= Scale and every doc
+    // score <= n_tok * Scale; smoothing keeps scores strictly positive.
+    rows.foreach { r =>
+      val (score, nTok) = (r.getLong(2), r.getLong(3))
+      assert(score > 0L && score <= nTok * 1000000L,
+        s"doc ${r.getLong(0)} score $score outside (0, n_tok*Scale]")
+    }
+    // scores arrive in the query's declared order
+    assert(rows.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // Corpus-wide, the mean normalized score (score/n_tok) of the TARGET
+    // language must exceed the rest — the direction importance resampling
+    // exists to produce. (Checked over all docs, not the top-K: the raw
+    // DSIR score is length-accumulated, so the top-K is length-dominated
+    // on this synthetic corpus and the per-language margin only shows up
+    // normalized.)
+    val spark2 = spark
+    import spark2.implicits._
+    val norm = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("dsir:"), col("token"))), 1, 15), 16, 10)
+          .cast("long") % 512L).as("f"))
+      .groupBy(col("doc_id"), col("lang"), col("f")).agg(count(lit(1)).as("c"))
+    val llr = norm.groupBy(col("f"))
+      .agg(sum(col("c")).as("raw_c"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
+      .select(col("f"), expr("(1000000 * (tgt_c + 1)) div (raw_c + 1)").as("w"))
+    val sep = norm.join(broadcast(llr), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+        (sum(col("c") * col("w")).cast("double") / sum(col("c"))).as("nscore"))
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("nscore")).as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(sep(true) > sep(false),
+      s"target-language mean normalized DSIR score ${sep(true)} does not exceed rest ${sep(false)}")
+  }
 }
