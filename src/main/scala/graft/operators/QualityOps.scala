@@ -819,16 +819,22 @@ object QualityOps {
          |FROM df d JOIN llr l ON d.f = l.f
          |GROUP BY d.doc_id
          |ORDER BY score DESC, doc_id LIMIT $DsirK""".stripMargin) { (s, d) =>
-      val df = T.documents(s, d)
+      def toks = T.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
-        .select(col("doc_id"), col("lang"),
-          (sid60(concat(lit("dsir:"), col("token"))) % DsirBuckets).as("f"))
+        .withColumn("f", sid60(concat(lit("dsir:"), col("token"))) % DsirBuckets)
+      // pass 1 builds ONLY the per-feature totals, straight off the token
+      // stream: 512 distinct keys means the map side combines each
+      // partition to <=512 rows before the (tiny) shuffle — cheaper than
+      // deriving it from the (doc_id, f) table, which would re-shuffle the
+      // corpus a second time on the wide key.
+      val llr = toks
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("raw_c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_c"))
+        .select(col("f"), expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("w"))
+      val df = toks
         .groupBy(col("doc_id"), col("lang"), col("f"))
         .agg(count(lit(1)).as("c"))
-      val llr = df.groupBy(col("f"))
-        .agg(sum(col("c")).as("raw_c"),
-          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
-        .select(col("f"), expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("w"))
       df.join(broadcast(llr), Seq("f"))
         .groupBy(col("doc_id"))
         .agg(first(col("lang")).as("lang"),
