@@ -407,6 +407,76 @@ object VectorOps {
     rankTopK(pairs, 5)
   }
 
+  /** ColBERT-style late-interaction MaxSim: passages = 8 consecutive
+    * token-vectors (pid = vec_id div 8), query passages = pid < 4. For a
+    * query passage q and candidate passage d,
+    * score(q,d) = Σ_{i∈q} max_{j∈d} cos(q_i, d_j) — each query token finds
+    * its best-matching candidate token; the sum rewards covering ALL query
+    * tokens (the retrieval scorer multi-vector models use, vs the single
+    * pooled-vector cosine of ss_topk_*).
+    *
+    * Scale shape: the query side is BOUNDED (32 token-vectors) and
+    * broadcasts; each corpus vector scores 32 codegen'd integer dots in one
+    * narrow projection (no corpus shuffle for scoring); the max collapses
+    * on (q_token, d_pid) and the sum on (q_pid, d_pid) — both map-side
+    * partial — and the final top-k is the BoundedTopK aggregate, never a
+    * window over the pair stream. Determinism: the per-pair cosine is the
+    * shared exact-integer-dot 3-op tree; the MAX of deterministic doubles
+    * is order-free; the token SUM would not be (8 doubles), so each max is
+    * floored to an exact integer at 1e-12 resolution first and the score
+    * accumulates in int64. */
+  private def maxsim(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false)
+    val q = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qv"), expr("vec_id div 8").as("q_pid"),
+        col("qarr").as("q_qarr"), col("nrm").as("nq"))
+    val pairs = emb
+      .select(col("vec_id").as("cv"), expr("vec_id div 8").as("d_pid"),
+        col("qarr"), col("nrm").as("nc"))
+      .crossJoin(broadcast(q))
+      .filter(col("d_pid") =!= col("q_pid"))
+      .select(col("qv"), col("q_pid"), col("d_pid"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    val perToken = pairs
+      .groupBy(col("qv"), col("q_pid"), col("d_pid"))
+      .agg(max(col("cos")).as("mx"))
+    val perPassage = perToken
+      .groupBy(col("q_pid"), col("d_pid"))
+      .agg(sum(floor(col("mx") * lit(1000000000000.0))).as("score"))
+    val topk = udaf(BoundedTopK[Long](5))
+    perPassage
+      .groupBy(col("q_pid"))
+      .agg(topk(-col("score"), col("d_pid")).as("top"))
+      .select(col("q_pid"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_pid"), col("t._2").as("d_pid"), (-col("t._1")).as("score"),
+        (col("r0") + 1).cast(LongType).as("rnk"))
+      .orderBy(col("q_pid"), col("rnk"))
+  }
+
+  /** the MaxSim oracle CTE chain (prefix `m`), sharing `flat`/`norms`. */
+  private val MaxSimSql =
+    s"""mq AS (SELECT vec_id, i, v, vec_id // 8 AS pid FROM flat WHERE vec_id < 32),
+       |mc AS (SELECT vec_id, i, v, vec_id // 8 AS pid FROM flat),
+       |mdots AS (
+       |  SELECT q.vec_id AS qv, c.vec_id AS cv, q.pid AS q_pid, c.pid AS d_pid,
+       |    sum(q.v*c.v) AS dot
+       |  FROM mq q JOIN mc c ON q.i = c.i AND q.pid <> c.pid
+       |  GROUP BY 1, 2, 3, 4),
+       |mtok AS (
+       |  SELECT qv, q_pid, d_pid, max(${cosSql("dot", "nq.nrm", "nc.nrm")}) AS mx
+       |  FROM mdots JOIN norms nq ON nq.vec_id = qv JOIN norms nc ON nc.vec_id = cv
+       |  GROUP BY 1, 2, 3),
+       |mpass AS (
+       |  SELECT q_pid, d_pid,
+       |    CAST(sum(CAST(floor(mx*1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM mtok GROUP BY 1, 2),
+       |mstop AS (
+       |  SELECT q_pid, d_pid, score, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_pid ORDER BY score DESC, d_pid) AS rnk
+       |    FROM mpass)
+       |  WHERE rnk <= 5)""".stripMargin
+
   /** the brute top-k CTE chain (prefix `b`) shared by the ss_topk_brute and
     * ss_recall oracles. */
   private val BruteTopSql =
@@ -910,6 +980,18 @@ object VectorOps {
          |$Lsh4TopSql
          |SELECT q_id, n_id, cos, rnk FROM mtop ORDER BY q_id, rnk""".stripMargin) {
       (s, d) => topkLsh4(s, d)
+    },
+
+    // Late-interaction (ColBERT-style) MaxSim retrieval: multi-vector
+    // passages (8 token-vectors each), score = per-query-token best-match
+    // sum. The scorer a multi-vector embedding index serves; top-5
+    // passages per query passage, exact integer-floored scores.
+    Q(
+      "ss_maxsim",
+      s"""$FlatCte,
+         |$MaxSimSql
+         |SELECT q_pid, d_pid, score, rnk FROM mstop ORDER BY q_pid, rnk""".stripMargin) {
+      (s, d) => maxsim(s, d)
     },
 
     // Recall@5 of the ANN variants against exact brute-force truth — the

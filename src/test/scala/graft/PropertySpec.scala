@@ -205,4 +205,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ss_maxsim matches a brute-force late-interaction model") {
+    // the full MaxSim definition re-derived in plain Scala over the same
+    // parquet — quantization, integer dots, the shared 3-op cosine tree,
+    // per-token max, 1e-12 flooring, int64 sum, (score desc, d_pid) top-5
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e7).toLong).toArray)
+    def nrm(a: Array[Long]): Long = a.map(x => x * x).sum
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val (na, nb) = (nrm(a), nrm(b))
+      if (na == 0 || nb == 0) { if (na == 0 && nb == 0) 1.0 else 0.0 }
+      else {
+        val dot = a.indices.map(i => a(i) * b(i)).sum
+        dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+    }
+    val byPid = emb.groupBy(_._1 / 8)
+    val expected = emb.filter(_._1 < 32).groupBy(_._1 / 8).flatMap {
+      case (qpid, qvecs) =>
+        byPid.filter(_._1 != qpid).map { case (dpid, dvecs) =>
+          val score = qvecs.map { case (_, qa) =>
+            math.floor(dvecs.map(dv => cos(qa, dv._2)).max * 1e12).toLong
+          }.sum
+          (dpid, score)
+        }.toSeq.sortBy { case (dpid, sc) => (-sc, dpid) }.take(5)
+          .zipWithIndex.map { case ((dpid, sc), i) => (qpid, dpid, sc, (i + 1).toLong) }
+    }.toSet
+    val got = graft.core.QueryRegistry.byName("ss_maxsim").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
 }
