@@ -438,6 +438,14 @@ object VectorOps {
       .select(col("qv"), col("q_pid"), col("d_pid"),
         dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
       .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    maxsimRank(pairs)
+  }
+
+  /** shared MaxSim tail: (qv, q_pid, d_pid, cos) pair stream → per-token
+    * max → int64-floored per-passage sum → top-5 per query passage via
+    * BoundedTopK. Both the brute scorer and the pooled-candidate rerank
+    * end here, so their scores share one definition by construction. */
+  private def maxsimRank(pairs: DataFrame): DataFrame = {
     val perToken = pairs
       .groupBy(col("qv"), col("q_pid"), col("d_pid"))
       .agg(max(col("cos")).as("mx"))
@@ -453,6 +461,101 @@ object VectorOps {
         (col("r0") + 1).cast(LongType).as("rnk"))
       .orderBy(col("q_pid"), col("rnk"))
   }
+
+  /** PLAID-style two-stage MaxSim: a POOLED candidate pass (elementwise
+    * integer sum of each passage's 8 token vectors — the coarse "centroid"
+    * representation) scores ONE dot per passage pair instead of 64, keeps
+    * the top-32 candidates per query passage via BoundedTopK, and only
+    * those pairs pay the exact 64-dot MaxSim rerank — which reuses
+    * [[maxsimRank]], so surviving pairs score bit-identically to
+    * `ss_maxsim` (PropertySpec pins the overlap consistency).
+    *
+    * Scale shape: the pooled table is 8× smaller than the token corpus and
+    * is what a 100 TB deployment persists as its centroid index; the
+    * candidate pass is linear in PASSAGES (not tokens), and the exact
+    * rerank's corpus side is candidate-bounded (≤32·|Q| passages) — it no
+    * longer grows with the corpus at all. Pooled sums and norms stay in
+    * exact int64 (components ≤8e7, squares ≤6.4e15, 64-dim sums ≤4.1e17). */
+  private def maxsimIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d, withBucket = false)
+    val withPid = emb.withColumn("pid", expr("vec_id div 8"))
+    // pooled flat: (pid, i, sv) — one co-keyed partial-agged shuffle
+    val pooled = withPid
+      .select(col("pid"), posexplode(col("qarr")).as(Seq("i0", "v")))
+      .groupBy(col("pid"), col("i0"))
+      .agg(sum(col("v")).as("sv"))
+    val pooledNorm = pooled.groupBy(col("pid")).agg(sum(col("sv") * col("sv")).as("nrm"))
+    val pq = pooled.filter(col("pid") < 4)
+      .select(col("pid").as("q_pid"), col("i0"), col("sv").as("qsv"))
+    val nq = pooledNorm.filter(col("pid") < 4)
+      .select(col("pid").as("q_pid"), col("nrm").as("nq"))
+    val approx = pooled.join(broadcast(pq), Seq("i0"))
+      .filter(col("pid") =!= col("q_pid"))
+      .groupBy(col("q_pid"), col("pid").as("d_pid"))
+      .agg(sum(col("sv") * col("qsv")).as("dot"))
+      .join(broadcast(nq), Seq("q_pid"))
+      .join(pooledNorm.withColumnRenamed("pid", "d_pid").withColumnRenamed("nrm", "nc"),
+        Seq("d_pid"))
+      .withColumn("acos", cosFrom(col("dot"), col("nq"), col("nc")))
+    val top32 = udaf(BoundedTopK[Double](32))
+    val cand = approx.groupBy(col("q_pid"))
+      .agg(top32(-col("acos"), col("d_pid")).as("top"))
+      .select(col("q_pid"), explode(col("top")).as("t"))
+      .select(col("q_pid"), col("t._2").as("d_pid"))
+    // exact rerank over candidate passages only (corpus side filtered by
+    // the broadcast candidate set, then the bounded query vectors rejoin)
+    val qTok = withPid.filter(col("vec_id") < 32)
+      .select(col("pid").as("q_pid"), col("vec_id").as("qv"),
+        col("qarr").as("q_qarr"), col("nrm").as("nq"))
+    val pairs = withPid
+      .select(col("pid").as("d_pid"), col("qarr"), col("nrm").as("nc"))
+      .join(broadcast(cand), Seq("d_pid"))
+      .join(broadcast(qTok), Seq("q_pid"))
+      .select(col("qv"), col("q_pid"), col("d_pid"),
+        dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    maxsimRank(pairs)
+  }
+
+  /** the pooled-candidate MaxSim oracle CTE chain (prefix `i`/`a`),
+    * sharing `flat`/`norms`. */
+  private val MaxSimIvfSql =
+    s"""pf AS (SELECT vec_id // 8 AS pid, i, CAST(sum(v) AS BIGINT) AS sv
+       |  FROM flat GROUP BY 1, 2),
+       |pn AS (SELECT pid, CAST(sum(sv*sv) AS BIGINT) AS nrm FROM pf GROUP BY pid),
+       |aq AS (SELECT * FROM pf WHERE pid < 4),
+       |adots AS (
+       |  SELECT q.pid AS q_pid, c.pid AS d_pid, CAST(sum(q.sv*c.sv) AS BIGINT) AS dot
+       |  FROM aq q JOIN pf c ON q.i = c.i AND q.pid <> c.pid
+       |  GROUP BY 1, 2),
+       |ascore AS (
+       |  SELECT q_pid, d_pid, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS acos
+       |  FROM adots JOIN pn nq ON nq.pid = q_pid JOIN pn nc ON nc.pid = d_pid),
+       |acand AS (
+       |  SELECT q_pid, d_pid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_pid ORDER BY acos DESC, d_pid) AS arnk
+       |    FROM ascore)
+       |  WHERE arnk <= 32),
+       |iq AS (SELECT vec_id, i, v, vec_id // 8 AS pid FROM flat WHERE vec_id < 32),
+       |ic AS (SELECT vec_id, i, v, vec_id // 8 AS pid FROM flat),
+       |idots AS (
+       |  SELECT q.vec_id AS qv, a.q_pid, a.d_pid, c.vec_id AS cv, sum(q.v*c.v) AS dot
+       |  FROM acand a JOIN iq q ON q.pid = a.q_pid
+       |  JOIN ic c ON c.pid = a.d_pid AND c.i = q.i
+       |  GROUP BY 1, 2, 3, 4),
+       |itok AS (
+       |  SELECT qv, q_pid, d_pid, max(${cosSql("dot", "nq.nrm", "nc.nrm")}) AS mx
+       |  FROM idots JOIN norms nq ON nq.vec_id = qv JOIN norms nc ON nc.vec_id = cv
+       |  GROUP BY 1, 2, 3),
+       |ipass AS (
+       |  SELECT q_pid, d_pid,
+       |    CAST(sum(CAST(floor(mx*1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM itok GROUP BY 1, 2),
+       |istop AS (
+       |  SELECT q_pid, d_pid, score, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_pid ORDER BY score DESC, d_pid) AS rnk
+       |    FROM ipass)
+       |  WHERE rnk <= 5)""".stripMargin
 
   /** the MaxSim oracle CTE chain (prefix `m`), sharing `flat`/`norms`. */
   private val MaxSimSql =
@@ -992,6 +1095,18 @@ object VectorOps {
          |$MaxSimSql
          |SELECT q_pid, d_pid, score, rnk FROM mstop ORDER BY q_pid, rnk""".stripMargin) {
       (s, d) => maxsim(s, d)
+    },
+
+    // PLAID-style two-stage MaxSim: pooled-centroid candidate pass (one
+    // dot per passage pair, top-32 via BoundedTopK) + exact MaxSim rerank
+    // of the candidates only — the scale path, where exact scoring is
+    // candidate-bounded instead of corpus-wide.
+    Q(
+      "ss_maxsim_ivf",
+      s"""$FlatCte,
+         |$MaxSimIvfSql
+         |SELECT q_pid, d_pid, score, rnk FROM istop ORDER BY q_pid, rnk""".stripMargin) {
+      (s, d) => maxsimIvf(s, d)
     },
 
     // Recall@5 of the ANN variants against exact brute-force truth — the

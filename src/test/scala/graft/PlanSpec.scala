@@ -224,7 +224,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("argmin/top-k partial-aggregates — no window over the ranked stream") {
     Seq("ss_topk_brute", "ss_topk_lsh", "ss_topk_lsh4", "ss_topk_ivf",
-        "ss_topk_quant", "ss_kmeans_assign", "ss_maxsim", "w1b_topk_per_key").foreach { n =>
+        "ss_topk_quant", "ss_kmeans_assign", "ss_maxsim", "ss_maxsim_ivf",
+        "w1b_topk_per_key").foreach { n =>
       val p = plan(n)
       assert(!p.contains("Window ["), s"$n still ranks the pair stream with a window")
       assert("(Object)?(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,

@@ -236,6 +236,22 @@ class PropertySpec extends AnyFunSuite {
     val got = graft.core.QueryRegistry.byName("ss_maxsim").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === expected)
+
+    // the pooled-candidate two-stage variant must score every pair it
+    // surfaces IDENTICALLY to the brute scorer (same maxsimRank tail), and
+    // its per-query results can never beat brute's rank-1
+    val ivf = graft.core.QueryRegistry.byName("ss_maxsim_ivf").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bruteScore = expected.map { case (q, dp, sc, _) => (q, dp) -> sc }.toMap
+    ivf.foreach { case (q, dp, sc, _) =>
+      bruteScore.get((q, dp)).foreach(b =>
+        assert(b === sc, s"pair ($q,$dp) scores differ between brute and pooled-candidate"))
+    }
+    val bruteBest = expected.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    ivf.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).max <= bruteBest(q),
+        s"query $q: pooled-candidate top score exceeds exhaustive top score")
+    }
   }
 
 }
