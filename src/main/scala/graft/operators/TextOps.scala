@@ -122,6 +122,33 @@ object TextOps {
         (1 until MhK).map(k =>
           min((col("sidp") * (31 * k + 7) + (17 * k + 3)) % MhP).as(s"mh$k")): _*)
 
+  /** shared oracle CTE chain `sh/ids/sig/bands/cand`: full-corpus shingle
+    * sets, MinHash signatures, band keys, and the DISTINCT LSH candidate
+    * pair set — one definition for dd_minhash_lsh and the dd_lsh_recall
+    * eval, so the candidate semantics can never drift between them. */
+  private lazy val MhCandSql = {
+    val mhAgg = (0 until MhK)
+      .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP) AS mh$k")
+      .mkString(",\n    ")
+    val bandRows = (0 until MhBands).map { b =>
+      val key = (0 until 4).map(i => s"mh${4 * b + i}").mkString("||','||")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest($shinglesSql) AS shingle
+       |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+       |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mhAgg
+       |  FROM ids GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** LSH band table (doc_id, band, band_key) of a signature table — the
     * other half of the persisted index; row-local, no shuffle. */
   def bandTable(sig: DataFrame): DataFrame = {
@@ -1069,28 +1096,9 @@ object TextOps {
     // doc_id at 100 TB). No dictionary, no global sort.
     Q(
       "dd_minhash_lsh", {
-        val mhAgg = (0 until MhK)
-          .map(k => s"min((sidp*${31 * k + 7}+${17 * k + 3})%$MhP) AS mh$k")
-          .mkString(",\n        |    ")
-        val bandRows = (0 until MhBands).map { b =>
-          val key = (0 until 4).map(i => s"mh${4 * b + i}").mkString("||','||")
-          s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
-        }.mkString("\n        |  UNION ALL ")
         val matches = (0 until MhK)
           .map(k => s"(CASE WHEN sa.mh$k=sb.mh$k THEN 1 ELSE 0 END)").mkString("+")
-        s"""WITH sh AS (
-           |  SELECT DISTINCT doc_id, shingle FROM (
-           |    SELECT doc_id, unnest($shinglesSql) AS shingle
-           |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
-           |ids AS (SELECT doc_id, ${sid60Sql("shingle")} % $MhP AS sidp FROM sh),
-           |sig AS (SELECT doc_id,
-           |    $mhAgg
-           |  FROM ids GROUP BY doc_id),
-           |bands AS (
-           |  $bandRows),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        s"""WITH $MhCandSql
            |SELECT c.doc_a, c.doc_b, ($matches)/16.0 AS est_jaccard
            |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin
@@ -1114,6 +1122,71 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), (nMatch / lit(16.0)).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }.copy(bench = true),
+
+    // Candidate RECALL of the banded-LSH index against exact-Jaccard truth
+    // — the eval a dedup deployment runs before trusting its band
+    // parameters (the dd-family analog of ss_recall): every TRUE near-dup
+    // pair (full-shingle-set Jaccard >= 1/2, the integer-exact form
+    // 3·common >= |A|+|B|) with a found/missed flag from the SHARED
+    // candidate definition (MhCandSql — the same CTE dd_minhash_lsh
+    // scores). Per-pair rows, not a mean: an aggregate recall would hide
+    // which similarity band the 4×4 banding starts missing in. The truth
+    // side's UNCAPPED shingle self-join is the eval's cost — quadratic in
+    // the hottest shingle's df (measured Σdf² ≈ 1.3M at sf0.1) — which is
+    // why production runs this on a sample, exactly like ss_recall's
+    // brute-force side; the operators it audits keep their df caps.
+    Q(
+      "dd_lsh_recall",
+      s"""WITH $MhCandSql,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT cm.doc_a, cm.doc_b, CAST(common AS BIGINT) AS common,
+         |    CAST(ca.n + cb.n - common AS BIGINT) AS uni
+         |  FROM cm JOIN cnt ca ON ca.doc_id = cm.doc_a
+         |  JOIN cnt cb ON cb.doc_id = cm.doc_b
+         |  WHERE 3*common >= ca.n + cb.n)
+         |SELECT t.doc_a, t.doc_b, t.common, t.uni,
+         |  (c.doc_a IS NOT NULL) AS found
+         |FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |ORDER BY t.doc_a, t.doc_b""".stripMargin) { (s, d) =>
+      val sh = T.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+      // one shingle-keyed shuffle; both truth grains (per-doc sizes and
+      // per-pair intersections) read the grouped relation (persisted — the
+      // dd_ngram_jaccard convention)
+      val grouped = sh.groupBy(col("shingle"))
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .persist()
+      val cnt = grouped.select(explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cm = grouped
+        .select(explode(expr(
+          "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      val truth = cm
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(col("common") * 3 >= col("na") + col("nb"))
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          (col("na") + col("nb") - col("common")).as("uni"))
+      val sig = minhashSignatures(T.documents(s, d).select(col("doc_id"), col("text")))
+      val bands = bandTable(sig)
+      val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      truth
+        .join(cand.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("common"), col("uni"),
+          coalesce(col("hit"), lit(false)).as("found"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
 
     // Incremental NEAR-dup maintenance — the dedup path a daily 100 TB
     // corpus refresh actually runs: a NEW batch (top-10%-of-doc_id slice,
