@@ -250,6 +250,15 @@ class PlanSpec extends AnyFunSuite {
       "live range repartition in the lineage — bucket ids can re-sample per consumer")
   }
 
+  test("tx_dsir tokenizes the corpus once — the (doc,f) exchange is reused") {
+    // both consumers (feature totals, scoring join) must read ONE
+    // (doc_id, lang, f) exchange; losing the reuse re-runs the per-token
+    // md5 map — measured 20.6 s vs 12.9 s on the 64× replica
+    val p = plan("tx_dsir")
+    assert(p.contains("ReusedExchange"),
+      "tx_dsir no longer reuses the (doc_id, lang, f) exchange — the corpus is tokenized twice")
+  }
+
   test("tx_source_cap caps per-source lists in the partial aggregate, not a window") {
     val p = plan("tx_source_cap")
     assert(!p.contains("Window ["), "source cap still ranks with a window sort")
