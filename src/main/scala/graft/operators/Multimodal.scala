@@ -60,20 +60,24 @@ object Multimodal {
   val queries: Seq[Q] = Seq(
 
     // Decode: binary payload → typed metadata struct, from REAL container
-    // headers. Each document carries a byte-faithful PNG (even doc_id) or
-    // BMP (odd) header fixture with dims derived from doc_id
-    // (graft.plans.ImageMeta.{pngFixture,bmpFixture} — real signature,
-    // IHDR + CRC32 / BITMAPINFOHEADER layouts); the codegen'd
-    // `image_meta` expression parses the actual big-endian/little-endian
-    // width and height fields back out. The oracle pins generator∘parser
-    // = identity on dims, so a parser that misreads any header byte goes
-    // red. Narrow map end to end; a full pixel decode slots in behind the
-    // same expression with a per-partition codec.
+    // headers. Each document carries a byte-faithful PNG (doc_id%3=0),
+    // BMP (=1) or JPEG (=2) header fixture with dims derived from doc_id
+    // (graft.plans.ImageMeta.{pngFixture,bmpFixture,jpegFixture} — real
+    // signature, IHDR + CRC32 / BITMAPINFOHEADER / walked marker-segment
+    // layouts); the codegen'd `image_meta` expression parses the actual
+    // width and height fields back out. The JPEG fixture carries a
+    // doc_id-sized APP1 pad, so its SOF sits at a VARYING offset — a
+    // parser that peeks at a fixed position instead of walking the
+    // segment list goes red on size_bytes AND dims. The oracle pins
+    // generator∘parser = identity; narrow map end to end; a full pixel
+    // decode slots in behind the same expression with a per-partition
+    // codec.
     Q(
       "mm_decode_meta",
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS BIGINT) AS size_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54
+        |       ELSE 112 + doc_id % 17 END AS BIGINT) AS size_bytes,
         |  CAST(doc_id % 240 + 16 AS BIGINT) AS width,
         |  CAST((doc_id * 7) % 240 + 16 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -86,9 +90,11 @@ object Multimodal {
           ids.map { id =>
             val w = (id % 240 + 16).toInt
             val h = (id * 7 % 240 + 16).toInt
-            MediaBlob(id,
-              if (id % 2 == 0) ImageMeta.pngFixture(w, h)
-              else ImageMeta.bmpFixture(w, h))
+            MediaBlob(id, (id % 3) match {
+              case 0 => ImageMeta.pngFixture(w, h)
+              case 1 => ImageMeta.bmpFixture(w, h)
+              case _ => ImageMeta.jpegFixture(w, h, (id % 17).toInt)
+            })
           }
         }
         .toDF()

@@ -18,7 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP (Windows BITMAPINFOHEADER): ASCII "BM", 4-byte little-endian file
   *    size at offset 2, pixel-data offset at 10, 40-byte info header whose
   *    4-byte little-endian width sits at offset 18 and height at 22 (height
-  *    may be negative for top-down rows — dimensions report |height|).
+  *    may be negative for top-down rows — dimensions report |height|);
+  *  - JPEG (ITU-T T.81 §B): SOI `FF D8`, then a WALKED marker-segment list
+  *    (each `FF xx` + 2-byte big-endian length including itself; APPn/COM/
+  *    DQT/DHT skipped by length, 0xFF fill bytes and standalone TEM/RSTn
+  *    tolerated) until a start-of-frame marker (0xC0-0xCF minus DHT 0xC4,
+  *    JPG 0xC8, DAC 0xCC) — whose payload carries precision(1), big-endian
+  *    height(2) then width(2). Dimensions CANNOT be read at a fixed offset
+  *    (APP1/EXIF blocks are variable-length), which is exactly what the
+  *    fixture's doc_id-sized APP1 pad exercises; hitting SOS/EOI without a
+  *    SOF, a stuffed 0x00, misalignment, or a truncation rejects (null).
   *
   * The decode runs as a codegen-participating Catalyst expression over the
   * `binary` media column — a narrow map, no shuffle, no UDF — exactly the
@@ -61,6 +70,32 @@ object ImageMeta extends Serializable {
     out.array()
   }
 
+  /** a byte-faithful JPEG header prefix: SOI, APP0/JFIF, an APP1 segment
+    * of `pad` deterministic payload bytes (the variable-length EXIF stand-
+    * in that defeats fixed-offset peeks), one DQT, then SOF0 with the real
+    * big-endian height/width. 112 + pad bytes. */
+  def jpegFixture(width: Int, height: Int, pad: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(112 + pad) // big-endian
+    out.put(0xff.toByte).put(0xd8.toByte)                    // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(16)       // APP0, len 16
+    out.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    out.put(1.toByte).put(1.toByte).put(0.toByte)            // v1.1, no units
+    out.putShort(1).putShort(1).put(0.toByte).put(0.toByte)  // density, thumb
+    out.put(0xff.toByte).put(0xe1.toByte).putShort((pad + 2).toShort) // APP1
+    (0 until pad).foreach(i => out.put(((i * 31 + 7) & 0xff).toByte))
+    out.put(0xff.toByte).put(0xdb.toByte).putShort(67)       // DQT, len 67
+    out.put(0.toByte)                                        // table id
+    (0 until 64).foreach(i => out.put(((i * 13 + 1) & 0xff).toByte))
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(17)       // SOF0, len 17
+    out.put(8.toByte)                                        // precision
+    out.putShort(height.toShort).putShort(width.toShort)
+    out.put(3.toByte)                                        // 3 components
+    out.put(1.toByte).put(0x22.toByte).put(0.toByte)
+    out.put(2.toByte).put(0x11.toByte).put(1.toByte)
+    out.put(3.toByte).put(0x11.toByte).put(1.toByte)
+    out.array()
+  }
+
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
@@ -88,12 +123,41 @@ object ImageMeta extends Serializable {
       // and must not parse to garbage
       InternalRow(UTF8String.fromString("bmp"),
         leInt(b, 18).toLong, math.abs(leInt(b, 22)).toLong)
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk the marker-segment list to the first start-of-frame
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return null // marker misalignment
+        var j = i
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return null
+        val m = b(j) & 0xff
+        if (m == 0x00) return null // stuffed byte outside a scan
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i = j + 1 // standalone TEM / RSTn: no length field
+        } else if (m == 0xd9 || m == 0xda) {
+          return null // EOI / SOS without any SOF: no frame header
+        } else {
+          if (j + 2 >= b.length) return null
+          val len = ((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff)
+          if (len < 2) return null
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (len < 7 || j + 7 >= b.length) return null // truncated SOF
+            return InternalRow(UTF8String.fromString("jpeg"),
+              (((b(j + 6) & 0xff) << 8) | (b(j + 7) & 0xff)).toLong,
+              (((b(j + 4) & 0xff) << 8) | (b(j + 5) & 0xff)).toLong)
+          }
+          i = j + 1 + len
+        }
+      }
+      null
     } else null
   }
 }
 
-/** `image_meta(media)` → struct<format, width, height> from real PNG/BMP
-  * header bytes; null for unrecognized payloads. Codegen-participating. */
+/** `image_meta(media)` → struct<format, width, height> from real
+  * PNG/BMP/JPEG header bytes; null for unrecognized payloads.
+  * Codegen-participating. */
 case class ImageMetaExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("format", StringType, nullable = false),

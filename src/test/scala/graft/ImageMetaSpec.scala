@@ -61,11 +61,49 @@ class ImageMetaSpec extends AnyFunSuite {
     assert(row(bmp) === (("bmp", 10L, 20L)))
   }
 
-  test("generator∘parser is the identity on dims (both formats, extremes)") {
+  test("generator∘parser is the identity on dims (all formats, extremes)") {
     for ((w, h) <- Seq((1, 1), (16, 255), (255, 16), (4096, 2160))) {
       assert(row(ImageMeta.pngFixture(w, h)) === (("png", w.toLong, h.toLong)))
       assert(row(ImageMeta.bmpFixture(w, h)) === (("bmp", w.toLong, h.toLong)))
+      for (pad <- Seq(0, 1, 16, 300))
+        assert(row(ImageMeta.jpegFixture(w, h, pad)) === (("jpeg", w.toLong, h.toLong)))
     }
+  }
+
+  test("jpeg SOF is found by WALKING segments, not a fixed offset") {
+    // hand-assembled: SOI, COM segment of length 5 (3 payload bytes),
+    // 0xFF fill bytes before SOF0, progressive SOF2 variant, RST skipped
+    def seg(m: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, m.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val sofPayload = Array[Byte](8, 0, 2, 0, 1, 1, 1, 0x11, 0) // h=2, w=1
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xfe, Array[Byte](1, 2, 3)) ++         // COM
+      Array(0xff.toByte, 0x01.toByte) ++         // standalone TEM
+      Array(0xff.toByte, 0xff.toByte) ++         // fill byte run start
+      seg(0xc2, sofPayload)                      // progressive SOF2
+    assert(row(jpg) === (("jpeg", 1L, 2L)))
+    // DHT (0xC4) must NOT be mistaken for a SOF — it is skipped, and the
+    // payload that follows it is the real frame header
+    val withDht = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xc4, Array[Byte](0, 1, 2, 3, 4, 5, 6)) ++ seg(0xc0, sofPayload)
+    assert(row(withDht) === (("jpeg", 1L, 2L)))
+  }
+
+  test("jpeg rejections: EOI/SOS before SOF, truncation, misalignment") {
+    def seg(m: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, m.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    // EOI straight after SOI: no frame header anywhere
+    assert(ImageMeta.parse(soi ++ Array(0xff.toByte, 0xd9.toByte)) === null)
+    // SOS before any SOF (malformed stream)
+    assert(ImageMeta.parse(soi ++ seg(0xda, Array[Byte](0))) === null)
+    // truncated mid-segment and mid-SOF
+    assert(ImageMeta.parse(ImageMeta.jpegFixture(9, 9, 4).take(30)) === null)
+    assert(ImageMeta.parse(soi ++ seg(0xc0, Array[Byte](8, 0)).take(6)) === null)
+    // misaligned: a non-FF byte where a marker must start
+    assert(ImageMeta.parse(soi ++ Array[Byte](0x12, 0x34)) === null)
   }
 
   test("png fixture carries a correct IHDR CRC32") {
