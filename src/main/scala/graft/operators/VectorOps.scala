@@ -557,6 +557,32 @@ object VectorOps {
        |    FROM ipass)
        |  WHERE rnk <= 5)""".stripMargin
 
+  /** Serving-tier exact top-k: the `k` nearest corpus vectors to corpus
+    * vector `queryId` by exact integer cosine — the program behind the
+    * ApiServer `/vectors/topk` route. Reads the SAME memoized quantized
+    * index as the ss_topk_* family (eager localCheckpoint per (session,
+    * dataset) — the persisted serving artifact), broadcasts the single
+    * query row, and collapses to k rows via a GLOBAL BoundedTopK (map-side
+    * partial: k entries per partition cross the wire, never the pair
+    * stream). Output is bounded at k by construction, so the HTTP layer's
+    * collect() can never materialize table-scale data. */
+  def topkFor(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
+    val emb = quantized(s, d, withBucket = false)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("qarr").as("q_qarr"), col("nrm").as("nq"))
+    val pairs = emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= queryId)
+      .select(col("n_id"), dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+      .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
+    val topk = udaf(BoundedTopK[Double](k))
+    pairs
+      .agg(topk(-col("cos"), col("n_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t._2").as("vec_id"), (-col("t._1")).as("cos"),
+        (col("r0") + 1).cast(LongType).as("rnk"))
+  }
+
   /** the MaxSim oracle CTE chain (prefix `m`), sharing `flat`/`norms`. */
   private val MaxSimSql =
     s"""mq AS (SELECT vec_id, i, v, vec_id // 8 AS pid FROM flat WHERE vec_id < 32),

@@ -31,6 +31,11 @@ import graft.operators.Api
   *   GET /api/v1/webapp/prices/ohlc?days=N
   *     → `{"candles": [...]}` — the a8_ohlc daily candle program, newest
   *       N days (extension beyond the reference's price routes)
+  *   GET /api/v1/webapp/vectors/topk?vec_id=&k=
+  *     → `{"query": id, "neighbors": [...]}` — exact integer-cosine
+  *       nearest neighbors from the memoized quantized index (the ANN
+  *       family's serving tier; k clamped to [1,20], 404 without an
+  *       embeddings table, 400 on a non-integer vec_id)
   *
   * Faithful endpoint semantics: case-insensitive SUBSTRING address match
   * (the reference filters with `$regex ... $options: i`), the excluded-
@@ -187,6 +192,19 @@ final class ApiServer(
       .mkString("{\"freq\":{", ",", "}}")
   }
 
+  /** /vectors/topk — the ANN family behind the serving tier: exact
+    * integer-cosine nearest neighbors of a corpus vector from the SAME
+    * memoized quantized index the ss_topk_* queries read
+    * (VectorOps.topkFor: broadcast query row, global BoundedTopK — the
+    * collect is bounded at k rows by construction). Unknown vec_id serves
+    * an empty list, not an error: the query program is total. */
+  def vectorsTopk(vecId: Long, k: Int): String = {
+    val rows = graft.operators.VectorOps.topkFor(spark, dataDir, vecId, k).collect()
+    rows.map(r =>
+      s"""{"vec_id":${r.getLong(0)},"cos":${r.getDouble(1)},"rnk":${r.getLong(2)}}""")
+      .mkString(s"""{"query":$vecId,"neighbors":[""", ",", "]}")
+  }
+
   /** proper JSON string escaping (backslash, quote, control chars) — keys
     * must round-trip the requested token exactly; stripping characters
     * instead would let distinct tokens collide on one key. */
@@ -285,6 +303,19 @@ final class ApiServer(
       try respond(ex, 200,
         pricesOhlc(p.get("days").flatMap(_.toIntOption).getOrElse(30)))
       catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
+    })
+    server.createContext("/api/v1/webapp/vectors/topk", (ex: HttpExchange) => {
+      val p = parseQuery(ex.getRequestURI.getRawQuery)
+      p.get("vec_id").flatMap(_.toLongOption) match {
+        case None => respond(ex, 400, "Invalid vec_id", "text/plain")
+        case Some(id) =>
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dataDir, "embeddings.parquet")))
+            respond(ex, 404, "no embeddings", "text/plain")
+          else try respond(ex, 200, vectorsTopk(id,
+            p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5)))
+          catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
+      }
     })
     // health/info routes (webservice/bp_main.py:10-26): `/` empty-200,
     // `/ping` a fixed OK string, `/infoapi` the version/store-health doc

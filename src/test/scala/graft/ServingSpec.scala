@@ -209,4 +209,31 @@ class ServingSpec extends AnyFunSuite {
       assert(body.contains(""""back\\slash":1"""), s"escaped backslash in $body")
     } finally srv.stop()
   }
+
+  test("vectors/topk serves exact cosine neighbors from the quantized index") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port, "/api/v1/webapp/vectors/topk?vec_id=0&k=3")
+      assert(status === 200)
+      assert(body.startsWith("""{"query":0,"neighbors":["""), body.take(60))
+      val cos = """"cos":(-?[0-9.E-]+)""".r.findAllMatchIn(body).map(_.group(1).toDouble).toSeq
+      assert(cos.length === 3, s"expected 3 neighbors in $body")
+      assert(cos.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"neighbors not cosine-descending in $body")
+      // the serving answer must agree with the oracle-pinned ss_topk_brute
+      // program for the same query vector (shared index, shared scorer)
+      val expected = graft.core.QueryRegistry.byName("ss_topk_brute").fn(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("q_id") === 0)
+        .orderBy(org.apache.spark.sql.functions.col("rnk"))
+        .collect().take(3).map(r => (r.getLong(1), r.getDouble(2)))
+      val served = """"vec_id":(\d+),"cos":(-?[0-9.E-]+)""".r.findAllMatchIn(body)
+        .map(m => (m.group(1).toLong, m.group(2).toDouble)).toSeq
+      assert(served === expected.toSeq,
+        s"served neighbors differ from ss_topk_brute: $served vs ${expected.toSeq}")
+      // unknown vector: total program, empty neighbor list
+      val (s2, b2) = get(port, "/api/v1/webapp/vectors/topk?vec_id=99999999&k=3")
+      assert(s2 === 200 && b2.endsWith(""""neighbors":[]}"""), b2)
+      // malformed id: 400, like the address routes
+      assert(get(port, "/api/v1/webapp/vectors/topk?vec_id=abc")._1 === 400)
+    }
+  }
 }
