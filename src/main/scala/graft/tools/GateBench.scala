@@ -189,7 +189,11 @@ object GateBench {
           // ohlc serves the LIVE streaming candle state (candleDir wired)
           "serve_ohlc_live" -> hammer("/api/v1/webapp/prices/ohlc?days=30", 100),
           // the uncached contrast: /prices/var aggregates per request
-          "serve_var" -> hammer("/api/v1/webapp/prices/var", 20))
+          "serve_var" -> hammer("/api/v1/webapp/prices/var", 20),
+          // ANN serving: a Spark job per request over the memoized
+          // quantized index (broadcast query row + global BoundedTopK) —
+          // the per-request cost of serving exact top-k from a live session
+          "serve_vec_topk" -> hammer("/api/v1/webapp/vectors/topk?vec_id=3&k=5", 20))
       } finally srv.stop()
     }
 
@@ -218,6 +222,7 @@ object GateBench {
       s""""cms":{"sec":${fmt(tK)},"cells":$aK,"docs_per_sec":${fmt(n / tK)}},""" +
       s""""candles":{"sec":${fmt(tC)},"days":$aC,"events_per_sec":${fmt(nEvents / tC)}},""" +
       s"""${srvObj("serve_freq")},${srvObj("serve_ohlc_live")},${srvObj("serve_var")},""" +
+      s"""${srvObj("serve_vec_topk")},""" +
       s""""sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
