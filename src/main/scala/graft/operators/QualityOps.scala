@@ -111,6 +111,40 @@ object QualityOps {
   private val DsirScale = 1000000L
   private val DsirK = 20
 
+  /** per-(doc_id[, extra], feature) token counts — the ONE hashed-unigram
+    * featurization every DSIR consumer shares (the tx_dsir query, the
+    * offline weight trainer, the streaming admission gate). */
+  private[graft] def dsirFeatures(docs: DataFrame, extra: Seq[String]): DataFrame =
+    docs
+      .select(Seq(col("doc_id")) ++ extra.map(col) :+
+        explode(split(col("text"), " ")).as("token"): _*)
+      .withColumn("f", sid60(concat(lit("dsir:"), col("token"))) % DsirBuckets)
+      .groupBy(Seq(col("doc_id")) ++ extra.map(col) :+ col("f"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** the ≤512-row integer weight table from a lang-carrying feature frame:
+    * w(f) = (Scale·(tgt+1)) div (raw+1), target = lang='en'. */
+  private[graft] def dsirLlr(df: DataFrame): DataFrame =
+    df.groupBy(col("f"))
+      .agg(sum(col("c")).as("raw_c"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
+      .select(col("f"), expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("w"))
+
+  /** per-doc integer DSIR score + token count against a weight table (the
+    * table broadcasts — bounded at DsirBuckets rows by construction). */
+  private[graft] def dsirScore(feat: DataFrame, weights: DataFrame): DataFrame =
+    feat.join(broadcast(weights), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w")).as("score"), sum(col("c")).as("n_tok"))
+
+  /** offline artifact write: train the DSIR weight table from a corpus and
+    * persist it — what a production deployment ships to its ingest stream
+    * (graft.streaming.Pipelines.dsirGate reads it back FROZEN). */
+  private[graft] def writeDsirWeights(
+      s: SparkSession, corpusDir: String, weightsDir: String): Unit =
+    dsirLlr(dsirFeatures(T.documents(s, corpusDir), Seq("lang")))
+      .coalesce(1).write.mode("overwrite").parquet(weightsDir)
+
   // ── shard-packing parameters: 4096-token shards, fixed-width hash
   //    buckets (md5 uniformity makes fixed-width equi-depth) for the
   //    two-pass global cumsum over the shuffled order.
@@ -819,22 +853,17 @@ object QualityOps {
          |FROM df d JOIN llr l ON d.f = l.f
          |GROUP BY d.doc_id
          |ORDER BY score DESC, doc_id LIMIT $DsirK""".stripMargin) { (s, d) =>
-      def toks = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
-        .withColumn("f", sid60(concat(lit("dsir:"), col("token"))) % DsirBuckets)
       // BOTH consumers (the per-feature totals and the scoring join) read
       // the same (doc_id, lang, f) aggregate, so Spark's exchange reuse
       // runs the tokenize+md5 map ONCE and replays its shuffle output —
       // measured 12.9 s vs 20.6 s on the 64× replica against the variant
       // that re-derived the feature totals straight off the token stream
       // (two full per-token md5 passes, the dominant cost at scale).
-      val df = toks
-        .groupBy(col("doc_id"), col("lang"), col("f"))
-        .agg(count(lit(1)).as("c"))
-      val llr = df.groupBy(col("f"))
-        .agg(sum(col("c")).as("raw_c"),
-          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
-        .select(col("f"), expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("w"))
+      // PlanSpec pins the ReusedExchange. Featurization/weights/scoring are
+      // the SHARED dsirFeatures/dsirLlr/dsirScore definitions the offline
+      // trainer and the streaming gate also run.
+      val df = dsirFeatures(T.documents(s, d), Seq("lang"))
+      val llr = dsirLlr(df)
       df.join(broadcast(llr), Seq("f"))
         .groupBy(col("doc_id"))
         .agg(first(col("lang")).as("lang"),

@@ -758,6 +758,38 @@ object Pipelines {
       }
   }
 
+  /** Streaming DSIR admission — the production deployment shape of
+    * importance resampling: the weight table is trained OFFLINE
+    * (QualityOps.writeDsirWeights, ≤512 rows) and applied FROZEN in the
+    * ingest stream, so admission decisions are reproducible across the
+    * whole run and never drift with the arriving distribution (retraining
+    * is an explicit new artifact, not a side effect of ingest). Per batch:
+    * the shared dsirFeatures/dsirScore definitions (one narrow tokenize
+    * map + one batch-local (doc_id, f) agg + a broadcast join against the
+    * frozen table), then admit iff score >= thrPerTokMicro · n_tok — the
+    * integer per-token threshold form, so the gate agrees bitwise with the
+    * batch computation on any batching (DsirStreamSpec). */
+  def dsirGate(stream: DataFrame, weightsDir: String, checkpointDir: String,
+      thrPerTokMicro: Long,
+      out: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.QualityOps
+    // load once: the frozen artifact is bounded at 512 rows by construction
+    val weights = stream.sparkSession.read.parquet(weightsDir).persist()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = dedupDeterministic(batch.toDF(), "doc_id").persist()
+        val scored = QualityOps.dsirScore(
+          QualityOps.dsirFeatures(docs.select(col("doc_id"), col("text")), Seq()),
+          weights)
+        out(docs.join(
+          scored.filter(col("score") >= lit(thrPerTokMicro) * col("n_tok")),
+          Seq("doc_id")))
+        docs.unpersist()
+        ()
+      }
+  }
+
   /** S12 cursor advance WITH audit history (scan_raw_txs.py:132-137): the
     * reference upserts the single `moc_indexer` cursor doc and keeps an
     * append-only `moc_indexer_history` of every advance. Same here: the
