@@ -73,7 +73,7 @@ object Merge {
     val u = updates.select((keys ++ updateCols).map(c => col(c).as(s"__u_$c")): _*)
     target
       .join(u, keys.map(k => col(k) === col(s"__u_$k")).reduce(_ && _), "left")
-      .select(target.columns.map { c =>
+      .select(target.columns.toIndexedSeq.map { c =>
         if (updateCols.contains(c))
           coalesce(col(s"__u_$c"), col(c)).as(c)
         else col(c)

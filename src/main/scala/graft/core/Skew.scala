@@ -29,7 +29,7 @@ object Skew {
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "__salt column name is reserved by saltedJoin")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(factor)).cast(IntegerType))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(factor)).cast(IntegerType))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

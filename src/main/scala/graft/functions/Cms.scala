@@ -40,6 +40,6 @@ object Cms {
       .withColumn("pos", expr(s"shiftright(h, $Bits * j) & $Mask"))
       .join(broadcast(sketch), Seq("j", "pos"), "left")
       .withColumn("cell", coalesce(col("cnt"), lit(0L)))
-      .groupBy(candidates.columns.map(col): _*)
+      .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
       .agg(min(col("cell")).as("cms_est"))
 }

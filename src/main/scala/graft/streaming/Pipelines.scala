@@ -539,8 +539,8 @@ object Pipelines {
     val others = df.columns.filterNot(_ == key)
     if (others.isEmpty) df.dropDuplicates(Seq(key))
     else df.groupBy(col(key))
-      .agg(max(struct(others.map(col): _*)).as("__payload"))
-      .select(col(key) +: others.map(c => col(s"__payload.`$c`").as(c)): _*)
+      .agg(max(struct(others.toIndexedSeq.map(col): _*)).as("__payload"))
+      .select(col(key) +: others.toIndexedSeq.map(c => col(s"__payload.`$c`").as(c)): _*)
   }
 
   private def genNo(p: Path): Long = p.getName.stripPrefix("gen=").toLong
