@@ -874,6 +874,47 @@ object QualityOps {
         .select(col("doc_id"), col("lang"), col("score"), col("n_tok"))
     },
 
+    // The "R" in DSIR — importance RESAMPLING, not just ranking: draw K
+    // docs with probability increasing in the importance score, via the
+    // deterministic hash-race form of the Efraimidis-Spirakis weighted
+    // reservoir (key = u/score for u a fresh md5-uniform 60-bit draw;
+    // smaller key wins, a doubled score halves the expected key). Taking
+    // raw top-score (tx_dsir's K) concentrates on one mode; the
+    // randomized race keeps diversity while still tilting toward the
+    // target distribution — the property importance RESAMPLING exists
+    // for. Exactness: score is the shared integer DSIR sum, u is an
+    // exact integer, and u/score is ONE IEEE division — bitwise equal on
+    // both engines. Plan: the tx_dsir scoring chain (shared helpers) + a
+    // narrow key map + distributed TakeOrdered; the rank window runs over
+    // only the K winners (the tx_weighted_sample shape).
+    Q(
+      "tx_dsir_sample",
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token FROM documents),
+         |df AS (SELECT doc_id, lang, ${sid60Sql("'dsir:'||token")} % $DsirBuckets AS f, count(*) AS c
+         |  FROM tok GROUP BY 1, 2, 3),
+         |feat AS (SELECT f, CAST(sum(c) AS BIGINT) AS raw_c,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_c
+         |  FROM df GROUP BY f),
+         |llr AS (SELECT f, ($DsirScale * (tgt_c + 1)) // (raw_c + 1) AS w FROM feat),
+         |sc AS (SELECT d.doc_id, CAST(sum(d.c * l.w) AS BIGINT) AS score
+         |  FROM df d JOIN llr l ON d.f = l.f GROUP BY d.doc_id),
+         |keyed AS (SELECT doc_id, score,
+         |    CAST(${sid60Sql("'dsirs:'||CAST(doc_id AS VARCHAR)")} AS DOUBLE) / score AS skey
+         |  FROM sc)
+         |SELECT doc_id, score, skey,
+         |  ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk
+         |FROM keyed ORDER BY skey, doc_id LIMIT $DsirK""".stripMargin) { (s, d) =>
+      val df = dsirFeatures(T.documents(s, d), Seq("lang"))
+      val keyed = dsirScore(df, dsirLlr(df))
+        .withColumn("skey",
+          sid60(concat(lit("dsirs:"), col("doc_id").cast(StringType)))
+            .cast(DoubleType) / col("score"))
+      keyed.orderBy(col("skey"), col("doc_id")).limit(DsirK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("skey"), col("doc_id"))).cast(LongType))
+        .select(col("doc_id"), col("score"), col("skey"), col("rnk"))
+    },
+
     // Incremental dedup — the production shape: a NEW batch (here the
     // deterministic top-10%-of-doc_id slice) checked against the existing
     // corpus's fingerprint index, without re-clustering the corpus. Exact
