@@ -129,6 +129,75 @@ object AsOf {
         .orderBy(col("event_id"))
     },
 
+    // J12 NEAREST-direction as-of: each purchase matches the view with the
+    // minimal |Δts| in EITHER direction (ties break backward — the earlier
+    // view), completing the backward/forward family with the variant
+    // sensor-fusion and price-alignment pipelines actually want when skew
+    // between feeds can run either way. One partition sort feeds BOTH
+    // window frames (Spark shares the sort across same-spec windows), so
+    // the cost is the j3d shape, not two passes; the distance compare is
+    // integer epoch-µs arithmetic — exact on both engines.
+    Q(
+      "j12_asof_nearest",
+      """SELECT event_id, user_id, ts, value,
+        |  CASE WHEN pv_ts IS NULL AND nv_ts IS NULL THEN NULL
+        |       WHEN nv_ts IS NULL THEN pv
+        |       WHEN pv_ts IS NULL THEN nv
+        |       WHEN epoch_us(ts) - epoch_us(pv_ts) <= epoch_us(nv_ts) - epoch_us(ts) THEN pv
+        |       ELSE nv END AS nearest_view_value,
+        |  CASE WHEN pv_ts IS NULL AND nv_ts IS NULL THEN NULL
+        |       WHEN nv_ts IS NULL THEN 'back'
+        |       WHEN pv_ts IS NULL THEN 'fwd'
+        |       WHEN epoch_us(ts) - epoch_us(pv_ts) <= epoch_us(nv_ts) - epoch_us(ts) THEN 'back'
+        |       ELSE 'fwd' END AS direction
+        |FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER wb AS pv,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER wb AS pv_ts,
+        |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER wf AS nv,
+        |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER wf AS nv_ts
+        |  FROM events WHERE event_type IN ('purchase','view')
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val isView = col("event_type") === "view"
+      val withBoth = ev
+        .withColumn("pv", last(when(isView, col("value")), ignoreNulls = true).over(wb))
+        .withColumn("pv_ts", last(when(isView, col("ts")), ignoreNulls = true).over(wb))
+        .withColumn("nv", first(when(isView, col("value")), ignoreNulls = true).over(wf))
+        .withColumn("nv_ts", first(when(isView, col("ts")), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+      val backWins = unix_micros(col("ts")) - unix_micros(col("pv_ts")) <=
+        unix_micros(col("nv_ts")) - unix_micros(col("ts"))
+      withBoth
+        .withColumn("nearest_view_value",
+          when(col("pv_ts").isNull && col("nv_ts").isNull, lit(null))
+            .when(col("nv_ts").isNull, col("pv"))
+            .when(col("pv_ts").isNull, col("nv"))
+            .when(backWins, col("pv")).otherwise(col("nv")))
+        .withColumn("direction",
+          when(col("pv_ts").isNull && col("nv_ts").isNull, lit(null))
+            .when(col("nv_ts").isNull, lit("back"))
+            .when(col("pv_ts").isNull, lit("fwd"))
+            .when(backWins, lit("back")).otherwise(lit("fwd")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("nearest_view_value"), col("direction"))
+        .orderBy(col("event_id"))
+    },
+
     // J3b generic as-of join via the reusable asOfBackward helper: each
     // purchase picks up the latest view value at-or-before its timestamp
     // for the same user (inclusive as-of — the standard as-of-join
