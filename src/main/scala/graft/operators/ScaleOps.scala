@@ -216,6 +216,12 @@ object ScaleOps {
       val nodes = edges.select(col("src").as("id")).distinct().persist()
       val n = nodes.count()
       val base = (15L * PrScale) / (100L * n)
+      // Per-iteration localCheckpoint is the MEASURED winner: letting all
+      // 6 sweeps plan as one deep chained job looked cheaper on paper (one
+      // scheduler round-trip instead of six) but benched 6.7 s vs 3.8 s at
+      // sf0.1 — the 6-deep join/agg lineage blows up plan size and codegen
+      // while the checkpointed form keeps each sweep a small warm plan.
+      // Don't "optimize" the checkpoints away without re-measuring.
       var ranks = nodes.select(col("id"), lit(PrScale / n).as("r")).localCheckpoint()
       for (_ <- 1 to PrIters)
         ranks = prStep(nodes, edges, ranks, base).localCheckpoint()
