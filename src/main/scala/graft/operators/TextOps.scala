@@ -149,6 +149,128 @@ object TextOps {
        |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** shared oracle CTE chain `tw/th/sb/sh2/blocks/scand/shv`: weighted
+    * token hashes → 48-bit simhash signatures → pigeonhole block keys →
+    * candidate pairs → hamming-thresholded VERDICT pairs. One definition
+    * for dd_simhash and the dd_simhash_recall eval. */
+  private lazy val ShVerdictSql: String = {
+    val sums = (0 until ShBits)
+      .map(j => s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN w ELSE -w END) AS s$j")
+      .mkString(",\n    ")
+    val sig = (0 until ShBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString("+")
+    val blockRows = ShBlockOffsets.zip(ShBlockWidths).zipWithIndex.map {
+      case ((off, w), j) =>
+        s"SELECT doc_id, $j AS blk, (simhash // ${1L << off}) % ${1L << w} AS bv FROM sh2"
+    }.mkString("\n  UNION ALL ")
+    s"""tw AS (
+       |  SELECT doc_id, token, count(*) AS w FROM (
+       |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |th AS (SELECT doc_id, w, ${sid60Sql("token")} AS h FROM tw),
+       |sb AS (SELECT doc_id,
+       |    $sums
+       |  FROM th GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, $sig AS simhash FROM sb),
+       |blocks AS (
+       |  $blockRows),
+       |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM blocks a JOIN blocks b
+       |            ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |shv AS (
+       |  SELECT c.doc_a, c.doc_b, bit_count(xor(sa.simhash, sbb.simhash)) AS hamming
+       |  FROM scand c JOIN sh2 sa ON sa.doc_id = c.doc_a JOIN sh2 sbb ON sbb.doc_id = c.doc_b
+       |  WHERE bit_count(xor(sa.simhash, sbb.simhash)) <= $ShThresh)""".stripMargin
+  }
+
+  /** the dd_simhash program without its final sort: weighted-token simhash
+    * signatures (ONE wide 48-sum aggregation), pigeonhole block-collision
+    * candidates, exact hamming verify at the threshold — shared by
+    * dd_simhash and the dd_simhash_recall eval. */
+  private def simhashVerdicts(s: SparkSession, d: String): DataFrame = {
+    val tw = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
+    val th = tw.select(col("doc_id"), col("w"), sid60(col("token")).as("h"))
+    // one wide aggregation: 48 signed bit-sums per doc
+    val bitSums = (0 until ShBits).map(j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("w")).otherwise(-col("w")))
+        .as(s"s$j"))
+    val sb = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigCol = (0 until ShBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // persisted: blocks + both verify sides consume it; without this the
+    // 48-sum aggregation over the token scan runs three times. One long
+    // per doc — negligible storage.
+    val sh2 = sb.select(col("doc_id"), sigCol.as("simhash")).persist()
+    val blockVals = ShBlockOffsets.zip(ShBlockWidths).map { case (off, w) =>
+      expr(s"(simhash div ${1L << off}) % ${1L << w}")
+    }
+    val blocks = sh2.select(col("doc_id"),
+      posexplode(array(blockVals: _*)).as(Seq("blk", "bv")))
+    val cand = blocks.as("a").join(blocks.as("b"), Seq("blk", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh2.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val sbb = sh2.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    cand.join(sa, Seq("doc_a")).join(sbb, Seq("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
+      .filter(col("hamming") <= ShThresh)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** shared oracle CTE chain `tsh/tcnt/tcm/truth`: the UNCAPPED exact
+    * word-3-gram Jaccard >= 1/2 pair set (integer-exact 3·common >=
+    * |A|+|B|) — the one truth both dedup-estimator recall evals join
+    * against. */
+  private lazy val JaccTruthSql: String =
+    s"""tsh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest($shinglesSql) AS shingle
+       |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+       |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+       |tcm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |        FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT tcm.doc_a, tcm.doc_b, CAST(common AS BIGINT) AS common,
+       |    CAST(ca.n + cb.n - common AS BIGINT) AS uni
+       |  FROM tcm JOIN tcnt ca ON ca.doc_id = tcm.doc_a
+       |  JOIN tcnt cb ON cb.doc_id = tcm.doc_b
+       |  WHERE 3*common >= ca.n + cb.n)""".stripMargin
+
+  /** the Spark side of [[JaccTruthSql]] — (doc_a, doc_b, common, uni) over
+    * the same shingle definition; the uncapped pair expansion is the
+    * EVAL's cost (sample-scoped in production, like ss_recall's
+    * brute-force side). */
+  private def jaccTruth(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d)
+      .withColumn("l", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
+    // one shingle-keyed shuffle; both truth grains (per-doc sizes and
+    // per-pair intersections) read the grouped relation
+    val grouped = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .persist()
+    val cnt = grouped.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cm = grouped
+      .select(explode(expr(
+        "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    cm
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("common") * 3 >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("na") + col("nb") - col("common")).as("uni"))
+  }
+
   /** LSH band table (doc_id, band, band_key) of a signature table — the
     * other half of the persisted index; row-local, no shuffle. */
   def bandTable(sig: DataFrame): DataFrame = {
@@ -1138,51 +1260,42 @@ object TextOps {
     Q(
       "dd_lsh_recall",
       s"""WITH $MhCandSql,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT cm.doc_a, cm.doc_b, CAST(common AS BIGINT) AS common,
-         |    CAST(ca.n + cb.n - common AS BIGINT) AS uni
-         |  FROM cm JOIN cnt ca ON ca.doc_id = cm.doc_a
-         |  JOIN cnt cb ON cb.doc_id = cm.doc_b
-         |  WHERE 3*common >= ca.n + cb.n)
+         |$JaccTruthSql
          |SELECT t.doc_a, t.doc_b, t.common, t.uni,
          |  (c.doc_a IS NOT NULL) AS found
          |FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
          |ORDER BY t.doc_a, t.doc_b""".stripMargin) { (s, d) =>
-      val sh = T.documents(s, d)
-        .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
-      // one shingle-keyed shuffle; both truth grains (per-doc sizes and
-      // per-pair intersections) read the grouped relation (persisted — the
-      // dd_ngram_jaccard convention)
-      val grouped = sh.groupBy(col("shingle"))
-        .agg(collect_list(col("doc_id")).as("docs"))
-        .persist()
-      val cnt = grouped.select(explode(col("docs")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cm = grouped
-        .select(explode(expr(
-          "flatten(transform(docs, x -> filter(transform(docs, y -> struct(x AS a, y AS b)), p -> p.a < p.b)))"))
-          .as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      val truth = cm
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .filter(col("common") * 3 >= col("na") + col("nb"))
-        .select(col("doc_a"), col("doc_b"), col("common"),
-          (col("na") + col("nb") - col("common")).as("uni"))
       val sig = minhashSignatures(T.documents(s, d).select(col("doc_id"), col("text")))
       val bands = bandTable(sig)
       val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      truth
+      jaccTruth(s, d)
         .join(cand.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("common"), col("uni"),
+          coalesce(col("hit"), lit(false)).as("found"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // The SAME recall audit for the OTHER near-dup estimator: simhash's
+    // hamming-thresholded VERDICT pairs (not just its block-collision
+    // candidates — the operator's actual output) against the SAME exact-
+    // Jaccard truth (JaccTruthSql / jaccTruth: one truth definition for
+    // both evals). Two estimators, one referee — a banding or threshold
+    // change in either operator moves its recall row, never the truth.
+    // Same sample-scope caveat as dd_lsh_recall (uncapped truth join).
+    Q(
+      "dd_simhash_recall",
+      s"""WITH $ShVerdictSql,
+         |$JaccTruthSql
+         |SELECT t.doc_a, t.doc_b, t.common, t.uni,
+         |  (v.doc_a IS NOT NULL) AS found
+         |FROM truth t LEFT JOIN shv v ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+         |ORDER BY t.doc_a, t.doc_b""".stripMargin) { (s, d) =>
+      jaccTruth(s, d)
+        .join(simhashVerdicts(s, d).select(col("doc_a"), col("doc_b"))
+          .withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"), col("common"), col("uni"),
           coalesce(col("hit"), lit(false)).as("found"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1309,67 +1422,11 @@ object TextOps {
     // identical), NOT an all-pairs join — each block-equality bucket bounds
     // fan-out.
     Q(
-      "dd_simhash", {
-        val sums = (0 until ShBits)
-          .map(j => s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN w ELSE -w END) AS s$j")
-          .mkString(",\n        |    ")
-        val sig = (0 until ShBits)
-          .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-          .mkString("+")
-        val blockRows = ShBlockOffsets.zip(ShBlockWidths).zipWithIndex.map {
-          case ((off, w), j) =>
-            s"SELECT doc_id, $j AS blk, (simhash // ${1L << off}) % ${1L << w} AS bv FROM sh2"
-        }.mkString("\n        |  UNION ALL ")
-        s"""WITH tw AS (
-           |  SELECT doc_id, token, count(*) AS w FROM (
-           |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
-           |  GROUP BY doc_id, token),
-           |th AS (SELECT doc_id, w, ${sid60Sql("token")} AS h FROM tw),
-           |sb AS (SELECT doc_id,
-           |    $sums
-           |  FROM th GROUP BY doc_id),
-           |sh2 AS (SELECT doc_id, $sig AS simhash FROM sb),
-           |blocks AS (
-           |  $blockRows),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM blocks a JOIN blocks b
-           |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
-           |SELECT c.doc_a, c.doc_b, bit_count(xor(sa.simhash, sbb.simhash)) AS hamming
-           |FROM cand c JOIN sh2 sa ON sa.doc_id = c.doc_a JOIN sh2 sbb ON sbb.doc_id = c.doc_b
-           |WHERE bit_count(xor(sa.simhash, sbb.simhash)) <= $ShThresh
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }) { (s, d) =>
-      val tw = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
-      val th = tw.select(col("doc_id"), col("w"), sid60(col("token")).as("h"))
-      // one wide aggregation: 48 signed bit-sums per doc
-      val bitSums = (0 until ShBits).map(j =>
-        sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("w")).otherwise(-col("w")))
-          .as(s"s$j"))
-      val sb = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val sigCol = (0 until ShBits)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      // persisted: blocks + both verify sides consume it; without this the
-      // 48-sum aggregation over the token scan runs three times. One long
-      // per doc — negligible storage.
-      val sh2 = sb.select(col("doc_id"), sigCol.as("simhash")).persist()
-      val blockVals = ShBlockOffsets.zip(ShBlockWidths).map { case (off, w) =>
-        expr(s"(simhash div ${1L << off}) % ${1L << w}")
-      }
-      val blocks = sh2.select(col("doc_id"),
-        posexplode(array(blockVals: _*)).as(Seq("blk", "bv")))
-      val cand = blocks.as("a").join(blocks.as("b"), Seq("blk", "bv"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sa = sh2.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-      val sbb = sh2.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-      cand.join(sa, Seq("doc_a")).join(sbb, Seq("doc_b"))
-        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
-        .filter(col("hamming") <= ShThresh)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      "dd_simhash",
+      s"""WITH $ShVerdictSql
+         |SELECT doc_a, doc_b, hamming FROM shv
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      simhashVerdicts(s, d)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
