@@ -1135,6 +1135,31 @@ object VectorOps {
       (s, d) => maxsimIvf(s, d)
     },
 
+    // Recall@5 of the pooled-candidate MaxSim against the exhaustive
+    // scorer — the late-interaction family's own eval row (the ss_recall
+    // discipline): per query passage, how many of the true top-5 passages
+    // the two-stage form recovered. Both sides are the oracle-pinned
+    // programs above; the join is 5·|Q| rows.
+    Q(
+      "ss_maxsim_recall",
+      s"""$FlatCte,
+         |$MaxSimSql,
+         |$MaxSimIvfSql
+         |SELECT b.q_pid, count(v.d_pid) AS n_hits,
+         |  CAST(count(v.d_pid) AS DOUBLE)/5.0 AS recall_at_5
+         |FROM mstop b LEFT JOIN istop v ON v.q_pid = b.q_pid AND v.d_pid = b.d_pid
+         |GROUP BY b.q_pid ORDER BY b.q_pid""".stripMargin) { (s, d) =>
+      val brute = maxsim(s, d).select(col("q_pid"), col("d_pid"))
+      val ivf = maxsimIvf(s, d).select(col("q_pid"), col("d_pid"))
+        .withColumn("hit", lit(1L))
+      brute.join(ivf, Seq("q_pid", "d_pid"), "left")
+        .groupBy(col("q_pid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_pid"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / 5.0).as("recall_at_5"))
+        .orderBy(col("q_pid"))
+    },
+
     // Recall@5 of the ANN variants against exact brute-force truth — the
     // eval every ANN deployment runs before trusting an index. Per (method,
     // query): how many of the true top-5 the variant recovered. All
