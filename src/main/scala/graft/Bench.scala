@@ -13,10 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated name filter (scale-stress runs a subset)
+    // optional comma-separated name filter (scale-stress runs a subset);
+    // SKIP is the complement — full-registry replica sweeps exclude ONLY
+    // the documented uncapped-truth evals (their truth side is an
+    // all-pairs join whose size tracks dup-structure², adversarial on
+    // near-dup replicas by design — see dd_lsh_recall's survey row)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
     // COLD ARTIFACT PASS (round 9): the memoized one-time artifacts
     // (quantized corpus, PQ/IVF indexes, winnow pairs, cluster labels,
     // classifier state, bucketed layout) are deliberately excluded from

@@ -132,10 +132,20 @@ object QualityOps {
 
   /** per-doc integer DSIR score + token count against a weight table (the
     * table broadcasts — bounded at DsirBuckets rows by construction). */
+  // LEFT join + coalesce(w, 0): in the batch queries the weight table is
+  // derived from the same feature frame so every f is present and this is
+  // identical to an inner join — but the streaming gate applies a FROZEN
+  // offline table that may lack buckets the stream's vocabulary hits. An
+  // inner join would silently drop those tokens from BOTH score and n_tok
+  // (and drop all-missing docs entirely, bypassing the admission rule);
+  // left-joining counts every token toward n_tok and gives missing-bucket
+  // tokens an explicit w = 0, so an all-missing doc scores 0 and is a
+  // deliberate reject under score >= thr*n_tok.
   private[graft] def dsirScore(feat: DataFrame, weights: DataFrame): DataFrame =
-    feat.join(broadcast(weights), Seq("f"))
+    feat.join(broadcast(weights), Seq("f"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("c") * col("w")).as("score"), sum(col("c")).as("n_tok"))
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"),
+        sum(col("c")).as("n_tok"))
 
   /** offline artifact write: train the DSIR weight table from a corpus and
     * persist it — what a production deployment ships to its ingest stream
@@ -899,16 +909,24 @@ object QualityOps {
          |sc AS (SELECT d.doc_id, CAST(sum(d.c * l.w) AS BIGINT) AS score
          |  FROM df d JOIN llr l ON d.f = l.f GROUP BY d.doc_id),
          |keyed AS (SELECT doc_id, score,
-         |    CAST(${sid60Sql("'dsirs:'||CAST(doc_id AS VARCHAR)")} AS DOUBLE) / score AS skey
+         |    CAST(${sid60Sql("'dsirs:'||CAST(doc_id AS VARCHAR)")} AS DOUBLE) / greatest(score, 1) AS skey
          |  FROM sc)
          |SELECT doc_id, score, skey,
          |  ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk
          |FROM keyed ORDER BY skey, doc_id LIMIT $DsirK""".stripMargin) { (s, d) =>
       val df = dsirFeatures(T.documents(s, d), Seq("lang"))
+      // greatest(score, 1): the add-one-smoothed LLR weight floors to 0
+      // once a bucket's raw count exceeds ~Scale*(tgt+1) — unreachable at
+      // bench scale but routine at 100 TB — and a doc whose buckets all
+      // carry w=0 would score 0, making u/score an engine-divergent
+      // division (Spark Infinity vs DuckDB's ieee_floating_point_ops
+      // setting). Clamping the denominator keeps it ONE IEEE division,
+      // still bitwise on both engines, and ranks zero-score docs last-ish
+      // (key = u) instead of diverging.
       val keyed = dsirScore(df, dsirLlr(df))
         .withColumn("skey",
           sid60(concat(lit("dsirs:"), col("doc_id").cast(StringType)))
-            .cast(DoubleType) / col("score"))
+            .cast(DoubleType) / greatest(col("score"), lit(1L)))
       keyed.orderBy(col("skey"), col("doc_id")).limit(DsirK)
         .withColumn("rnk",
           row_number().over(Window.orderBy(col("skey"), col("doc_id"))).cast(LongType))

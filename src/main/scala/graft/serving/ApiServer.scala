@@ -201,9 +201,17 @@ final class ApiServer(
   def vectorsTopk(vecId: Long, k: Int): String = {
     val rows = graft.operators.VectorOps.topkFor(spark, dataDir, vecId, k).collect()
     rows.map(r =>
-      s"""{"vec_id":${r.getLong(0)},"cos":${r.getDouble(1)},"rnk":${r.getLong(2)}}""")
+      s"""{"vec_id":${r.getLong(0)},"cos":${jsonNum(r.getDouble(1))},"rnk":${r.getLong(2)}}""")
       .mkString(s"""{"query":$vecId,"neighbors":[""", ",", "]}")
   }
+
+  /** doubles → JSON: NaN/Infinity are not valid JSON literals, so map any
+    * non-finite value to null. topkFor scores only through the total
+    * cosFrom today and never produces one — this guard makes the route's
+    * output parseable under ANY future scorer change rather than relying
+    * on that non-local invariant. */
+  private def jsonNum(v: Double): String =
+    if (java.lang.Double.isFinite(v)) v.toString else "null"
 
   /** proper JSON string escaping (backslash, quote, control chars) — keys
     * must round-trip the requested token exactly; stripping characters

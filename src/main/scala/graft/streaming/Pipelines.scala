@@ -166,14 +166,19 @@ object Pipelines {
       filesPerBucket: Int = 1,
       bucketing: Option[Bucketing] = None,
       mergeWith: Option[(Option[DataFrame], DataFrame) => DataFrame] = None,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      writer: String = AdhocWriter): Unit = {
     val bk = bucketing.getOrElse(Bucketing.hash(nBuckets))
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
     val fs = root.getFileSystem(conf)
     ensureBucketMarker(fs, root, bk.tag)
-    // reap staging leftovers from a killed batch — the micro-batch model
-    // guarantees a single writer per state table, so nothing points at them
+    // single-writer lease: the staging reap below is only safe because
+    // nothing else can be mid-write on this root — enforce that instead of
+    // assuming it (see ensureWriterLease)
+    ensureWriterLease(fs, root, writer)
+    // reap staging leftovers from a killed batch — the lease guarantees a
+    // single writer per state table, so nothing points at them
     if (fs.exists(root))
       fs.listStatus(root).map(_.getPath)
         .filter(_.getName.startsWith("_staging-"))
@@ -257,6 +262,63 @@ object Pipelines {
       }
     }
     fs.delete(staging, true)
+  }
+
+  /** the shared ownership token for direct batch callers (tests, adhoc
+    * backfills) — they collide with each other only under deliberate
+    * concurrent use, which a production backfill names explicitly. */
+  val AdhocWriter = "adhoc"
+
+  /** single-writer lease on a state root. [[upsertBatch]] reaps `_staging-*`
+    * leftovers on entry, which is only safe if no OTHER writer is mid-batch
+    * on the same root — previously an unenforced assumption (true under one
+    * checkpointed foreachBatch, silently violated the moment an operator
+    * points a second stream or a batch backfill at a live stream's state).
+    * The lease turns that into a loud error: the first writer claims the
+    * root by recording its token in `_graft_writer`; every later entry by
+    * the SAME token (the normal per-micro-batch path, and crash-replay —
+    * [[upsertSink]] derives the token from the stream's checkpoint dir, the
+    * durable identity that survives a restart) proceeds; a DIFFERENT token
+    * fails fast before touching anything. Handover (decommissioned stream →
+    * backfill, pipeline upgrade under a new checkpoint) is explicit via
+    * [[releaseLease]] — never inferred from timestamps, so there is no TTL
+    * window in which two live writers both believe they own the root.
+    * The claim uses create(overwrite=false): two racing first-claimers
+    * cannot both succeed; the loser re-reads and errors. */
+  private def ensureWriterLease(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, writer: String): Unit = {
+    val marker = new Path(root, "_graft_writer")
+    def ownerOf: String = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    if (!fs.exists(marker)) {
+      fs.mkdirs(root)
+      val claimed =
+        try {
+          val o = fs.create(marker, false)
+          try o.write(writer.getBytes("UTF-8")) finally o.close()
+          true
+        } catch { case _: java.io.IOException => false } // lost the race
+      if (claimed) return
+    }
+    val owner = ownerOf
+    if (owner != writer) throw new IllegalStateException(
+      s"state at $root is owned by writer '$owner', asked for '$writer' — " +
+        "a second concurrent writer would reap the owner's live _staging-* " +
+        "dirs; if the owner is decommissioned, hand over explicitly with " +
+        "Pipelines.releaseLease(spark, stateDir)")
+  }
+
+  /** explicit lease handover: drop the `_graft_writer` marker so the NEXT
+    * writer (a backfill over a decommissioned stream's state, a pipeline
+    * upgrade under a new checkpoint) can claim the root. Deliberately the
+    * only way ownership changes — see [[ensureWriterLease]]. */
+  def releaseLease(spark: SparkSession, stateDir: String): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_graft_writer"), false)
+    ()
   }
 
   /** pin the state layout: the bucketing tag recorded on first write,
@@ -810,11 +872,16 @@ object Pipelines {
     one.write.mode("append").parquet(s"$baseDir/moc_indexer_history")
   }
 
-  /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink. */
+  /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink.
+    * The writer token is the CHECKPOINT dir — the stream's durable
+    * identity: a crash-restart of the same query re-enters under the same
+    * token, while a second query (necessarily on a different checkpoint)
+    * fails the lease loudly instead of reaping this one's live staging. */
   def upsertSink(stream: DataFrame, stateDir: String, keys: Seq[String],
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
     sinkTo(stream, keys, checkpointDir,
-      (batch, ks) => upsertBatch(batch.sparkSession, stateDir, batch, ks))
+      (batch, ks) => upsertBatch(batch.sparkSession, stateDir, batch, ks,
+        writer = s"ckpt:$checkpointDir"))
 
   /** generic foreachBatch wiring over any [[DocumentSink]]. */
   def sinkTo(stream: DataFrame, keys: Seq[String], checkpointDir: String,

@@ -55,6 +55,48 @@ object Replicate {
         .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECOND"))
     }.reduce(_ unionByName _)
     evout.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // TPC-H tables (round 11, for FULL-registry replica sweeps): each
+    // replica is a disjoint copy with every join key shifted CONSISTENTLY
+    // (customer/orders on custkey, orders/lineitem on orderkey,
+    // lineitem/part/supplier on part- and suppkey) — the join graph is
+    // preserved exactly, so an N× replica multiplies rows in every key
+    // space the relational queries shuffle on instead of collapsing into
+    // duplicate groups. nation/region stay single copies: they are the
+    // broadcast dims (25/5 rows) and the *keys referencing them*
+    // (c_nationkey, s_nationkey) are left in range on purpose.
+    def maxOf(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).collect()(0).getLong(0) + 1
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val cShift = maxOf(cust, "c_custkey")
+    val oShift = maxOf(ord, "o_orderkey")
+    val pShift = maxOf(part, "p_partkey")
+    val sShift = maxOf(supp, "s_suppkey")
+    def rep(df: org.apache.spark.sql.DataFrame,
+        shifts: Seq[(String, Long)]): org.apache.spark.sql.DataFrame =
+      (0 until n).map { i =>
+        shifts.foldLeft(df) { case (acc, (c, sh)) =>
+          acc.withColumn(c, col(c) + lit(i.toLong * sh))
+        }
+      }.reduce(_ unionByName _)
+    rep(cust, Seq("c_custkey" -> cShift))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    rep(ord, Seq("o_orderkey" -> oShift, "o_custkey" -> cShift))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    rep(li, Seq("l_orderkey" -> oShift, "l_partkey" -> pShift,
+      "l_suppkey" -> sShift))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    rep(part, Seq("p_partkey" -> pShift))
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    rep(supp, Seq("s_suppkey" -> sShift))
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
     spark.stop()
   }
 }
