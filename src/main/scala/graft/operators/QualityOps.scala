@@ -155,6 +155,39 @@ object QualityOps {
     dsirLlr(dsirFeatures(T.documents(s, corpusDir), Seq("lang")))
       .coalesce(1).write.mode("overwrite").parquet(weightsDir)
 
+  /** RETRAIN half of the weight-swap workflow (round 11): train a new
+    * weight table from `corpus` and STAGE it as generation `gen` under the
+    * Generations-managed `weightsRoot` — built beside the old generation,
+    * invisible to the live gate until an explicit `Generations.promote`.
+    * The operational loop: stageDsirWeights → [[dsirAdmitDrift]] on a
+    * holdout → promote (or discard the staged dir). */
+  private[graft] def stageDsirWeights(
+      corpus: DataFrame, weightsRoot: String, gen: Long): Unit =
+    graft.streaming.Generations.stage(
+      dsirLlr(dsirFeatures(corpus, Seq("lang"))).coalesce(1), weightsRoot, gen)
+
+  /** admit-set DRIFT between two staged weight generations on a holdout
+    * batch — the pre-promote check: per doc, the admit verdict under the
+    * old and the new table (same shared scoring chain the gate runs, same
+    * integer threshold rule), so the operator sees exactly which documents
+    * flip before swapping the live gate onto the new weights. Both weight
+    * tables broadcast (≤512 rows each); the holdout is featurized ONCE. */
+  private[graft] def dsirAdmitDrift(s: SparkSession, holdout: DataFrame,
+      weightsRoot: String, oldGen: Long, newGen: Long,
+      thrPerTokMicro: Long): DataFrame = {
+    val feat = dsirFeatures(holdout.select(col("doc_id"), col("text")), Seq())
+      .persist()
+    def admits(gen: Long, as: String) =
+      dsirScore(feat, s.read.parquet(s"$weightsRoot/gen=$gen"))
+        .select(col("doc_id"),
+          (col("score") >= lit(thrPerTokMicro) * col("n_tok")).as(as))
+    val out = admits(oldGen, "admit_old")
+      .join(admits(newGen, "admit_new"), Seq("doc_id"))
+    out.count() // materialize before unpersist
+    feat.unpersist()
+    out
+  }
+
   // ── shard-packing parameters: 4096-token shards, fixed-width hash
   //    buckets (md5 uniformity makes fixed-width equi-depth) for the
   //    two-pass global cumsum over the shuffled order.

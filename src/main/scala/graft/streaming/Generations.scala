@@ -71,8 +71,26 @@ object Generations {
   /** write `state` as generation `batchId` and advance the marker —
     * unless the marker already points at a NEWER generation. */
   def commit(state: DataFrame, dir: String, batchId: Long): Unit = {
+    stage(state, dir, batchId)
+    promote(dir, batchId)
+  }
+
+  /** write `state` as generation `batchId` WITHOUT advancing the marker —
+    * the "build the new artifact beside the old" half of a
+    * review-then-swap workflow: readers keep resolving the old generation
+    * until an explicit [[promote]], so the staged artifact can be
+    * validated (e.g. admit-set drift on a holdout) against live state
+    * first. A crash between stage and promote leaves the old generation
+    * serving and the staged dir inert (a re-stage overwrites it). */
+  def stage(state: DataFrame, dir: String, batchId: Long): Unit =
+    state.write.mode("overwrite").parquet(s"$dir/gen=$batchId")
+
+  /** atomically advance the marker to generation `batchId` — the swap half
+    * of stage-then-promote. Monotonic like [[commit]]: never moves the
+    * marker backwards, so a straggler promote of an old generation after a
+    * newer one committed is a no-op. */
+  def promote(dir: String, batchId: Long): Unit = {
     val genDir = s"$dir/gen=$batchId"
-    state.write.mode("overwrite").parquet(genDir)
     if (markerGen(dir).forall(batchId >= _)) {
       val tmp = Paths.get(dir, s".LATEST.$batchId")
       Files.createDirectories(Paths.get(dir))

@@ -852,6 +852,49 @@ object Pipelines {
       }
   }
 
+  /** [[dsirGate]] with RETRAIN-AND-SWAP (round 11): the weight table lives
+    * under a Generations-managed root (`gen=N` dirs + atomic LATEST
+    * marker) instead of one frozen parquet dir. Each micro-batch resolves
+    * the marker ONCE and scores against that generation — so a
+    * `QualityOps.stageDsirWeights` → `dsirAdmitDrift` → `Generations
+    * .promote` swap changes admissions exactly at the next batch boundary
+    * after the promote, never mid-batch (every doc in one batch is scored
+    * under one generation; DsirSwapSpec pins this). The resolved table is
+    * cached per generation dir: steady state re-reads nothing, and the
+    * old generation is unpersisted on first use of the new. */
+  def dsirGateGen(stream: DataFrame, weightsRoot: String, checkpointDir: String,
+      thrPerTokMicro: Long,
+      out: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.QualityOps
+    var cached: Option[(String, DataFrame)] = None
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val genDir = Generations.latestDir(weightsRoot).getOrElse(
+          throw new IllegalStateException(
+            s"no committed weight generation under $weightsRoot — " +
+              "stage + promote one before starting the gate"))
+        val weights = cached match {
+          case Some((d, w)) if d == genDir => w
+          case prev =>
+            prev.foreach(_._2.unpersist())
+            val w = batch.sparkSession.read.parquet(genDir).persist()
+            w.count() // pin before the old generation's files can retire
+            cached = Some((genDir, w))
+            w
+        }
+        val docs = dedupDeterministic(batch.toDF(), "doc_id").persist()
+        val scored = QualityOps.dsirScore(
+          QualityOps.dsirFeatures(docs.select(col("doc_id"), col("text")), Seq()),
+          weights)
+        out(docs.join(
+          scored.filter(col("score") >= lit(thrPerTokMicro) * col("n_tok")),
+          Seq("doc_id")))
+        docs.unpersist()
+        ()
+      }
+  }
+
   /** S12 cursor advance WITH audit history (scan_raw_txs.py:132-137): the
     * reference upserts the single `moc_indexer` cursor doc and keeps an
     * append-only `moc_indexer_history` of every advance. Same here: the

@@ -78,6 +78,43 @@ object PlanAudit {
     val bytes = new BytesListener
     spark.sparkContext.addSparkListener(bytes)
 
+    // SEEDED inputs for the queries whose RESULT is legitimately empty at
+    // every test SF (u6_except: every purchase user also errored;
+    // dd_embed_cosine: no pair reaches cosine 0.95): an empty result makes
+    // AQE collapse the whole plan to EmptyRelation, leaving NOTHING to
+    // audit — round 10 flagged the rows honestly but shipped those two
+    // plans unaudited. Seeding one purchase-only user and one identical
+    // vector pair gives both queries a real executed plan to count; the
+    // rows are marked "seeded":true so a diff never confuses them with
+    // organic data.
+    val seedDir = s"/tmp/plan_audit_seed-${new java.io.File(sfDir).getName}"
+    val seeded = Set("u6_except", "dd_embed_cosine")
+    locally {
+      import org.apache.spark.sql.functions._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "events", "embeddings")
+      tables.foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val out = t match {
+          case "events" =>
+            val mEid = df.agg(max(col("event_id"))).collect()(0).getLong(0)
+            val mUid = df.agg(max(col("user_id"))).collect()(0).getLong(0)
+            df.unionByName(df.limit(1)
+              .withColumn("event_id", lit(mEid + 1))
+              .withColumn("user_id", lit(mUid + 1))
+              .withColumn("event_type", lit("purchase")))
+          case "embeddings" =>
+            val mVid = df.agg(max(col("vec_id"))).collect()(0).getLong(0)
+            // two IDENTICAL vectors: cosine exactly 1.0, same quantized
+            // codes → same LSH bucket, so every dedup path sees the pair
+            df.unionByName(df.limit(1).withColumn("vec_id", lit(mVid + 1)))
+              .unionByName(df.limit(1).withColumn("vec_id", lit(mVid + 2)))
+          case _ => df
+        }
+        out.write.mode("overwrite").parquet(s"$seedDir/$t.parquet")
+      }
+    }
+
     // build the memoized one-time artifacts FIRST (same framing as the
     // bench's cold pass): per-query bytes then measure each query's own
     // steady-state traffic, and the artifact-build traffic is reported
@@ -85,6 +122,9 @@ object PlanAudit {
     val coldBefore = bytes.settle()
     ColdBuilds.all.foreach { case (_, build) =>
       try build(spark, sfDir) catch { case _: Throwable => () }
+    }
+    ColdBuilds.all.foreach { case (_, build) =>
+      try build(spark, seedDir) catch { case _: Throwable => () }
     }
     val coldAfter = bytes.settle()
     val coldLine = {
@@ -96,7 +136,7 @@ object PlanAudit {
     val lines = QueryRegistry.all.map { q =>
       try {
         val before = bytes.settle()
-        val df = q.fn(spark, sfDir)
+        val df = q.fn(spark, if (seeded(q.name)) seedDir else sfDir)
         val nRows = df.collect().length // finalize AQE → real executed plan
         val after = bytes.settle()
         val Seq(shufR, shufW, spM, spD) = after.zip(before).map { case (a, b) => a - b }
@@ -130,7 +170,8 @@ object PlanAudit {
           s""","spill_mem_bytes":$spM,"spill_disk_bytes":$spD""" +
           s""","rows":$nRows,"empty_collapse":$emptyCollapse"""
         val pushed = p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")
-        s"""{"query":"${q.name}",$obj,"pushed_filters":$pushed}"""
+        val seedTag = if (seeded(q.name)) ""","seeded":true""" else ""
+        s"""{"query":"${q.name}",$obj,"pushed_filters":$pushed$seedTag}"""
       } catch { case e: Throwable =>
         s"""{"query":"${q.name}","error":"${String.valueOf(e.getMessage)
              .replaceAll("[\"\\\\\n\r\t]", " ").take(120)}"}"""
