@@ -1301,6 +1301,59 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // "More like this" — the SERVING primitive over the near-dup index
+    // (round 11): for every document, its top-3 most similar OTHER
+    // documents by estimated Jaccard, candidates bounded to the banded-LSH
+    // collision graph. The text-side analog of ss_knn_graph: the SAME
+    // persisted signature/band tables a dedup deployment already maintains
+    // double as a document-similarity index, so related-document serving
+    // costs no new artifact. Plan: band self-join (df-capped, never
+    // all-pairs), BOTH orientations of each collision pair (a pair serves
+    // both endpoints' result lists), one 16-int match count per pair
+    // inside codegen, then top-3 per query doc via a window partitioned on
+    // doc_a — degree-bounded per key, never a global sort. At 100 TB the
+    // candidate degree tracks the near-dup structure (the band join's df
+    // cap), so the window's per-key input stays small by construction.
+    Q(
+      "dd_sim_topk", {
+        val matches = (0 until MhK)
+          .map(k => s"(CASE WHEN sa.mh$k=sb.mh$k THEN 1 ELSE 0 END)").mkString("+")
+        s"""WITH $MhCandSql,
+           |sym AS (SELECT doc_a, doc_b FROM cand
+           |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
+           |scored AS (
+           |  SELECT s.doc_a, s.doc_b, ($matches)/16.0 AS est_jaccard
+           |  FROM sym s JOIN sig sa ON sa.doc_id = s.doc_a
+           |  JOIN sig sb ON sb.doc_id = s.doc_b),
+           |rk AS (SELECT doc_a, doc_b, est_jaccard,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY est_jaccard DESC, doc_b) AS rnk
+           |  FROM scored)
+           |SELECT doc_a, doc_b, est_jaccard, rnk FROM rk WHERE rnk <= 3
+           |ORDER BY doc_a, rnk""".stripMargin
+      }) { (s, d) =>
+      val sig = minhashSignatures(
+        T.documents(s, d).select(col("doc_id"), col("text"))).persist()
+      val bands = bandTable(sig)
+      val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sym = cand.unionByName(
+        cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val sa = sig.toDF("doc_a" +: (0 until MhK).map(k => s"a$k"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until MhK).map(k => s"b$k"): _*)
+      val nMatch = (0 until MhK)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val w = Window.partitionBy(col("doc_a"))
+        .orderBy(col("est_jaccard").desc, col("doc_b"))
+      sym.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), (nMatch / lit(16.0)).as("est_jaccard"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_a"), col("rnk"))
+    },
+
     // Incremental NEAR-dup maintenance — the dedup path a daily 100 TB
     // corpus refresh actually runs: a NEW batch (top-10%-of-doc_id slice,
     // same integer cut as dd_incremental) probes the PERSISTED MinHash band

@@ -1087,6 +1087,46 @@ object VectorOps {
       (s, d) => topkBrute(s, d)
     }.copy(bench = true),
 
+    // RANGE (radius) search — the other serving primitive next to top-k
+    // (round 11): every corpus neighbor within cosine >= 0.35 of each
+    // query vector, self excluded. Distinct semantics from top-k: the
+    // result size tracks the query's true neighborhood density (a
+    // dedup-ish "everything this similar" contract), not a fixed k — the
+    // form retrieval filters and near-dup sweeps actually want when the
+    // neighborhood size is the signal. Plan: broadcast query rows, one
+    // codegen'd integer-dot projection per corpus vector, a FILTER —
+    // no top-k aggregate, no window, no shuffle beyond the output sort;
+    // the cheapest possible scan shape, embarrassingly parallel at any
+    // corpus size. The threshold compare rides the shared total cosFrom,
+    // bitwise on both engines (same contract dd_embed_cosine's 0.95
+    // filter is proven under).
+    Q(
+      "ss_range_query",
+      s"""$FlatCte,
+         |rq AS (SELECT * FROM flat WHERE vec_id < 16),
+         |rdots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v*c.v) AS dot
+         |  FROM rq q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |rscored AS (
+         |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
+         |  FROM rdots JOIN norms nq ON nq.vec_id = q_id
+         |  JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, cos FROM rscored WHERE cos >= 0.35
+         |ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      val emb = quantized(s, d, withBucket = false)
+      val q = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("qarr").as("q_qarr"),
+          col("nrm").as("nq"))
+      emb.select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosFrom(dotOf("q_qarr", "qarr"), col("nq"), col("nc")).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .orderBy(col("q_id"), col("n_id"))
+    },
+
     // LSH-bucketed top-k: same queries/k, but candidates restricted to the
     // query's 8-bit sign bucket — the scale path: one shuffle on the bucket
     // key instead of |Q|×N pairs. Recall vs ss_topk_brute is MEASURED by

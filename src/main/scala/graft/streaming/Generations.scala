@@ -97,6 +97,36 @@ object Generations {
       Files.writeString(tmp, genDir)
       Files.move(tmp, markerPath(dir), StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
+      retire(dir, batchId)
+    }
+  }
+
+  /** generation RETIREMENT (round 11 — found by the 600-batch soak, which
+    * measured the candle state holding ALL 600 generation dirs): after a
+    * marker advance, delete generations strictly OLDER than the newly
+    * promoted one EXCEPT the newest of them. What stays: the live
+    * generation (readers resolve it), the one just below it (the merge
+    * input a crash-replay of the current batch re-reads via [[before]],
+    * and the floor under a reader that resolved the marker just before the
+    * advance), and any STAGED generations above the marker (a
+    * review-then-swap artifact must never be reaped by the stream it is
+    * about to replace). Never runs on a no-op straggler promote. */
+  private def retire(dir: String, cur: Long): Unit = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return
+    val below = scala.util.Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("gen="))
+        .flatMap(_.drop(4).toLongOption)
+        .filter(_ < cur).toSeq.sorted
+    }
+    below.dropRight(1).foreach { g =>
+      val gd = Paths.get(s"$dir/gen=$g")
+      scala.util.Using.resource(Files.walk(gd)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
     }
   }
 

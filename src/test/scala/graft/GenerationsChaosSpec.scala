@@ -95,6 +95,39 @@ class GenerationsChaosSpec extends AnyFunSuite {
     assert(committed === batchOracle())
   }
 
+  test("promote retires generations beyond live + previous; staged-above survive") {
+    // found by the 600-batch soak: commit never deleted old generation
+    // dirs, so a long-lived candle/sketch state held one dir PER BATCH
+    // (600 gens = 2,400 files). Retirement keeps exactly the live
+    // generation, the newest below it (crash-replay's merge input and the
+    // racing-reader floor), and anything staged above the marker.
+    val ev = events()
+    val slices = ev.grouped(math.max(1, ev.length / 5)).toSeq
+    val dir = Files.createTempDirectory("gen-chaos-d").toString + "/state"
+    slices.zipWithIndex.foreach { case (s, i) =>
+      CandleStream.mergeBatch(toDf(s), dir, i.toLong)
+    }
+    val last = slices.length - 1
+    def gens() = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        val it = scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        it.map(_.getFileName.toString).filter(_.startsWith("gen=")).toSet
+      } finally s.close()
+    }
+    assert(gens() === Set(s"gen=$last", s"gen=${last - 1}"),
+      "a long-lived state must hold exactly live + previous generations")
+    assert(Generations.markerGen(dir) === Some(last.toLong))
+    assert(live(dir) === batchOracle(), "retirement must not touch the served state")
+    assert(Generations.before(dir, last.toLong) === Some(s"$dir/gen=${last - 1}"),
+      "the crash-replay merge input survives retirement")
+    // a STAGED generation above the marker must never be reaped by promote
+    Generations.stage(Generations.current(spark, dir).get, dir, 99L)
+    CandleStream.mergeBatch(toDf(slices.head), dir, last + 1L)
+    assert(gens().contains("gen=99"),
+      "a staged-but-unpromoted artifact survives the stream's own promotes")
+  }
+
   test("non-numeric gen= entries are skipped, not fatal") {
     val ev = events()
     val (h1, h2) = ev.splitAt(ev.length / 2)
