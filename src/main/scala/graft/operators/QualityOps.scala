@@ -966,6 +966,71 @@ object QualityOps {
         .select(col("doc_id"), col("score"), col("skey"), col("rnk"))
     },
 
+    // The RETRAIN-DRIFT audit as an oracle-checked BATCH query (round 11)
+    // — the number an operator reads before promoting a retrained DSIR
+    // weight table (the batch face of stageDsirWeights → dsirAdmitDrift →
+    // Generations.promote): two weight tables trained on disjoint corpus
+    // halves (even/odd doc_id), every document scored against BOTH
+    // through the shared dsirScore chain (LEFT join + coalesce(w,0): a
+    // bucket absent from the other half's table contributes 0, exactly
+    // the streaming gate's rule), and a per-document admit verdict under
+    // each with its flip flag. The admission threshold SELF-CALIBRATES as
+    // each table's own corpus per-token mean via ONE integer division
+    // (sum(score) div sum(n_tok) — a broadcast scalar head, the engine's
+    // documented 1-row crossJoin pattern), so the query splits any corpus
+    // rather than depending on an SF-tuned constant; the admit compare is
+    // the cross-multiplied integer form score >= thr*n_tok — no floats
+    // anywhere. At 100 TB the corpus-sum fits int64 through ~1e13 tokens;
+    // beyond that the mean moves to a 128-bit accumulation, the per-doc
+    // compare is unchanged.
+    Q(
+      "tx_dsir_drift",
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token FROM documents),
+         |df AS (SELECT doc_id, lang, ${sid60Sql("'dsir:'||token")} % $DsirBuckets AS f, count(*) AS c
+         |  FROM tok GROUP BY 1, 2, 3),
+         |featA AS (SELECT f, CAST(sum(c) AS BIGINT) AS raw_c,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_c
+         |  FROM df WHERE doc_id % 2 = 0 GROUP BY f),
+         |llrA AS (SELECT f, ($DsirScale * (tgt_c + 1)) // (raw_c + 1) AS w FROM featA),
+         |featB AS (SELECT f, CAST(sum(c) AS BIGINT) AS raw_c,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_c
+         |  FROM df WHERE doc_id % 2 = 1 GROUP BY f),
+         |llrB AS (SELECT f, ($DsirScale * (tgt_c + 1)) // (raw_c + 1) AS w FROM featB),
+         |scA AS (SELECT d.doc_id, CAST(sum(d.c * COALESCE(l.w, 0)) AS BIGINT) AS score,
+         |    CAST(sum(d.c) AS BIGINT) AS n_tok
+         |  FROM df d LEFT JOIN llrA l ON d.f = l.f GROUP BY 1),
+         |scB AS (SELECT d.doc_id, CAST(sum(d.c * COALESCE(l.w, 0)) AS BIGINT) AS score,
+         |    CAST(sum(d.c) AS BIGINT) AS n_tok
+         |  FROM df d LEFT JOIN llrB l ON d.f = l.f GROUP BY 1),
+         |thrA AS (SELECT CAST(sum(score) AS BIGINT) // CAST(sum(n_tok) AS BIGINT) AS t FROM scA),
+         |thrB AS (SELECT CAST(sum(score) AS BIGINT) // CAST(sum(n_tok) AS BIGINT) AS t FROM scB)
+         |SELECT a.doc_id,
+         |  a.score >= thrA.t * a.n_tok AS admit_old,
+         |  b.score >= thrB.t * b.n_tok AS admit_new,
+         |  (a.score >= thrA.t * a.n_tok) <> (b.score >= thrB.t * b.n_tok) AS flip
+         |FROM scA a JOIN scB b USING (doc_id), thrA, thrB
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      // ONE shared featurization feeds both trainers and both scorers —
+      // the corpus is tokenized and hashed once (the tx_dsir exchange-
+      // reuse discipline), then each half's LLR table derives from a
+      // parity filter over the same frame.
+      val df = dsirFeatures(T.documents(s, d), Seq("lang")).persist()
+      val wA = dsirLlr(df.filter(pmod(col("doc_id"), lit(2L)) === 0))
+      val wB = dsirLlr(df.filter(pmod(col("doc_id"), lit(2L)) === 1))
+      def admitsUnder(w: DataFrame, flag: String): DataFrame = {
+        val sc = dsirScore(df, w)
+        val thr = sc.agg(expr(
+          "CAST(sum(score) AS BIGINT) div CAST(sum(n_tok) AS BIGINT)").as("t"))
+        sc.crossJoin(broadcast(thr))
+          .select(col("doc_id"),
+            (col("score") >= col("t") * col("n_tok")).as(flag))
+      }
+      admitsUnder(wA, "admit_old")
+        .join(admitsUnder(wB, "admit_new"), Seq("doc_id"))
+        .withColumn("flip", col("admit_old") =!= col("admit_new"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental dedup — the production shape: a NEW batch (here the
     // deterministic top-10%-of-doc_id slice) checked against the existing
     // corpus's fingerprint index, without re-clustering the corpus. Exact
