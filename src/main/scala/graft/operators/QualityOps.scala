@@ -181,9 +181,17 @@ object QualityOps {
       dsirScore(feat, s.read.parquet(s"$weightsRoot/gen=$gen"))
         .select(col("doc_id"),
           (col("score") >= lit(thrPerTokMicro) * col("n_tok")).as(as))
+    // localCheckpoint(eager), not count(): a bare count() materializes
+    // nothing durable — every later action would recompute the whole
+    // chain after feat.unpersist() (featurization twice, both weight
+    // parquets re-read), and if a Generations.promote retired oldGen in
+    // the interim the returned frame would fail on first use. The eager
+    // checkpoint pins the VERDICT rows themselves, so the result stays
+    // readable even after the generation dirs it was computed from are
+    // retired.
     val out = admits(oldGen, "admit_old")
       .join(admits(newGen, "admit_new"), Seq("doc_id"))
-    out.count() // materialize before unpersist
+      .localCheckpoint(eager = true)
     feat.unpersist()
     out
   }
@@ -695,9 +703,15 @@ object QualityOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
+      // localCheckpoint, not persist (cache-hygiene rule, round 12): two
+      // consumers (the Bloom build and the exact verify) read the bench
+      // hash set, but a persist() here outlives the query — it stays in
+      // the session CacheManager forever and can be silently substituted
+      // into ANY sibling plan that builds the same frame. Checkpointing
+      // materializes once and leaves the CacheManager untouched.
       val benchHashes = Decontaminate
         .shingles(docs.filter(col("doc_id") % DcBenchMod === 0))
-        .select(col("h")).distinct().persist()
+        .select(col("h")).distinct().localCheckpoint(eager = true)
       val bits = Decontaminate.bloomBits(benchHashes)
       val corpus = docs.filter(col("doc_id") % DcBenchMod =!= 0)
       val contaminated = Decontaminate.contaminatedIds(
@@ -980,9 +994,13 @@ object QualityOps {
     // documented 1-row crossJoin pattern), so the query splits any corpus
     // rather than depending on an SF-tuned constant; the admit compare is
     // the cross-multiplied integer form score >= thr*n_tok — no floats
-    // anywhere. At 100 TB the corpus-sum fits int64 through ~1e13 tokens;
-    // beyond that the mean moves to a 128-bit accumulation, the per-doc
-    // compare is unchanged.
+    // anywhere. The threshold sums accumulate in DECIMAL(38,0) (round 12):
+    // an int64 corpus-sum would cap the query at ~1e13 tokens; 128-bit
+    // decimal accumulation (the a12_moment_stats precedent) removes the
+    // ceiling while `div` still yields the identical BIGINT mean — the
+    // oracle's HUGEINT sum is DuckDB's native equivalent, so the compare
+    // is unchanged at any scale. The per-doc compare stays pure int64
+    // (per-doc sums are bounded by document size, not corpus size).
     Q(
       "tx_dsir_drift",
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token FROM documents),
@@ -1013,14 +1031,26 @@ object QualityOps {
       // ONE shared featurization feeds both trainers and both scorers —
       // the corpus is tokenized and hashed once (the tx_dsir exchange-
       // reuse discipline), then each half's LLR table derives from a
-      // parity filter over the same frame.
-      val df = dsirFeatures(T.documents(s, d), Seq("lang")).persist()
+      // parity filter over the same frame. localCheckpoint, NOT persist
+      // (the round-11 defect): tx_dsir builds the IDENTICAL logical frame,
+      // so a persist() here is substituted by the CacheManager into the
+      // sibling's plan session-wide, destroying the ReusedExchange that
+      // PlanSpec pins (and leaking the cached frame for the session's
+      // lifetime). Checkpointing severs the lineage — the shared compute
+      // is still paid once, but the frame can never alias a sibling plan.
+      val df = dsirFeatures(T.documents(s, d), Seq("lang"))
+        .localCheckpoint(eager = true)
       val wA = dsirLlr(df.filter(pmod(col("doc_id"), lit(2L)) === 0))
       val wB = dsirLlr(df.filter(pmod(col("doc_id"), lit(2L)) === 1))
       def admitsUnder(w: DataFrame, flag: String): DataFrame = {
         val sc = dsirScore(df, w)
+        // 128-bit accumulation: sum in DECIMAL(38,0) so the corpus-wide
+        // score/token totals never hit the int64 ceiling (~1e13 tokens);
+        // `div` on decimals is still exact integral division → BIGINT t.
+        // The oracle's sum() is DuckDB HUGEINT — the same 128-bit math.
         val thr = sc.agg(expr(
-          "CAST(sum(score) AS BIGINT) div CAST(sum(n_tok) AS BIGINT)").as("t"))
+          "sum(CAST(score AS DECIMAL(38,0))) div sum(CAST(n_tok AS DECIMAL(38,0)))")
+          .cast(LongType).as("t"))
         sc.crossJoin(broadcast(thr))
           .select(col("doc_id"),
             (col("score") >= col("t") * col("n_tok")).as(flag))
@@ -1261,9 +1291,12 @@ object QualityOps {
          |       WHEN l.lm_ppm <= t2.v THEN 'middle'
          |       ELSE 'head' END AS bucket
          |FROM lmsc l, t1, t2 ORDER BY l.doc_id""".stripMargin) { (s, d) =>
-      // persisted: the histogram pass and the final bucket join both read
-      // the scores — without the pin the whole bigram pipeline runs twice
-      val lm = lmScores(s, d).persist()
+      // localCheckpoint, not persist (cache-hygiene rule): the histogram
+      // pass and the final bucket join both read the scores — without the
+      // pin the whole bigram pipeline runs twice — but a persist() would
+      // outlive the query in the session CacheManager and alias any
+      // sibling plan building the same frame (the tx_dsir_drift lesson).
+      val lm = lmScores(s, d).localCheckpoint(eager = true)
       val scored = lm.filter(col("lm_ppm").isNotNull)
       val nn = scored.agg(count(lit(1)).as("n"))
       val h = scored.groupBy(col("lm_ppm")).agg(count(lit(1)).as("c"))

@@ -232,8 +232,10 @@ object ScaleOps {
           col("r").as("rank"))
         .orderBy(col("rank").desc, col("node_id"))
         .limit(20)
-      val collected = out.cache()
-      collected.count() // materialize before unpersisting the loop inputs
+      // localCheckpoint, not cache(): the 20-row head must be materialized
+      // before the loop inputs unpersist, but a cache() would outlive the
+      // query in the session CacheManager (cache-hygiene rule)
+      val collected = out.localCheckpoint(eager = true)
       edges.unpersist(); nodes.unpersist()
       collected
     },

@@ -201,10 +201,14 @@ object TextOps {
     val sigCol = (0 until ShBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    // persisted: blocks + both verify sides consume it; without this the
-    // 48-sum aggregation over the token scan runs three times. One long
-    // per doc — negligible storage.
-    val sh2 = sb.select(col("doc_id"), sigCol.as("simhash")).persist()
+    // localCheckpoint, not persist (cache-hygiene rule): blocks + both
+    // verify sides consume it; without the pin the 48-sum aggregation
+    // over the token scan runs three times. One long per doc — negligible
+    // storage — and checkpointing keeps the frame out of the session
+    // CacheManager, where a persist() would leak per execution and could
+    // alias a sibling query's identical subplan.
+    val sh2 = sb.select(col("doc_id"), sigCol.as("simhash"))
+      .localCheckpoint(eager = true)
     val blockVals = ShBlockOffsets.zip(ShBlockWidths).map { case (off, w) =>
       expr(s"(simhash div ${1L << off}) % ${1L << w}")
     }
@@ -251,10 +255,11 @@ object TextOps {
       .withColumn("l", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
     // one shingle-keyed shuffle; both truth grains (per-doc sizes and
-    // per-pair intersections) read the grouped relation
+    // per-pair intersections) read the grouped relation — checkpointed,
+    // not persisted, so the pin dies with the query (cache-hygiene rule)
     val grouped = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("docs"))
-      .persist()
+      .localCheckpoint(eager = true)
     val cnt = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cm = grouped
@@ -1180,14 +1185,15 @@ object TextOps {
       val sh = T.documents(s, d)
         .withColumn("l", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
-      // one shuffle: df-capped doc list per shingle. Persisted because two
-      // aggregation grains consume it (per-doc counts + per-pair counts) —
-      // the batch analog of checkpointing the shingle index, which is tiny
-      // relative to the corpus.
+      // one shuffle: df-capped doc list per shingle. Checkpointed because
+      // two aggregation grains consume it (per-doc counts + per-pair
+      // counts) — the batch analog of checkpointing the shingle index,
+      // which is tiny relative to the corpus. localCheckpoint keeps the
+      // pin out of the session CacheManager (cache-hygiene rule).
       val grouped = sh.groupBy(col("shingle"))
         .agg(collect_list(col("doc_id")).as("docs"))
         .filter(size(col("docs")) <= 20)
-        .persist()
+        .localCheckpoint(eager = true)
       val cnt = grouped.select(explode(col("docs")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // in-row pair expansion: docs × docs filtered a<b (<=190 pairs/shingle)
@@ -1225,11 +1231,15 @@ object TextOps {
            |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
-      // persisted: three consumers (band keys + both verify sides) would
-      // otherwise recompute the shingle scan; the signature table is 17
-      // ints per doc — negligible next to the corpus.
+      // checkpointed: three consumers (band keys + both verify sides)
+      // would otherwise recompute the shingle scan; the signature table is
+      // 17 ints per doc — negligible next to the corpus. localCheckpoint,
+      // not persist: the pin must die with the query (cache-hygiene rule),
+      // and dd_sim_topk builds the identical signature frame — a persist()
+      // here would alias its plan through the session CacheManager.
       val sig = minhashSignatures(
-        T.documents(s, d).select(col("doc_id"), col("text"))).persist()
+        T.documents(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint(eager = true)
       val bands = bandTable(sig)
       val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
@@ -1331,8 +1341,12 @@ object TextOps {
            |SELECT doc_a, doc_b, est_jaccard, rnk FROM rk WHERE rnk <= 3
            |ORDER BY doc_a, rnk""".stripMargin
       }) { (s, d) =>
+      // checkpointed like dd_minhash_lsh's signature table (four
+      // consumers: band keys + both rerank sides), and for the same
+      // hygiene reason — the two queries build the identical frame.
       val sig = minhashSignatures(
-        T.documents(s, d).select(col("doc_id"), col("text"))).persist()
+        T.documents(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint(eager = true)
       val bands = bandTable(sig)
       val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))

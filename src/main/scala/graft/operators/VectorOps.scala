@@ -627,15 +627,16 @@ object VectorOps {
     * BoundedTopK, map-side partial) + exact full-precision rerank to
     * top-5. Same query set/k as [[topkBrute]]. */
   private def topkQuant(s: SparkSession, d: String): DataFrame = {
-    // persisted: the quantized corpus feeds three consumers (the int8
+    // checkpointed: the quantized corpus feeds three consumers (the int8
     // candidate pass, the rerank neighbor side, the query side) and is
-    // the SMALL per-vector table, not a pair stream
+    // the SMALL per-vector table, not a pair stream. localCheckpoint, not
+    // persist — the pin dies with the query (cache-hygiene rule).
     val emb = quantized(s, d, withBucket = false)
       .withColumn("maxabs", expr("array_max(transform(qarr, x -> abs(x)))"))
       .filter(col("maxabs") > 0)
       .withColumn("q8", expr("transform(qarr, x -> (x * 127) div maxabs)"))
       .withColumn("nrm8", normOf("q8"))
-      .persist()
+      .localCheckpoint(eager = true)
     val q = emb.filter(col("vec_id") < 16)
     val pairs8 = emb.select(col("vec_id").as("n_id"), col("q8"), col("nrm8").as("n8c"))
       .crossJoin(broadcast(q.select(col("vec_id").as("q_id"),
@@ -1252,7 +1253,10 @@ object VectorOps {
          |  FROM btop b LEFT JOIN vptop x ON x.q_id = b.q_id AND x.n_id = b.n_id
          |  GROUP BY b.q_id)
          |ORDER BY method, q_id""".stripMargin) { (s, d) =>
-      val truth = topkBrute(s, d).select(col("q_id"), col("n_id")).persist()
+      // checkpointed, not persisted: four recall passes share the truth
+      // set; the pin must not outlive the query (cache-hygiene rule)
+      val truth = topkBrute(s, d).select(col("q_id"), col("n_id"))
+        .localCheckpoint(eager = true)
       def recallOf(method: String, got: DataFrame): DataFrame =
         truth.join(got.select(col("q_id"), col("n_id")).withColumn("hit", lit(1)),
             Seq("q_id", "n_id"), "left")
@@ -1307,7 +1311,9 @@ object VectorOps {
          |  UNION ALL SELECT 'quant', t1.q_id, t.rnk FROM t1
          |    LEFT JOIN qtop t ON t.q_id = t1.q_id AND t.n_id = t1.n_id)
          |GROUP BY method ORDER BY method""".stripMargin) { (s, d) =>
-      val brute = topkBrute(s, d).persist()
+      // checkpointed, not persisted: every MRR pass reads the brute truth;
+      // the pin must not outlive the query (cache-hygiene rule)
+      val brute = topkBrute(s, d).localCheckpoint(eager = true)
       val t1 = brute.filter(col("rnk") === 1).select(col("q_id"), col("n_id"))
       def mrrOf(m: String, got: DataFrame): DataFrame =
         t1.join(got.select(col("q_id"), col("n_id"), col("rnk")),

@@ -25,4 +25,30 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** CACHE-HYGIENE probe (round 12): one-line summaries of every plan
+    * still registered in the session's CacheManager. A registered query
+    * must leave this EMPTY after it executes — a leaked persist() (a) is
+    * session-lifetime memory in any long-lived serving/streaming process
+    * that runs the registry and (b) gets silently substituted by the
+    * CacheManager into ANY sibling query that builds the identical
+    * logical plan, mutating its physical plan (the round-11 tx_dsir
+    * ReusedExchange regression). localCheckpoint pins do NOT appear here
+    * — that is exactly why they are the sanctioned multi-consumer pin.
+    * The `cachedData` list is fully private, so the enumeration goes
+    * through reflection; emptiness itself uses the public isEmpty. */
+  def leakedCachePlans(spark: SparkSession): Seq[String] = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+    if (cm.isEmpty) return Seq.empty
+    val f = cm.getClass.getDeclaredField("cachedData")
+    f.setAccessible(true)
+    f.get(cm)
+      .asInstanceOf[IndexedSeq[org.apache.spark.sql.execution.CachedData]]
+      .map(_.plan.simpleString(2).linesIterator.mkString(" | ").take(300))
+  }
+
+  /** drop every CacheManager entry — the between-queries reset that makes
+    * audited plan counters independent of registry ordering. */
+  def clearAllCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.clearCache()
 }

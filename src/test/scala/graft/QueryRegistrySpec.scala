@@ -30,12 +30,29 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(names.distinct.size === names.size)
   }
 
-  test("every registered query runs at sf0.001 and its schema is stable") {
+  test("every registered query runs at sf0.001, schema stable, and leaves " +
+    "the session CacheManager EMPTY (cache-hygiene gate)") {
+    // The round-11 lesson: a query builder's persist() without unpersist
+    // (a) leaks session-lifetime memory per execution and (b) is silently
+    // substituted by the CacheManager into ANY sibling query that builds
+    // the identical logical frame, mutating the sibling's physical plan
+    // (tx_dsir lost its pinned ReusedExchange to tx_dsir_drift's leaked
+    // featurization cache). This gate would have caught that before
+    // commit: after EACH registered query builds and executes, the
+    // CacheManager must be empty — multi-consumer pins inside a query
+    // must be localCheckpoint (which never registers there), and paired
+    // persist/unpersist must actually unpersist on every path.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.clearAllCache(spark) // earlier suites' state is not ours
     QueryRegistry.all.foreach { q =>
       val df = q.fn(spark, sf)
       assert(df.columns.nonEmpty, s"${q.name} has no columns")
       val n = df.count()
       assert(n >= 0, s"${q.name} failed to execute")
+      val leaked = ColumnBridge.leakedCachePlans(spark)
+      assert(leaked.isEmpty,
+        s"${q.name} left persisted frames in the session CacheManager:\n  " +
+          leaked.mkString("\n  "))
     }
   }
 
