@@ -74,6 +74,14 @@ object GraftApp {
     // stays range-local (Pipelines.Bucketing scaladoc).
     val txBucketing = Some(Pipelines.Bucketing.range("event_id", 4096L))
 
+    // ONE explicit writer token for BOTH Transaction-table writers (the
+    // ingest upsert and the status drain): they intentionally co-own the
+    // table — the per-root JVM lock serializes their batches — while any
+    // FOREIGN writer (a backfill under the default adhoc token, a second
+    // app instance with its own token) fails the lease loudly instead of
+    // reaping this app's live staging dirs.
+    val txWriter = "app:transaction"
+
     // the driver datasets ship events as a single FILE, and a file-stream
     // source's base path must be a directory — stream the dataset root
     // with a glob pinned to the events file(s)
@@ -100,7 +108,7 @@ object GraftApp {
           spark.range(1).select(lit(head).as("h"))).persist()
         Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", tx,
           Seq("event_id", "event", "address"), bucketing = txBucketing,
-          batchId = Some(batchId))
+          batchId = Some(batchId), writer = txWriter)
         // rows still inside the confirmation window join the status
         // task's pending queue (StatusDrain — the reference's
         // scan_transactions_status loop)
@@ -112,7 +120,8 @@ object GraftApp {
             current_timestamp().as("block_ts"),
             lit(head).as("last_raw_tx_block"),
             lit(head).as("last_moc_status_block"),
-            current_timestamp().as("updatedAt")))
+            current_timestamp().as("updatedAt")),
+          historyRetain = cfg.historyRetain)
         b.unpersist()
         ()
       }.start()
@@ -131,7 +140,8 @@ object GraftApp {
         val h = scala.util.Try(
           spark.read.parquet(s"$stateRoot/moc_indexer")
             .agg(max(col("block_number"))).collect()(0).getLong(0)).getOrElse(0L)
-        if (h > 0) StatusDrain.drain(spark, stateRoot, h, txBucketing)
+        if (h > 0) StatusDrain.drain(spark, stateRoot, h, txBucketing,
+          writer = txWriter)
         ()
       }.start()
 

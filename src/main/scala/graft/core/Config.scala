@@ -58,6 +58,16 @@ object Config {
         case _ => None
       }
 
+    /** indexer.history_retain (round 12): newest-N bound on the
+      * `moc_indexer_history` audit trail (Pipelines.advanceCursor knob).
+      * Absent → append-only, the reference's parity default. */
+    def historyRetain: Option[Int] =
+      config \ "indexer" \ "history_retain" match {
+        case JInt(n) => Some(n.toInt)
+        case JDouble(d) => Some(d.toInt)
+        case _ => None
+      }
+
     /** the selected network block — networks.<configNetwork>; every
       * network-scoped read goes through here and fails loudly on a typo'd
       * network name (the reference raises KeyError at first use). */

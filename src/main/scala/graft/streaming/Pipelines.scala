@@ -167,21 +167,28 @@ object Pipelines {
       bucketing: Option[Bucketing] = None,
       mergeWith: Option[(Option[DataFrame], DataFrame) => DataFrame] = None,
       batchId: Option[Long] = None,
-      writer: String = AdhocWriter): Unit = {
+      writer: String = AdhocWriter): Unit = lockFor(stateDir).synchronized {
     val bk = bucketing.getOrElse(Bucketing.hash(nBuckets))
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
     val fs = root.getFileSystem(conf)
     ensureBucketMarker(fs, root, bk.tag)
-    // single-writer lease: the staging reap below is only safe because
-    // nothing else can be mid-write on this root — enforce that instead of
-    // assuming it (see ensureWriterLease)
+    // single-writer lease: a DIFFERENT token fails fast before touching
+    // anything (see ensureWriterLease). The lease alone does NOT make
+    // same-token concurrency safe — the App's ingest and drain tasks
+    // legitimately share one token on one table — so same-JVM writers are
+    // serialized by the per-root lock above, and the staging reap below is
+    // namespaced per token: each writer reaps only ITS OWN `_staging-`
+    // leftovers, never a concurrent task's live staging dir (the round-11
+    // shape silently skipped the victim's bucket installs — data loss).
     ensureWriterLease(fs, root, writer)
-    // reap staging leftovers from a killed batch — the lease guarantees a
-    // single writer per state table, so nothing points at them
+    // reap staging leftovers from a killed batch with THIS token — under
+    // the per-root lock nothing with this token is mid-write, so nothing
+    // points at them
+    val stagePrefix = s"_staging-${writerTag(writer)}-"
     if (fs.exists(root))
       fs.listStatus(root).map(_.getPath)
-        .filter(_.getName.startsWith("_staging-"))
+        .filter(_.getName.startsWith(stagePrefix))
         .foreach(p => fs.delete(p, true))
     val bkt = bk.exprOf(keys)
     val batchB = batch.withColumn("__gbkt", bkt).persist()
@@ -237,32 +244,69 @@ object Pipelines {
         .repartition(baseW * width, col("__gbkt"),
           pmod(xxhash64(keys.map(col): _*), lit(width.toLong)))
     val staging = new Path(root,
-      s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      stagePrefix + java.util.UUID.randomUUID().toString.take(8))
     parted.write.partitionBy("__gbkt").mode("overwrite").parquet(staging.toString)
     batchB.unpersist()
     infos.foreach { case (b, _, next) =>
       val src = new Path(staging, s"__gbkt=$b")
-      if (fs.exists(src)) {
-        val bDir = next.getParent
-        fs.mkdirs(bDir)
-        if (fs.exists(next)) fs.delete(next, true) // partial leftover from a kill
-        fs.rename(src, next)
-        // _BATCHID lands BEFORE _SUCCESS: a generation is only ever
-        // replay-skipped once it is complete, and a kill between the two
-        // writes leaves an incomplete generation that replay overwrites
-        batchId.foreach { id =>
-          val o = fs.create(new Path(next, "_BATCHID"), true)
-          try o.write(id.toString.getBytes("UTF-8")) finally o.close()
-        }
-        val ok = fs.create(new Path(next, "_SUCCESS"), true)
-        ok.close()
-        fs.listStatus(bDir).map(_.getPath)
-          .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
-          .foreach(p => fs.delete(p, true))
+      // under the per-root lock + per-token staging namespace, a missing
+      // staged dir has exactly ONE cause: the merge legitimately produced
+      // ZERO rows for this touched bucket (a row-dropping mergeWith
+      // drained it). Install an EMPTY generation — silently keeping the
+      // old rows (the round-11 behavior) resurrects state the merge
+      // deleted, and was also how a concurrent writer's reap turned into
+      // silent data loss instead of a loud failure.
+      if (!fs.exists(src)) {
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), merged.schema)
+          .coalesce(1).write.mode("overwrite").parquet(src.toString)
+        // drop the committer's own _SUCCESS: the protocol's _SUCCESS must
+        // land AFTER _BATCHID (below) or a kill between rename and the
+        // _BATCHID write leaves a complete-looking generation the replay
+        // guard cannot recognize — a non-idempotent fold would re-apply
+        fs.delete(new Path(src, "_SUCCESS"), false)
       }
+      val bDir = next.getParent
+      fs.mkdirs(bDir)
+      if (fs.exists(next)) fs.delete(next, true) // partial leftover from a kill
+      fs.rename(src, next)
+      // _BATCHID lands BEFORE _SUCCESS: a generation is only ever
+      // replay-skipped once it is complete, and a kill between the two
+      // writes leaves an incomplete generation that replay overwrites
+      batchId.foreach { id =>
+        val o = fs.create(new Path(next, "_BATCHID"), true)
+        try o.write(id.toString.getBytes("UTF-8")) finally o.close()
+      }
+      val ok = fs.create(new Path(next, "_SUCCESS"), true)
+      ok.close()
+      fs.listStatus(bDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("gen=") && genNo(p) < genNo(next))
+        .foreach(p => fs.delete(p, true))
     }
     fs.delete(staging, true)
   }
+
+  /** per-state-root JVM lock: serializes [[upsertBatch]] critical sections
+    * for writers IN THIS PROCESS. Two tasks of one app (the ingest upsert
+    * and the status drain on the same Transaction table) may share a
+    * writer token; the token-based lease cannot order them — it only
+    * rejects FOREIGN tokens — so the lock is what makes their staging /
+    * generation installs non-interleaved. Cross-process writers must use
+    * distinct tokens (the lease rejects them loudly); sharing one token
+    * across processes is operator error the lease cannot see. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(stateDir: String): Object =
+    rootLocks.computeIfAbsent(new Path(stateDir).toString, _ => new Object)
+
+  /** 8-hex digest of the writer token, used to namespace `_staging-` dirs
+    * per writer: tokens are free-form (checkpoint paths), not dir-name
+    * safe. The reap only matches this prefix, so a crash leftover is
+    * reclaimed by its OWN writer and never by a sibling task mid-batch. */
+  private[graft] def writerTag(writer: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(writer.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
 
   /** the shared ownership token for direct batch callers (tests, adhoc
     * backfills) — they collide with each other only under deliberate
@@ -300,7 +344,17 @@ object Pipelines {
           try o.write(writer.getBytes("UTF-8")) finally o.close()
           true
         } catch { case _: java.io.IOException => false } // lost the race
-      if (claimed) return
+      if (claimed) {
+        // a successful CLAIM means no live writer exists on this root
+        // (fresh root, or a post-releaseLease handover) — a `_staging-*`
+        // dir of ANY tag is an orphan of a decommissioned writer. Reclaim
+        // them all here, the one moment that is provably safe; steady-
+        // state reaps are tag-scoped and never touch another task's dirs.
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.startsWith("_staging-"))
+          .foreach(p => fs.delete(p, true))
+        return
+      }
     }
     val owner = ownerOf
     if (owner != writer) throw new IllegalStateException(
@@ -901,8 +955,18 @@ object Pipelines {
     * conformed one-row doc overwrites the singleton and appends to the
     * history table (schemas core/Schemas.mocIndexer/.mocIndexerHistory).
     * Structured Streaming's checkpoint log already subsumes the cursor for
-    * recovery — the history table is the operator-facing audit trail. */
-  def advanceCursor(spark: SparkSession, baseDir: String, cursor: DataFrame): Unit = {
+    * recovery — the history table is the operator-facing audit trail.
+    *
+    * `historyRetain` (round 12 — the 600-batch soak's watch item): the
+    * append-only default accumulates ~1 part file per advance FOREVER,
+    * which at the reference's 3-10 s cadence is ~10 M files/year. With
+    * `Some(n)` the newest n advances are retained and the history dir is
+    * COMPACTED once it drifts past 2n files — the S10 retention-delete
+    * discipline applied to the audit trail (the reference's own precedent
+    * for bounded history: mocsettlement.py:420-429). None preserves the
+    * reference's append-only parity. */
+  def advanceCursor(spark: SparkSession, baseDir: String, cursor: DataFrame,
+      historyRetain: Option[Int] = None): Unit = {
     val doc = graft.core.Schemas.conformSparse(cursor, graft.core.Schemas.mocIndexer)
     // pin the single row once: a cursor computed from a live source must
     // not re-execute per write, or the history row could differ from the
@@ -913,6 +977,47 @@ object Pipelines {
       java.util.Collections.singletonList(rows(0)), doc.schema)
     one.write.mode("overwrite").parquet(s"$baseDir/moc_indexer")
     one.write.mode("append").parquet(s"$baseDir/moc_indexer_history")
+    historyRetain.foreach(compactCursorHistory(spark, baseDir, _))
+  }
+
+  /** compact the cursor-history dir down to its newest `retain` rows.
+    * Amortized: runs only past 2·retain data files, so n appends share one
+    * read-rewrite cycle. Crash-safe by SELF-HEALING rather than by an
+    * atomic dir swap: the compacted file is installed into the live dir
+    * FIRST and the old part files deleted after, so the only crash residue
+    * is full-row duplicates (old + compacted copies of the same rows) —
+    * removed by the next compaction's exact-row dropDuplicates. A dir swap
+    * would instead open a no-history window for concurrent readers.
+    * Runs inside the single-writer streaming task, so no write races. */
+  private def compactCursorHistory(
+      spark: SparkSession, baseDir: String, retain: Int): Unit = {
+    val n = math.max(1, retain)
+    val dir = new Path(s"$baseDir/moc_indexer_history")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    // reclaim a dead compaction's temp dir (crash before install)
+    fs.listStatus(new Path(baseDir)).map(_.getPath)
+      .filter(_.getName.startsWith(".history-compact-"))
+      .foreach(p => fs.delete(p, true))
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (parts.length <= 2 * n) return
+    val keep = spark.read.parquet(dir.toString)
+      // exact-row dedup heals a previous compaction's crash-window
+      // duplicates; legitimate same-block advances differ in updatedAt
+      .dropDuplicates()
+      .orderBy(col("block_number").desc, col("updatedAt").desc)
+      .limit(n)
+    val name = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(baseDir, s".history-$name")
+    keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val data = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("compaction wrote no part file"))
+    // install first, delete after — see the self-healing note above
+    fs.rename(data, new Path(dir, s"$name.parquet"))
+    parts.foreach(p => fs.delete(p, false))
+    fs.delete(tmp, true)
   }
 
   /** the streaming wiring of upsertBatch: foreachBatch keyed MERGE sink.

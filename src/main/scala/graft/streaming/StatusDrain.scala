@@ -50,9 +50,14 @@ object StatusDrain {
   /** flip every ripe pending row to `confirmed` and shrink the queue.
     * `bucketing` must match the Transaction state's layout (range on
     * event_id makes the drain's window RANGE-LOCAL: ripe keys live in the
-    * tail buckets by construction). Returns the number of rows flipped. */
+    * tail buckets by construction). Returns the number of rows flipped.
+    * `writer` must be the SAME token the ingest task upserts under: both
+    * tasks write the one Transaction table, so they share ownership (the
+    * per-root JVM lock serializes them; a FOREIGN token would fail the
+    * lease loudly instead of interleaving with the ingest's staging). */
   def drain(spark: SparkSession, stateRoot: String, head: Long,
-      bucketing: Option[Pipelines.Bucketing] = None): Long = {
+      bucketing: Option[Pipelines.Bucketing] = None,
+      writer: String = Pipelines.AdhocWriter): Long = {
     val bk = bucketing.getOrElse(Pipelines.Bucketing.hash())
     val pending = Pipelines.readSmallState(spark, pendingDir(stateRoot))
       .getOrElse(return 0L)
@@ -66,7 +71,7 @@ object StatusDrain {
           val flipped = touched.join(ripe, Keys, "left_semi")
             .withColumn("status", lit("confirmed"))
           Pipelines.upsertBatch(spark, s"$stateRoot/Transaction", flipped, Keys,
-            bucketing = bucketing)
+            bucketing = bucketing, writer = writer)
         }
       Pipelines.swapSmallState(spark, pendingDir(stateRoot)) {
         case Some(cur) => cur.join(ripe, Keys, "left_anti")

@@ -87,7 +87,10 @@ object PlanAudit {
     // vector pair gives both queries a real executed plan to count; the
     // rows are marked "seeded":true so a diff never confuses them with
     // organic data.
-    val seedDir = s"/tmp/plan_audit_seed-${new java.io.File(sfDir).getName}"
+    // per-run token (round 12): a fixed path collided across concurrent
+    // audits of the same SF name; the dir is removed on exit
+    val seedDir = s"/tmp/plan_audit_seed-${new java.io.File(sfDir).getName}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val seeded = Set("u6_except", "dd_embed_cosine")
     locally {
       import org.apache.spark.sql.functions._
@@ -118,27 +121,53 @@ object PlanAudit {
     // build the memoized one-time artifacts FIRST (same framing as the
     // bench's cold pass): per-query bytes then measure each query's own
     // steady-state traffic, and the artifact-build traffic is reported
-    // as its own row instead of landing in whichever consumer ran first
+    // as its own row instead of landing in whichever consumer ran first.
+    // ONLY the real-corpus builds are inside the measured window — the
+    // duplicate seed-corpus builds (round 11 ran them in the same window)
+    // inflated the cold-artifact line vs prior rounds, so they get their
+    // own settled window and their own row.
     val coldBefore = bytes.settle()
     ColdBuilds.all.foreach { case (_, build) =>
       try build(spark, sfDir) catch { case _: Throwable => () }
     }
+    val coldAfter = bytes.settle()
     ColdBuilds.all.foreach { case (_, build) =>
       try build(spark, seedDir) catch { case _: Throwable => () }
     }
-    val coldAfter = bytes.settle()
-    val coldLine = {
-      val Seq(r, w, m, dd) = coldAfter.zip(coldBefore).map { case (a, b) => a - b }
-      s"""{"query":"__cold_artifact_builds__","shuffle_read_bytes":$r,""" +
+    val seedAfter = bytes.settle()
+    def deltaLine(name: String, a: Seq[Long], b: Seq[Long]): String = {
+      val Seq(r, w, m, dd) = a.zip(b).map { case (x, y) => x - y }
+      s"""{"query":"$name","shuffle_read_bytes":$r,""" +
         s""""shuffle_write_bytes":$w,"spill_mem_bytes":$m,"spill_disk_bytes":$dd}"""
     }
+    val coldLine = deltaLine("__cold_artifact_builds__", coldAfter, coldBefore)
+    val seedLine = deltaLine("__seed_corpus_builds__", seedAfter, coldAfter)
 
-    val lines = QueryRegistry.all.map { q =>
+    // SPARK_GRAFT_AUDIT_REVERSE=1 runs the registry back-to-front — the
+    // order-independence receipt: counters must be identical either way
+    // (diff the sorted rows), or some query's committed numbers depend on
+    // what a sibling left behind.
+    val order =
+      if (sys.env.get("SPARK_GRAFT_AUDIT_REVERSE").contains("1"))
+        QueryRegistry.all.reverse
+      else QueryRegistry.all
+    val lines = order.map { q =>
       try {
+        // ORDER INDEPENDENCE (round 12): drop every CacheManager entry
+        // before each query, so a committed counter can never depend on
+        // which sibling ran first and what it left cached (the round-11
+        // tx_dsir row was correct only because the audit happened to run
+        // it before tx_dsir_drift). Registered queries are required to
+        // leave the CacheManager empty anyway (QueryRegistrySpec's
+        // hygiene gate) — the per-row leaked_cache count is the audit's
+        // registry-wide receipt for that.
+        org.apache.spark.sql.graftbridge.ColumnBridge.clearAllCache(spark)
         val before = bytes.settle()
         val df = q.fn(spark, if (seeded(q.name)) seedDir else sfDir)
         val nRows = df.collect().length // finalize AQE → real executed plan
         val after = bytes.settle()
+        val leakedCache =
+          org.apache.spark.sql.graftbridge.ColumnBridge.leakedCachePlans(spark).size
         val Seq(shufR, shufW, spM, spD) = after.zip(before).map { case (a, b) => a - b }
         val p = df.queryExecution.executedPlan.toString
         // a query whose RESULT is empty at this SF collapses to
@@ -168,7 +197,8 @@ object PlanAudit {
           // and what actually spilled during this query's jobs
           s""","shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW""" +
           s""","spill_mem_bytes":$spM,"spill_disk_bytes":$spD""" +
-          s""","rows":$nRows,"empty_collapse":$emptyCollapse"""
+          s""","rows":$nRows,"empty_collapse":$emptyCollapse""" +
+          s""","leaked_cache":$leakedCache"""
         val pushed = p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")
         val seedTag = if (seeded(q.name)) ""","seeded":true""" else ""
         s"""{"query":"${q.name}",$obj,"pushed_filters":$pushed$seedTag}"""
@@ -177,10 +207,19 @@ object PlanAudit {
              .replaceAll("[\"\\\\\n\r\t]", " ").take(120)}"}"""
       }
     }
-    Files.writeString(Paths.get(outPath), (coldLine +: lines).mkString("\n") + "\n")
+    Files.writeString(Paths.get(outPath),
+      (Seq(coldLine, seedLine) ++ lines).mkString("\n") + "\n")
     // scalastyle:off println
     println(s"[plan-audit] ${lines.size} queries -> $outPath")
     // scalastyle:on println
+    locally {
+      val d = Paths.get(seedDir)
+      if (Files.isDirectory(d)) {
+        val it = Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      }
+    }
     spark.stop()
   }
 }

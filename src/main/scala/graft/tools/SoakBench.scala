@@ -133,7 +133,10 @@ object SoakBench {
             lit(true).as("processed"), lit(head).as("block_number"),
             lit(headTs).as("block_ts"), lit(head).as("last_raw_tx_block"),
             lit(head).as("last_moc_status_block"),
-            current_timestamp().as("updatedAt")))
+            current_timestamp().as("updatedAt")),
+          // the knob the round-11 soak asked for: without it the history
+          // appender grew all_state_files ~2/advance for 600 batches
+          historyRetain = Some(100))
         StatusDrain.drain(spark, base, head, txBucketing)
         b.unpersist()
         ()

@@ -145,4 +145,35 @@ class AccumulatorStateSpec extends AnyFunSuite {
     assert(md5s(dir) === before,
       "replaying the committed batch id must not rewrite any bucket")
   }
+
+  test("a merge that drains a bucket to ZERO rows installs an empty generation, not stale state") {
+    // round 12: a row-dropping mergeWith (a queue drain, a retention
+    // fold) can legitimately return no rows for a touched bucket. The
+    // round-11 install loop skipped buckets with no staged dir — which
+    // silently KEPT the old generation, resurrecting exactly the rows the
+    // merge deleted (and made a concurrent writer's staging reap look
+    // like a clean no-op instead of data loss). Now the bucket advances
+    // to an empty committed generation.
+    val dir = Files.createTempDirectory("graft-acc-drain").toString + "/state"
+    val dropAll: (Option[DataFrame], DataFrame) => DataFrame = {
+      case (_, d) =>
+        d.select(col("k"), col("delta").cast(DoubleType).as("bal"))
+          .filter(lit(false)) // the drain emptied every touched key
+    }
+    Pipelines.upsertBatch(spark, dir, delta(Seq(1L -> 5.0, 2L -> 7.0)), Seq("k"),
+      mergeWith = Some(fold), batchId = Some(0L))
+    assert(balances(dir) === Map(1L -> 5.0, 2L -> 7.0))
+    Pipelines.upsertBatch(spark, dir, delta(Seq(1L -> 1.0, 2L -> 1.0)), Seq("k"),
+      mergeWith = Some(dropAll), batchId = Some(1L))
+    assert(Pipelines.readState(spark, dir).count() === 0L,
+      "drained buckets must serve the merge's (empty) result, not the prior rows")
+    // and the empty generation is a full citizen of the replay guard:
+    // replaying batch 1 is a no-op, a later batch rebuilds state normally
+    Pipelines.upsertBatch(spark, dir, delta(Seq(1L -> 1.0, 2L -> 1.0)), Seq("k"),
+      mergeWith = Some(dropAll), batchId = Some(1L))
+    assert(Pipelines.readState(spark, dir).count() === 0L)
+    Pipelines.upsertBatch(spark, dir, delta(Seq(1L -> 9.0)), Seq("k"),
+      mergeWith = Some(fold), batchId = Some(2L))
+    assert(balances(dir) === Map(1L -> 9.0))
+  }
 }

@@ -95,12 +95,14 @@ class GenerationsChaosSpec extends AnyFunSuite {
     assert(committed === batchOracle())
   }
 
-  test("promote retires generations beyond live + previous; staged-above survive") {
+  test("promote retires generations beyond live + two; staged-above survive and are never merge inputs") {
     // found by the 600-batch soak: commit never deleted old generation
     // dirs, so a long-lived candle/sketch state held one dir PER BATCH
     // (600 gens = 2,400 files). Retirement keeps exactly the live
-    // generation, the newest below it (crash-replay's merge input and the
-    // racing-reader floor), and anything staged above the marker.
+    // generation, the newest TWO below it (crash-replay's merge input,
+    // plus a full promote cycle of slack for racing readers whose
+    // best-effort cache pin can be evicted and recompute from disk), and
+    // anything staged above the marker.
     val ev = events()
     val slices = ev.grouped(math.max(1, ev.length / 5)).toSeq
     val dir = Files.createTempDirectory("gen-chaos-d").toString + "/state"
@@ -115,8 +117,8 @@ class GenerationsChaosSpec extends AnyFunSuite {
         it.map(_.getFileName.toString).filter(_.startsWith("gen=")).toSet
       } finally s.close()
     }
-    assert(gens() === Set(s"gen=$last", s"gen=${last - 1}"),
-      "a long-lived state must hold exactly live + previous generations")
+    assert(gens() === Set(s"gen=$last", s"gen=${last - 1}", s"gen=${last - 2}"),
+      "a long-lived state must hold exactly live + two floor generations")
     assert(Generations.markerGen(dir) === Some(last.toLong))
     assert(live(dir) === batchOracle(), "retirement must not touch the served state")
     assert(Generations.before(dir, last.toLong) === Some(s"$dir/gen=${last - 1}"),
@@ -126,6 +128,18 @@ class GenerationsChaosSpec extends AnyFunSuite {
     CandleStream.mergeBatch(toDf(slices.head), dir, last + 1L)
     assert(gens().contains("gen=99"),
       "a staged-but-unpromoted artifact survives the stream's own promotes")
+    // ...and must never be resolved as a merge input, even once the
+    // stream's batch ids pass it: gen=99 carries no commit sentinel, so a
+    // crash-replay of batch 100 merges from the newest COMMITTED
+    // generation, not the stale staged copy of old state (which would
+    // regress or double-count). The round-11 implementation listed dirs
+    // by name only and failed exactly here.
+    assert(Generations.before(dir, 100L) === Some(s"$dir/gen=${last + 1}"),
+      "before() must skip staged (uncommitted) generations")
+    // promoting the staged artifact commits it — NOW it is resolvable
+    Generations.promote(dir, 99L)
+    assert(Generations.before(dir, 100L) === Some(s"$dir/gen=99"),
+      "promote marks the staged dir committed (sentinel), making it visible")
   }
 
   test("non-numeric gen= entries are skipped, not fatal") {

@@ -199,4 +199,29 @@ class SchemasSpec extends AnyFunSuite {
         cursor(4).union(cursor(5)))
     }
   }
+
+  test("historyRetain bounds the cursor audit trail (S10-style retention) — file count AND rows") {
+    import graft.streaming.Pipelines
+    val dir = java.nio.file.Files.createTempDirectory("graft-cursor-ret").toString
+    def cursor(block: Long) = Seq((block, block, true))
+      .toDF("block_number", "last_raw_tx_block", "processed")
+      .withColumn("updatedAt", current_timestamp())
+    // 25 advances, retain 5: the appender alone would leave 25 part files;
+    // amortized compaction (trigger at >2n files) must keep the dir within
+    // [n..2n] data files at all times and the ROWS at exactly the newest 5
+    (1L to 25L).foreach { b =>
+      Pipelines.advanceCursor(spark, dir, cursor(b), historyRetain = Some(5))
+      val files = new java.io.File(s"$dir/moc_indexer_history")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 10, s"history files must stay bounded, saw $files at advance $b")
+    }
+    val hist = spark.read.parquet(s"$dir/moc_indexer_history")
+    val blocks = hist.select("block_number").as[Long].collect().sorted.toSeq
+    assert(blocks.size <= 10 && blocks.max === 25L && blocks.takeRight(5) ===
+      Seq(21L, 22L, 23L, 24L, 25L),
+      s"retention must keep the NEWEST advances, got $blocks")
+    // the default stays append-only (reference parity)
+    (26L to 28L).foreach(b => Pipelines.advanceCursor(spark, dir, cursor(b)))
+    assert(spark.read.parquet(s"$dir/moc_indexer_history").count() === blocks.size + 3L)
+  }
 }

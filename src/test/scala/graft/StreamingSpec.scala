@@ -164,7 +164,8 @@ class StreamingSpec extends AnyFunSuite {
     // window 1: kill AFTER the staging write, BEFORE any swap — a
     // `_staging-*` dir lingers at the state root. Readers must ignore it,
     // and the next batch must reap it.
-    val staging = JPaths.get(s"$dir/_staging-deadbeef/__gbkt=0")
+    val staging = JPaths.get(
+      s"$dir/_staging-${Pipelines.writerTag(Pipelines.AdhocWriter)}-deadbeef/__gbkt=0")
     JFiles.createDirectories(staging)
     JFiles.write(staging.resolve("part-junk.parquet"), Array[Byte](9, 9))
     val got1 = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap

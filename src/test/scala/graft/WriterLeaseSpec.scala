@@ -53,12 +53,21 @@ class WriterLeaseSpec extends AnyFunSuite {
     val w = "ckpt:/tmp/stream-a"
     Pipelines.upsertBatch(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"),
       writer = w)
-    // leftover staging from a kill of THIS writer is reaped, not fatal
-    val staging = JPaths.get(dir, "_staging-dead01")
+    // leftover staging from a kill of THIS writer is reaped, not fatal —
+    // staging dirs are namespaced by the writer's token tag (round 12),
+    // so the reap matches exactly the dirs this writer could have left
+    val staging = JPaths.get(dir, s"_staging-${Pipelines.writerTag(w)}-dead01")
     JFiles.createDirectories(staging)
+    // a SIBLING task's tag (e.g. a co-owning drain under a different
+    // token in another process — or pre-handover litter) is NOT matched
+    // by the steady-state reap: only a fresh lease claim may touch it
+    val foreign = JPaths.get(dir, "_staging-ffffffff-live")
+    JFiles.createDirectories(foreign)
     Pipelines.upsertBatch(spark, dir, Seq((1L, "a2"), (2L, "b")).toDF("k", "v"),
       Seq("k"), writer = w)
     assert(!JFiles.exists(staging), "own leftovers are reaped on re-entry")
+    assert(JFiles.exists(foreign),
+      "another tag's staging dir must survive a steady-state reap")
     val st = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
     assert(st === Map(1L -> "a2", 2L -> "b"))
   }
@@ -72,8 +81,16 @@ class WriterLeaseSpec extends AnyFunSuite {
         writer = "backfill-2026-08")
     }
     Pipelines.releaseLease(spark, dir)
+    // the decommissioned writer's crash litter (its OWN tag) is reclaimed
+    // by the new owner's CLAIM — the one moment no live writer can exist —
+    // while steady-state reaps never cross tags
+    val orphan = JPaths.get(dir,
+      s"_staging-${Pipelines.writerTag("ckpt:/tmp/old-pipeline")}-orphan")
+    JFiles.createDirectories(orphan)
     Pipelines.upsertBatch(spark, dir, Seq((2L, "b")).toDF("k", "v"), Seq("k"),
       writer = "backfill-2026-08")
+    assert(!JFiles.exists(orphan),
+      "a lease claim reclaims decommissioned writers' staging orphans")
     val st = Pipelines.readState(spark, dir).as[(Long, String)].collect().toMap
     assert(st === Map(1L -> "a", 2L -> "b"),
       "handover changes ownership, not contents")
