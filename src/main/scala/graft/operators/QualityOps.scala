@@ -1509,6 +1509,61 @@ object QualityOps {
         .orderBy(col("doc_id"))
     },
 
+    // EPOCH-REPEAT allocation under a token budget (data-constrained
+    // scaling, Muennighoff et al. 2023: with data the binding constraint,
+    // repeating the best documents up to ~4 epochs beats one epoch of
+    // everything). Every document trains once; the EXTRA budget — one more
+    // corpus-worth of tokens here — buys up to 3 repeat epochs, granted in
+    // quality-descending order until it runs out, the marginal document
+    // taking the integer floor of what remains. The greedy is
+    // order-dependent, so it is computed as ONE arithmetic expression over
+    // the global ordered cumsum of 3·n_tok — the same two-pass equi-depth
+    // ranged cumsum as tx_budget_select (RangePartitioner samples the
+    // skewed quality key; localCheckpoint pins one sampled assignment for
+    // both passes). All-integer outputs: no float in the hash.
+    Q(
+      "tx_epoch_repeat",
+      s"""WITH $qualityDocsSql,
+         |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS extra FROM ql),
+         |c AS (SELECT doc_id, qmicro, n_tok,
+         |        CAST(sum(3*n_tok) OVER (ORDER BY $QMicroMax - qmicro, doc_id) AS BIGINT) AS cumx
+         |      FROM ql)
+         |SELECT c.doc_id, c.qmicro, c.n_tok,
+         |  CAST(1 + (CASE WHEN c.n_tok = 0 OR c.cumx <= t.extra THEN 3
+         |       WHEN c.cumx - 3*c.n_tok >= t.extra THEN 0
+         |       ELSE (t.extra - (c.cumx - 3*c.n_tok)) // c.n_tok END) AS BIGINT) AS epochs,
+         |  CAST((1 + (CASE WHEN c.n_tok = 0 OR c.cumx <= t.extra THEN 3
+         |       WHEN c.cumx - 3*c.n_tok >= t.extra THEN 0
+         |       ELSE (t.extra - (c.cumx - 3*c.n_tok)) // c.n_tok END)) * c.n_tok AS BIGINT) AS rep_tokens
+         |FROM c, t ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // same checkpoint rationale as tx_budget_select: the window pass and
+      // the totals pass must see ONE sampled range partitioning
+      val ranged = qualityDocs(s, d)
+        .withColumn("inv", lit(QMicroMax) - col("qmicro"))
+        .repartitionByRange(nPart, col("inv"), col("doc_id"))
+        .withColumn("bkt", spark_partition_id().cast(LongType))
+        .localCheckpoint()
+      val extra = ranged.agg(sum(col("n_tok")).cast(LongType).as("extra"))
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("inv"), col("doc_id"))
+      val totals = ranged.groupBy(col("bkt")).agg(sum(expr("3*n_tok")).as("tot"))
+      val offsets = graft.core.Prefix.exclusiveCumsum(
+        totals, Seq.empty, "bkt", expr("bkt div 256"), "tot")
+      ranged
+        .withColumn("cum_local", sum(expr("3*n_tok")).over(wLocal))
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("cumx", col("offset") + col("cum_local"))
+        .crossJoin(broadcast(extra))
+        .withColumn("ep_extra",
+          when(col("n_tok") === 0 || col("cumx") <= col("extra"), lit(3L))
+            .when(col("cumx") - expr("3*n_tok") >= col("extra"), lit(0L))
+            .otherwise(expr("(extra - (cumx - 3*n_tok)) div n_tok")))
+        .select(col("doc_id"), col("qmicro"), col("n_tok"),
+          (lit(1L) + col("ep_extra")).as("epochs"),
+          ((lit(1L) + col("ep_extra")) * col("n_tok")).as("rep_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Domain-mixture rebalance — the per-source sampling rates that flatten
     // the corpus toward a uniform mixture (each source capped at T/K of the
     // token mass), the knob a pretraining mix applies before sampling.

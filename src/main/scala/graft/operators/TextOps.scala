@@ -1049,6 +1049,68 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ENSEMBLE (multi-signal) dedup — the fused verdict a production
+    // curation run actually ships: a document is a duplicate if the TEXT
+    // signal (winnow fingerprint pairs, ≥2 shared) OR the EMBEDDING signal
+    // (SemDeDup within-cluster cosine ≥ 0.4 pairs, VectorOps.semanticPairs;
+    // vec_id keys the documents' embedding rows 1:1) connects it to a
+    // lower-id canonical — connected components over the UNION graph, so
+    // a surface-rewritten near-dup (text misses, embedding catches) and a
+    // same-template paraphrase (embedding misses, text catches) both fold
+    // into one cluster instead of surviving whichever single-signal sweep
+    // ran. Per-doc flags record which signal(s) fired — the audit column a
+    // dedup report needs. Cost = the two pair graphs both already bounded
+    // (df-capped fingerprint groups; per-class pair counts) + one CC pass
+    // over their union; the final verdict is three left joins on doc_id.
+    Q(
+      "dd_ensemble",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |${graft.operators.VectorOps.SemanticPairsSqlCtes},
+         |tpair AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |epair AS (SELECT vec_a AS a, vec_b AS b FROM ep),
+         |upair AS (SELECT a, b FROM tpair UNION SELECT a, b FROM epair),
+         |edges AS (SELECT a, b FROM upair UNION SELECT b, a FROM upair),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS did, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |tflag AS (SELECT DISTINCT x AS did FROM
+         |  (SELECT a AS x FROM tpair UNION ALL SELECT b FROM tpair)),
+         |eflag AS (SELECT DISTINCT x AS did FROM
+         |  (SELECT a AS x FROM epair UNION ALL SELECT b FROM epair))
+         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(l.cluster_id, d.doc_id) <> d.doc_id AS is_dropped,
+         |  (t.did IS NOT NULL) AS text_dup, (e.did IS NOT NULL) AS embed_dup
+         |FROM documents d LEFT JOIN lab l ON l.did = d.doc_id
+         |LEFT JOIN tflag t ON t.did = d.doc_id
+         |LEFT JOIN eflag e ON e.did = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val tpair = winnowPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val epair = VectorOps.semanticPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val upair = tpair.unionByName(epair)
+        .dropDuplicates(Seq("doc_a", "doc_b"))
+      val labels = connectedComponents(upair)
+      val tdocs = tpair
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct().withColumn("t1", lit(true))
+      val edocs = epair
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct().withColumn("e1", lit(true))
+      T.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .join(tdocs, Seq("doc_id"), "left")
+        .join(edocs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) =!= col("doc_id")).as("is_dropped"),
+          col("t1").isNotNull.as("text_dup"),
+          col("e1").isNotNull.as("embed_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     // LEAKAGE-SAFE train/val split: the naive per-document hash split puts
     // near-duplicate documents on both sides (the val set then "measures"
     // memorization of training twins). Split by near-dup CLUSTER instead:

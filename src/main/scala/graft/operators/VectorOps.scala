@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -327,6 +328,89 @@ object VectorOps {
        |    sum(CASE WHEN v >= 0 THEN CAST(pow(2, (i-1)%$EmbedCodeBits) AS BIGINT) ELSE 0 END) AS bkey
        |  FROM (SELECT vec_id, i, v, (i-1)//$EmbedCodeBits AS t FROM flat)
        |  GROUP BY vec_id, t)""".stripMargin
+
+  /** adaptive-width multi-table sign codes `(vec_id, t, bucket)` — the
+    * corpus-sized candidate generator shared by `ss_knn_graph` and
+    * `ss_triplet_mine`. Width rule: w = 8 + one bit per doubling of N past
+    * 2048 (clamped to 16, i.e. ≥8 expected vectors per bucket) keeps
+    * per-table candidate volume ~N²/2^w linear in N; the rule is pure
+    * integer threshold comparisons so both engines derive the identical w
+    * from the identical count (a float log2 could flip a bit at exact
+    * powers of two). One bounded count job (an index build knows its
+    * corpus size) + one narrow projection. */
+  private def adaptiveSignCodes(s: SparkSession, d: String): DataFrame = {
+    val n = T.embeddings(s, d).count()
+    val w = 8 + (0 until 8).count(k => n > (2048L << k))
+    quantized(s, d, withBucket = false)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 3)")).as("t"))
+      .withColumn("bucket", expr(
+        s"aggregate(sequence(1, $w), 0, (acc, i) -> " +
+          s"acc + if(element_at(embedding, t*$w + i) >= cast(0 as float), " +
+          "cast(pow(2, i-1) as int), 0))"))
+      .select(col("vec_id"), col("t"), col("bucket"))
+  }
+
+  /** DuckDB-side mirror of [[adaptiveSignCodes]]: `wsel` derives the same
+    * integer width, `mb` the same (vec_id, t, bucket) rows. */
+  private val AdaptiveCodesSql =
+    s"""wsel AS (
+       |  SELECT 8 + ${(0 until 8).map(k => s"(CASE WHEN n > ${2048L << k} THEN 1 ELSE 0 END)")
+                       .mkString(" + ")} AS w
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |mb AS (
+       |  SELECT e.vec_id, tt.t,
+       |    list_sum(list_transform(range(1, ws.w + 1),
+       |      i -> CASE WHEN e.embedding[tt.t*ws.w + i] >= 0
+       |           THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+       |  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt
+       |  CROSS JOIN wsel ws)""".stripMargin
+
+  /** quantized per-vector base `(vec_id, label, qe, nrm)` for the
+    * label-partitioned SemDeDup family — built from the raw table (a
+    * one-pass narrow map), not the memoized ANN index, so the dedup
+    * queries stay self-contained scans. */
+  private def semBase(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        quantArr("embedding").as("qe"))
+      .withColumn("nrm", normOf("qe"))
+
+  /** within-label cosine-hit pair graph (vec_a < vec_b, cos ≥ 0.4) — the
+    * SemDeDup pair set, shared by `dd_semantic` (keep-min verdict) and
+    * `TextOps.dd_ensemble` (the embedding signal of the fused dedup
+    * verdict). Candidate space = sum of per-class pair counts, never
+    * corpus² (see dd_semantic's scaladoc). */
+  private[operators] def semanticPairs(s: SparkSession, d: String): DataFrame = {
+    val e = semBase(s, d)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("qe").as("qa"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("qe").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosFrom(dotOf("qa", "qb"), col("na"), col("nb")) >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** DuckDB-side mirror of [[semBase]]/[[semanticPairs]] — CTE chain
+    * ending in `ep` (vec_a, vec_b); names prefixed e- so the chain
+    * composes with TextOps' winnow CTEs inside one WITH. */
+  private[operators] val SemanticPairsSqlCtes: String =
+    s"""eq AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, label, qe,
+       |  CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM eq),
+       |ed AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_sum(list_transform(range(1, len(a.qe)+1),
+       |      i -> a.qe[i]*b.qe[i])) AS BIGINT) AS dot,
+       |    a.nrm AS na, b.nrm AS nb
+       |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |ep AS (
+       |  SELECT vec_a, vec_b FROM ed WHERE ${cosSql("dot", "na", "nb")} >= 0.4)""".stripMargin
 
   /** one oracle for both incremental embedding-dedup paths (broadcast probe
     * and large-batch shuffle probe) — identical verdicts required of both,
@@ -1613,17 +1697,7 @@ object VectorOps {
     Q(
       "ss_knn_graph",
       s"""$FlatCte,
-         |wsel AS (
-         |  SELECT 8 + ${(0 until 8).map(k => s"(CASE WHEN n > ${2048L << k} THEN 1 ELSE 0 END)")
-                         .mkString(" + ")} AS w
-         |  FROM (SELECT count(*) AS n FROM embeddings)),
-         |mb AS (
-         |  SELECT e.vec_id, tt.t,
-         |    list_sum(list_transform(range(1, ws.w + 1),
-         |      i -> CASE WHEN e.embedding[tt.t*ws.w + i] >= 0
-         |           THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
-         |  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt
-         |  CROSS JOIN wsel ws),
+         |$AdaptiveCodesSql,
          |gcand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
          |  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
@@ -1642,17 +1716,7 @@ object VectorOps {
          |  FROM gscored)
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
       val emb = quantized(s, d, withBucket = false)
-      // the same integer width rule as the oracle's wsel CTE — one bounded
-      // count job (an index build knows its corpus size)
-      val n = T.embeddings(s, d).count()
-      val w = 8 + (0 until 8).count(k => n > (2048L << k))
-      val codes = emb.select(col("vec_id"), col("embedding"),
-          explode(expr("sequence(0, 3)")).as("t"))
-        .withColumn("bucket", expr(
-          s"aggregate(sequence(1, $w), 0, (acc, i) -> " +
-            s"acc + if(element_at(embedding, t*$w + i) >= cast(0 as float), " +
-            "cast(pow(2, i-1) as int), 0))"))
-        .select(col("vec_id"), col("t"), col("bucket"))
+      val codes = adaptiveSignCodes(s, d)
       val cand = codes.select(col("vec_id").as("q_id"), col("t"), col("bucket"))
         .join(codes.select(col("vec_id").as("n_id"), col("t"), col("bucket")),
           Seq("t", "bucket"))
@@ -1669,6 +1733,120 @@ object VectorOps {
           dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
         .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
       rankTopK(pairs, 3)
+    },
+
+    // Batch-hard TRIPLET MINING (Hermans et al. 2017, "In Defense of the
+    // Triplet Loss") — the training-data build step of an embedding-model
+    // pipeline: per anchor, the hardest POSITIVE (lowest cosine among the
+    // same-label vectors — the least-similar example the model must still
+    // pull close) and the hardest NEGATIVE (highest cosine among the
+    // DIFFERENT-label candidates — the confusable example it must push
+    // away), plus the active flag (negative within the 0.1 margin of the
+    // positive — the triplets that actually produce gradient). Scale
+    // bounds: positives join on the label key (sum of per-class pair
+    // counts — dd_semantic's bound, classes grow with the corpus);
+    // negatives are NOT mined corpus-wide (that is an all-pairs scan) but
+    // from the adaptive sign-code collision graph — the same candidate
+    // generator the kNN-graph build uses, per-table volume ~N²/2^w kept
+    // linear by the width rule — which is exactly how production hard-
+    // negative mining runs (ANN neighbors, not exhaustive search). Both
+    // picks are per-anchor top-1 windows with deterministic (cos, n_id)
+    // tie-breaks; window input degree is bounded by class size /
+    // candidate degree by construction. Anchors whose code buckets hold
+    // no cross-label vector get a NULL negative and are never active.
+    Q(
+      "ss_triplet_mine",
+      s"""$FlatCte,
+         |$AdaptiveCodesSql,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |pp AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS n_id
+         |  FROM lab a JOIN lab b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |pd AS (
+         |  SELECT p.anchor, p.n_id, sum(fa.v*fb.v) AS dot
+         |  FROM pp p JOIN flat fa ON fa.vec_id = p.anchor
+         |  JOIN flat fb ON fb.vec_id = p.n_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |ps AS (
+         |  SELECT anchor, n_id, ${cosSql("dot", "na.nrm", "nb.nrm")} AS cos
+         |  FROM pd JOIN norms na ON na.vec_id = anchor
+         |  JOIN norms nb ON nb.vec_id = n_id),
+         |ppick AS (
+         |  SELECT anchor, n_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |      ORDER BY cos, n_id) AS rn FROM ps) WHERE rn = 1),
+         |nc AS (
+         |  SELECT DISTINCT q.vec_id AS anchor, c.vec_id AS n_id
+         |  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
+         |    AND q.vec_id <> c.vec_id
+         |  JOIN lab la ON la.vec_id = q.vec_id
+         |  JOIN lab lb ON lb.vec_id = c.vec_id AND la.label <> lb.label),
+         |nd AS (
+         |  SELECT p.anchor, p.n_id, sum(fa.v*fb.v) AS dot
+         |  FROM nc p JOIN flat fa ON fa.vec_id = p.anchor
+         |  JOIN flat fb ON fb.vec_id = p.n_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |ns AS (
+         |  SELECT anchor, n_id, ${cosSql("dot", "na.nrm", "nb.nrm")} AS cos
+         |  FROM nd JOIN norms na ON na.vec_id = anchor
+         |  JOIN norms nb ON nb.vec_id = n_id),
+         |npick AS (
+         |  SELECT anchor, n_id AS neg_id, cos AS neg_cos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |      ORDER BY cos DESC, n_id) AS rn FROM ns) WHERE rn = 1)
+         |SELECT l.vec_id AS anchor, pk.pos_id, pk.pos_cos, nk.neg_id, nk.neg_cos,
+         |  coalesce(nk.neg_cos > pk.pos_cos - 0.1, FALSE) AS active
+         |FROM lab l JOIN ppick pk ON pk.anchor = l.vec_id
+         |LEFT JOIN npick nk ON nk.anchor = l.vec_id
+         |ORDER BY anchor""".stripMargin) { (s, d) =>
+      val e = quantized(s, d, withBucket = false)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          col("qarr"), col("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("anchor"),
+        col("qarr").as("qa"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("n_id"),
+        col("qarr").as("qb"), col("nrm").as("nb"))
+      val ps = a.join(b, Seq("label")).filter(col("anchor") =!= col("n_id"))
+        .select(col("anchor"), col("n_id"),
+          cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
+      val wPos = Window.partitionBy(col("anchor"))
+        .orderBy(col("cos").asc, col("n_id").asc)
+      val ppick = ps.withColumn("rn", row_number().over(wPos))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
+      val codes = adaptiveSignCodes(s, d)
+      val lab = e.select(col("vec_id"), col("label"))
+      val ncand = codes.select(col("vec_id").as("anchor"), col("t"), col("bucket"))
+        .join(codes.select(col("vec_id").as("n_id"), col("t"), col("bucket")),
+          Seq("t", "bucket"))
+        .filter(col("anchor") =!= col("n_id"))
+        .select(col("anchor"), col("n_id"))
+        .dropDuplicates(Seq("anchor", "n_id"))
+        .join(lab.select(col("vec_id").as("anchor"), col("label").as("la")),
+          Seq("anchor"))
+        .join(lab.select(col("vec_id").as("n_id"), col("label").as("lb")),
+          Seq("n_id"))
+        .filter(col("la") =!= col("lb"))
+      val payload = e.select(col("vec_id"), col("qarr"), col("nrm"))
+      val ns = ncand.select(col("anchor"), col("n_id"))
+        .join(payload.select(col("vec_id").as("n_id"),
+          col("qarr").as("qb"), col("nrm").as("nb")), Seq("n_id"))
+        .join(payload.select(col("vec_id").as("anchor"),
+          col("qarr").as("qa"), col("nrm").as("na")), Seq("anchor"))
+        .select(col("anchor"), col("n_id"),
+          cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
+      val wNeg = Window.partitionBy(col("anchor"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val npick = ns.withColumn("rn", row_number().over(wNeg))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("n_id").as("neg_id"), col("cos").as("neg_cos"))
+      lab.select(col("vec_id").as("anchor"))
+        .join(ppick, Seq("anchor"))
+        .join(npick, Seq("anchor"), "left")
+        .select(col("anchor"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          coalesce(col("neg_cos") > col("pos_cos") - 0.1, lit(false)).as("active"))
+        .orderBy(col("anchor"))
     },
 
     // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): duplicates
@@ -1688,40 +1866,19 @@ object VectorOps {
     // the drop set is bitwise identical on both engines.
     Q(
       "dd_semantic",
-      s"""WITH q AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0) AS BIGINT)) AS qe
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, label, qe,
-         |  CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM q),
-         |p AS (
-         |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    CAST(list_sum(list_transform(range(1, len(a.qe)+1),
-         |      i -> a.qe[i]*b.qe[i])) AS BIGINT) AS dot,
-         |    a.nrm AS na, b.nrm AS nb
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+      s"""WITH $SemanticPairsSqlCtes,
          |hits AS (
          |  SELECT vec_b AS vec_id, min(vec_a) AS kept_match
-         |  FROM p WHERE ${cosSql("dot", "na", "nb")} >= 0.4 GROUP BY vec_b)
-         |SELECT n.vec_id, CAST(n.label AS BIGINT) AS label,
+         |  FROM ep GROUP BY vec_b)
+         |SELECT en.vec_id, CAST(en.label AS BIGINT) AS label,
          |  (h.vec_id IS NOT NULL) AS is_dropped, h.kept_match
-         |FROM n LEFT JOIN hits h ON n.vec_id = h.vec_id
-         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
-      val e = T.embeddings(s, d)
-        .select(col("vec_id"), col("label").cast(LongType).as("label"),
-          quantArr("embedding").as("qe"))
-        .withColumn("nrm", normOf("qe"))
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("qe").as("qa"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("qe").as("qb"), col("nrm").as("nb"))
-      val hits = a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .filter(cosFrom(dotOf("qa", "qb"), col("na"), col("nb")) >= 0.4)
-        // keep-min winner via partial-agged min, not a window over pairs
+         |FROM en LEFT JOIN hits h ON en.vec_id = h.vec_id
+         |ORDER BY en.vec_id""".stripMargin) { (s, d) =>
+      // keep-min winner via partial-agged min, not a window over pairs
+      val hits = semanticPairs(s, d)
         .groupBy(col("vec_b").as("vec_id"))
         .agg(min(col("vec_a")).as("kept_match"))
-      e.select(col("vec_id"), col("label"))
+      semBase(s, d).select(col("vec_id"), col("label"))
         .join(hits, Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
           col("kept_match").isNotNull.as("is_dropped"), col("kept_match"))

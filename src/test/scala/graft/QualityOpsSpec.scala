@@ -100,6 +100,31 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(spent <= budget && spent + bestRejectedTok > budget)
   }
 
+  test("tx_epoch_repeat: greedy epoch grants are monotone in quality order and spend the extra budget maximally") {
+    val rows = run("tx_epoch_repeat")
+      .select("doc_id", "qmicro", "n_tok", "epochs", "rep_tokens").collect()
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 4L,
+        s"doc ${r.getLong(0)} epochs out of [1,4]")
+      assert(r.getLong(4) === r.getLong(3) * r.getLong(2),
+        s"doc ${r.getLong(0)} rep_tokens")
+    }
+    // grants never increase along (quality desc, doc_id) — the greedy order
+    val ordered = rows.sortBy(r => (-r.getLong(1), r.getLong(0)))
+    ordered.map(_.getLong(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "epoch grant increased down the quality order")
+      case _ => ()
+    }
+    // the extra budget (one corpus-worth) is spent maximally: within the
+    // marginal document's n_tok of the full pool, and never over it
+    val extraSpent = rows.map(r => (r.getLong(3) - 1L) * r.getLong(2)).sum
+    val marginalTok = ordered.find(_.getLong(3) < 4L).map(_.getLong(2)).getOrElse(0L)
+    assert(extraSpent <= total, "extra grants overflow the budget")
+    assert(extraSpent + marginalTok > total,
+      "one more epoch of the marginal doc should not have fit")
+  }
+
   test("tx_classifier_train: weights are non-trivial and one row per feature bucket") {
     val rows = run("tx_classifier_train").collect()
     val buckets = rows.map(_.getLong(0))
