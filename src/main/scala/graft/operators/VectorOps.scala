@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1737,112 +1736,91 @@ object VectorOps {
 
     // Batch-hard TRIPLET MINING (Hermans et al. 2017, "In Defense of the
     // Triplet Loss") — the training-data build step of an embedding-model
-    // pipeline: per anchor, the hardest POSITIVE (lowest cosine among the
-    // same-label vectors — the least-similar example the model must still
-    // pull close) and the hardest NEGATIVE (highest cosine among the
-    // DIFFERENT-label candidates — the confusable example it must push
-    // away), plus the active flag (negative within the 0.1 margin of the
-    // positive — the triplets that actually produce gradient). Scale
-    // bounds: positives join on the label key (sum of per-class pair
-    // counts — dd_semantic's bound, classes grow with the corpus);
-    // negatives are NOT mined corpus-wide (that is an all-pairs scan) but
-    // from the adaptive sign-code collision graph — the same candidate
-    // generator the kNN-graph build uses, per-table volume ~N²/2^w kept
-    // linear by the width rule — which is exactly how production hard-
-    // negative mining runs (ANN neighbors, not exhaustive search). Both
-    // picks are per-anchor top-1 windows with deterministic (cos, n_id)
-    // tie-breaks; window input degree is bounded by class size /
-    // candidate degree by construction. Anchors whose code buckets hold
-    // no cross-label vector get a NULL negative and are never active.
+    // pipeline: vectors are dealt into ~256-vector training BATCHES by a
+    // deterministic 60-bit hash (a reproducible stand-in for the epoch
+    // shuffle — no RNG state, both engines derive the identical deal),
+    // and each anchor mines WITHIN ITS BATCH the hardest POSITIVE (lowest
+    // cosine among same-label batchmates — the example the model must
+    // still pull close) and the hardest NEGATIVE (highest cosine among
+    // different-label batchmates — the confusable one it must push away),
+    // plus the active flag (negative within the 0.1 margin — the triplets
+    // that actually produce gradient). Batch-LOCAL mining is the paper's
+    // own semantics AND the scale bound: pair volume is
+    // (N/256)·256² = 256·N — LINEAR in the corpus, where the corpus-wide
+    // "hardest over the whole class" form is per-class-quadratic (the
+    // round-12 first cut measured 48× wall at the 64× replica for exactly
+    // that reason — replicas hold class count fixed). One equi-join on
+    // the batch key, one conditional-aggregation pass: struct argmin for
+    // the positive / argmax for the negative with deterministic (cos,
+    // n_id) tie-breaks — never a window over the pair stream (a
+    // per-anchor window would shuffle all of it to sort). Anchors whose
+    // batch has no same-label (or no cross-label) member get NULL picks
+    // and are never active.
     Q(
       "ss_triplet_mine",
       s"""$FlatCte,
-         |$AdaptiveCodesSql,
          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-         |pp AS (
-         |  SELECT a.vec_id AS anchor, b.vec_id AS n_id
-         |  FROM lab a JOIN lab b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |nbat AS (SELECT CAST((count(*) + 255) // 256 AS BIGINT) AS n FROM embeddings),
+         |bat AS (
+         |  SELECT vec_id, label,
+         |    CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) % nbat.n AS b
+         |  FROM lab, nbat),
+         |pr AS (
+         |  SELECT a.vec_id AS anchor, a.label AS la, c.vec_id AS n_id, c.label AS lb
+         |  FROM bat a JOIN bat c ON a.b = c.b AND a.vec_id <> c.vec_id),
          |pd AS (
-         |  SELECT p.anchor, p.n_id, sum(fa.v*fb.v) AS dot
-         |  FROM pp p JOIN flat fa ON fa.vec_id = p.anchor
+         |  SELECT p.anchor, p.n_id, p.la, p.lb, sum(fa.v*fb.v) AS dot
+         |  FROM pr p JOIN flat fa ON fa.vec_id = p.anchor
          |  JOIN flat fb ON fb.vec_id = p.n_id AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |ps AS (
-         |  SELECT anchor, n_id, ${cosSql("dot", "na.nrm", "nb.nrm")} AS cos
+         |  GROUP BY 1, 2, 3, 4),
+         |sc AS (
+         |  SELECT anchor, n_id, la, lb, ${cosSql("dot", "na.nrm", "nb2.nrm")} AS cos
          |  FROM pd JOIN norms na ON na.vec_id = anchor
-         |  JOIN norms nb ON nb.vec_id = n_id),
+         |  JOIN norms nb2 ON nb2.vec_id = n_id),
          |ppick AS (
          |  SELECT anchor, n_id AS pos_id, cos AS pos_cos FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
-         |      ORDER BY cos, n_id) AS rn FROM ps) WHERE rn = 1),
-         |nc AS (
-         |  SELECT DISTINCT q.vec_id AS anchor, c.vec_id AS n_id
-         |  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
-         |    AND q.vec_id <> c.vec_id
-         |  JOIN lab la ON la.vec_id = q.vec_id
-         |  JOIN lab lb ON lb.vec_id = c.vec_id AND la.label <> lb.label),
-         |nd AS (
-         |  SELECT p.anchor, p.n_id, sum(fa.v*fb.v) AS dot
-         |  FROM nc p JOIN flat fa ON fa.vec_id = p.anchor
-         |  JOIN flat fb ON fb.vec_id = p.n_id AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |ns AS (
-         |  SELECT anchor, n_id, ${cosSql("dot", "na.nrm", "nb.nrm")} AS cos
-         |  FROM nd JOIN norms na ON na.vec_id = anchor
-         |  JOIN norms nb ON nb.vec_id = n_id),
+         |      ORDER BY cos, n_id) AS rn FROM sc WHERE la = lb) WHERE rn = 1),
          |npick AS (
          |  SELECT anchor, n_id AS neg_id, cos AS neg_cos FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
-         |      ORDER BY cos DESC, n_id) AS rn FROM ns) WHERE rn = 1)
+         |      ORDER BY cos DESC, n_id) AS rn FROM sc WHERE la <> lb) WHERE rn = 1)
          |SELECT l.vec_id AS anchor, pk.pos_id, pk.pos_cos, nk.neg_id, nk.neg_cos,
          |  coalesce(nk.neg_cos > pk.pos_cos - 0.1, FALSE) AS active
-         |FROM lab l JOIN ppick pk ON pk.anchor = l.vec_id
+         |FROM lab l LEFT JOIN ppick pk ON pk.anchor = l.vec_id
          |LEFT JOIN npick nk ON nk.anchor = l.vec_id
          |ORDER BY anchor""".stripMargin) { (s, d) =>
       val e = quantized(s, d, withBucket = false)
         .select(col("vec_id"), col("label").cast(LongType).as("label"),
           col("qarr"), col("nrm"))
-      val a = e.select(col("label"), col("vec_id").as("anchor"),
-        col("qarr").as("qa"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("n_id"),
-        col("qarr").as("qb"), col("nrm").as("nb"))
-      val ps = a.join(b, Seq("label")).filter(col("anchor") =!= col("n_id"))
-        .select(col("anchor"), col("n_id"),
-          cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
-      val wPos = Window.partitionBy(col("anchor"))
-        .orderBy(col("cos").asc, col("n_id").asc)
-      val ppick = ps.withColumn("rn", row_number().over(wPos))
-        .filter(col("rn") === 1)
-        .select(col("anchor"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
-      val codes = adaptiveSignCodes(s, d)
-      val lab = e.select(col("vec_id"), col("label"))
-      val ncand = codes.select(col("vec_id").as("anchor"), col("t"), col("bucket"))
-        .join(codes.select(col("vec_id").as("n_id"), col("t"), col("bucket")),
-          Seq("t", "bucket"))
-        .filter(col("anchor") =!= col("n_id"))
-        .select(col("anchor"), col("n_id"))
-        .dropDuplicates(Seq("anchor", "n_id"))
-        .join(lab.select(col("vec_id").as("anchor"), col("label").as("la")),
-          Seq("anchor"))
-        .join(lab.select(col("vec_id").as("n_id"), col("label").as("lb")),
-          Seq("n_id"))
-        .filter(col("la") =!= col("lb"))
-      val payload = e.select(col("vec_id"), col("qarr"), col("nrm"))
-      val ns = ncand.select(col("anchor"), col("n_id"))
-        .join(payload.select(col("vec_id").as("n_id"),
-          col("qarr").as("qb"), col("nrm").as("nb")), Seq("n_id"))
-        .join(payload.select(col("vec_id").as("anchor"),
-          col("qarr").as("qa"), col("nrm").as("na")), Seq("anchor"))
-        .select(col("anchor"), col("n_id"),
-          cosFrom(dotOf("qa", "qb"), col("na"), col("nb")).as("cos"))
-      val wNeg = Window.partitionBy(col("anchor"))
-        .orderBy(col("cos").desc, col("n_id").asc)
-      val npick = ns.withColumn("rn", row_number().over(wNeg))
-        .filter(col("rn") === 1)
-        .select(col("anchor"), col("n_id").as("neg_id"), col("cos").as("neg_cos"))
-      lab.select(col("vec_id").as("anchor"))
-        .join(ppick, Seq("anchor"))
-        .join(npick, Seq("anchor"), "left")
+      // batch count from one bounded count job (a mining run knows its
+      // corpus size); sid60 % nbat is non-negative so % == pmod
+      val nbat = (T.embeddings(s, d).count() + 255L) / 256L
+      val bat = e.withColumn("b",
+        QualityOps.sid60(col("vec_id").cast(StringType)) % nbat)
+      val a = bat.select(col("b"), col("vec_id").as("anchor"),
+        col("label").as("la"), col("qarr").as("qa"), col("nrm").as("na"))
+      val c = bat.select(col("b"), col("vec_id").as("n_id"),
+        col("label").as("lb"), col("qarr").as("qb"), col("nrm").as("nb2"))
+      val sc = a.join(c, Seq("b")).filter(col("anchor") =!= col("n_id"))
+        .select(col("anchor"), col("n_id"), col("la"), col("lb"),
+          cosFrom(dotOf("qa", "qb"), col("na"), col("nb2")).as("cos"))
+      // ONE conditional-aggregation pass over the batch-local pair stream:
+      // min struct (cos, n_id) over same-label rows = the oracle's
+      // ROW_NUMBER(ORDER BY cos, n_id)=1; max struct (cos, -n_id) over
+      // cross-label rows = ROW_NUMBER(ORDER BY cos DESC, n_id)=1 (ids are
+      // non-negative, so -id max = id min among cosine ties). min/max
+      // skip the null branch of the CASE, and both collapse map-side.
+      val picks = sc.groupBy(col("anchor")).agg(
+        min(when(col("la") === col("lb"),
+          struct(col("cos"), col("n_id")))).as("p"),
+        max(when(col("la") =!= col("lb"),
+          struct(col("cos"), (-col("n_id")).as("nneg")))).as("q"))
+        .select(col("anchor"),
+          col("p.n_id").as("pos_id"), col("p.cos").as("pos_cos"),
+          (-col("q.nneg")).as("neg_id"), col("q.cos").as("neg_cos"))
+      e.select(col("vec_id").as("anchor"))
+        .join(picks, Seq("anchor"), "left")
         .select(col("anchor"), col("pos_id"), col("pos_cos"),
           col("neg_id"), col("neg_cos"),
           coalesce(col("neg_cos") > col("pos_cos") - 0.1, lit(false)).as("active"))

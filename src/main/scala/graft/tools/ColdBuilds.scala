@@ -40,6 +40,8 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => TextOps.buildWinnowPairs(s, d)),
     "text_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
+    "ensemble_cluster_labels" ->
+      ((s: SparkSession, d: String) => TextOps.buildEnsembleLabels(s, d)),
     "classifier_state" ->
       ((s: SparkSession, d: String) => QualityOps.buildClassifierState(s, d)),
     "bucketed_tables" ->

@@ -31,37 +31,53 @@ class TripletEnsembleSpec extends AnyFunSuite {
       math.sqrt(b.map(x => x * x).sum.toDouble))
   }
 
-  test("ss_triplet_mine: hardest positive is the brute-force same-label minimum; " +
-    "negatives are cross-label, bounded, and the active flag is consistent") {
+  /** the engine's deterministic batch deal: 60-bit md5 prefix mod the
+    * ceil(N/256) batch count — replayed exactly. */
+  private def batchOf(id: Long, nbat: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % nbat
+  }
+
+  test("ss_triplet_mine: batch-hard picks match the brute-force within-batch model exactly") {
     val rows = run("ss_triplet_mine")
       .select("anchor", "pos_id", "pos_cos", "neg_id", "neg_cos", "active")
       .collect()
     assert(rows.length === emb.size, "one triplet row per anchor")
+    val nbat = (emb.size + 255L) / 256L
+    val batches = emb.keys.map(id => id -> batchOf(id, nbat)).toMap
+    var nPos = 0
+    var nNeg = 0
     rows.foreach { r =>
       val a = r.getLong(0)
       val (la, qa) = emb(a)
-      // positive: exact brute-force hardest (minimum cosine, min-id ties)
-      val posAll = emb.toSeq.filter { case (id, (l, _)) => id != a && l == la }
+      val mates = emb.toSeq.filter { case (id, _) =>
+        id != a && batches(id) == batches(a) }
+      // positive: exact within-batch hardest (minimum cosine, min-id ties)
+      val posAll = mates.filter { case (_, (l, _)) => l == la }
         .map { case (id, (_, q)) => (cos(qa, q), id) }
-      val (expCos, expId) = posAll.minBy(identity)
-      assert(r.getLong(1) === expId, s"anchor $a pos_id")
-      assert(r.getDouble(2) === expCos, s"anchor $a pos_cos")
-      if (!r.isNullAt(3)) {
-        // negative: cross-label, candidate-bounded — never above the
-        // brute-force cross-label maximum, and exactly the pair's cosine
-        val n = r.getLong(3)
-        val (ln, qn) = emb(n)
-        assert(ln !== la, s"anchor $a mined a same-label negative $n")
-        assert(r.getDouble(4) === cos(qa, qn), s"anchor $a neg_cos not the pair cosine")
-        val negMax = emb.toSeq.filter { case (id, (l, _)) => id != a && l != la }
-          .map { case (_, (_, q)) => cos(qa, q) }.max
-        assert(r.getDouble(4) <= negMax, s"anchor $a neg_cos above brute-force max")
-        assert(r.getBoolean(5) === (r.getDouble(4) > r.getDouble(2) - 0.1),
-          s"anchor $a active flag")
-      } else {
-        assert(!r.getBoolean(5), s"anchor $a active without a negative")
-      }
+      if (posAll.nonEmpty) {
+        val (expCos, expId) = posAll.minBy(identity)
+        assert(r.getLong(1) === expId, s"anchor $a pos_id")
+        assert(r.getDouble(2) === expCos, s"anchor $a pos_cos")
+        nPos += 1
+      } else assert(r.isNullAt(1), s"anchor $a positive without same-label batchmates")
+      // negative: exact within-batch hardest (maximum cosine, min-id ties)
+      val negAll = mates.filter { case (_, (l, _)) => l != la }
+        .map { case (id, (_, q)) => (-cos(qa, q), id) }
+      if (negAll.nonEmpty) {
+        val (negExpCos, negExpId) = negAll.minBy(identity)
+        assert(r.getLong(3) === negExpId, s"anchor $a neg_id")
+        assert(r.getDouble(4) === -negExpCos, s"anchor $a neg_cos")
+        nNeg += 1
+      } else assert(r.isNullAt(3), s"anchor $a negative without cross-label batchmates")
+      val expActive = posAll.nonEmpty && negAll.nonEmpty &&
+        r.getDouble(4) > r.getDouble(2) - 0.1
+      assert(r.getBoolean(5) === expActive, s"anchor $a active flag")
     }
+    assert(nPos > rows.length / 2, "most anchors should find a positive")
+    assert(nNeg > rows.length / 2, "most anchors should find a negative")
   }
 
   test("dd_ensemble: per-signal flags match the single-signal queries, " +
