@@ -36,6 +36,8 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => VectorOps.buildIvfCells(s, d)),
     "text_minhash_split_index" ->
       ((s: SparkSession, d: String) => { TextOps.incrementalSplit(s, d); () }),
+    "text_simhash_signatures" ->
+      ((s: SparkSession, d: String) => TextOps.buildSimhashSignatures(s, d)),
     "text_winnow_pairs" ->
       ((s: SparkSession, d: String) => TextOps.buildWinnowPairs(s, d)),
     "text_cluster_labels" ->
