@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.QueryRegistry
+
+/** ss_pca_power — the integer power-by-squaring PCA (VectorOps.pcaComponent).
+  *
+  * The oracle proves Spark ≡ DuckDB on the whole pipeline; what it cannot
+  * prove is that the pipeline computes PCA. These tests pin the MATH:
+  * dominance (the returned direction's Rayleigh quotient on the exact Gram
+  * matrix beats every coordinate axis — a dominant eigenvector does,
+  * a wrong-fixed-point artifact almost surely does not) and the output
+  * contract (projection is the exact integer dot with the component).
+  */
+class PcaSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** exact integer Gram of the sf0.001 quantized embeddings (BigInt). */
+  private lazy val gram: Array[Array[BigInt]] = {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(floor(cast(x as double)*10000.0D) as bigint))"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    val g = Array.fill(64, 64)(BigInt(0))
+    rows.foreach { q =>
+      var i = 0
+      while (i < 64) {
+        var j = 0
+        while (j < 64) { g(i)(j) += BigInt(q(i)) * BigInt(q(j)); j += 1 }
+        i += 1
+      }
+    }
+    g
+  }
+
+  /** Rayleigh quotient vᵀGv / vᵀv as a BigDecimal-ish double (exact BigInt
+    * numerator/denominator, one final division — precise enough to order
+    * quotients that differ by the eigengap). */
+  private def rayleigh(v: Array[Long]): Double = {
+    var num = BigInt(0); var den = BigInt(0)
+    (0 until 64).foreach { i =>
+      den += BigInt(v(i)) * BigInt(v(i))
+      (0 until 64).foreach(j => num += BigInt(v(i)) * gram(i)(j) * BigInt(v(j)))
+    }
+    (BigDecimal(num) / BigDecimal(den)).toDouble
+  }
+
+  test("the component is spectrally dominant: its Rayleigh quotient beats " +
+    "every coordinate axis (and the all-ones start vector)") {
+    val v = graft.operators.VectorOps.pcaComponent(spark, sf)
+    assert(v.length === 64)
+    val rv = rayleigh(v)
+    (0 until 64).foreach { i =>
+      val e = Array.fill(64)(0L); e(i) = 1L
+      assert(rv >= rayleigh(e), s"axis $i quotient exceeds the component's")
+    }
+    assert(rv >= rayleigh(Array.fill(64)(1L)), "start vector quotient exceeds the component's")
+  }
+
+  test("sign canonicalization: the largest-magnitude entry is positive, " +
+    "entries are bounded by the fixed-point scale") {
+    val v = graft.operators.VectorOps.pcaComponent(spark, sf)
+    val mx = v.map(math.abs).max
+    assert(mx <= 1000000L)
+    assert(v(v.indexWhere(x => math.abs(x) == mx)) > 0)
+  }
+
+  test("the registered query's projection IS the exact integer dot with " +
+    "the component (output contract), one row per vector") {
+    val v = graft.operators.VectorOps.pcaComponent(spark, sf)
+    val out = QueryRegistry.byName("ss_pca_power").fn(spark, sf).collect()
+    val qrows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*10000.0D) as bigint))").as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(out.length === qrows.size)
+    out.foreach { r =>
+      val q = qrows(r.getLong(0))
+      val expect = (0 until 64).map(i => q(i) * v(i)).sum
+      assert(r.getLong(2) === expect, s"vec ${r.getLong(0)} projection mismatch")
+    }
+  }
+}
