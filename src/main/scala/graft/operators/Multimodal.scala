@@ -251,6 +251,88 @@ object Multimodal {
         .select(col("doc_id"),
           array_join(col("features").cast("array<string>"), ",").as("features"))
         .orderBy(col("doc_id"))
+    },
+
+    // Perceptual-hash IMAGE DEDUP (round 12) — the multimodal leg of the
+    // dedup family: every document carries a byte-faithful 16×16 24-bpp
+    // BMP (real headers, real bottom-up BGR pixel rows — see
+    // graft.plans.Phash), the codegen'd `phash16` expression parses the
+    // ACTUAL bytes back (offset/stride/row-order from the header, not
+    // assumed) and emits the 63-bit DCT-sign perceptual hash, and pairs
+    // within hamming ≤ 3 are discovered by the SAME 4×16-bit pigeonhole
+    // banding as dd_simhash: ≤3 flipped bits cannot touch all 4 bands, so
+    // the band-collision join is a COMPLETE candidate generator at that
+    // threshold while never going all-pairs (inter-cluster hashes measure
+    // hamming ≥ ~19, so the verify filter kills band noise). The fixture's
+    // gray frames are md5-derived per 4-doc cluster with sparse
+    // per-variant perturbation — near-dup structure by construction — and
+    // the oracle recomputes gray → DCT (the SAME integer basis literals,
+    // Phash.CtSql) → hash → bands → verify from doc_id alone, pinning
+    // generator∘parser∘hash = identity: a misread stride or row order
+    // goes red. Plan: one narrow fixture+hash map (localCheckpointed —
+    // three consumers), a keyed band join, one verify join; no shuffle
+    // carries pixel payloads.
+    Q(
+      "mm_phash_dedup", {
+        val grayB = "CAST('0x'||substr(md5(concat(CAST(doc_id//4 AS VARCHAR), ':', " +
+          "CAST(p AS VARCHAR))),1,2) AS BIGINT)"
+        s"""WITH pg AS (
+           |  SELECT doc_id, list_transform(range(0,256), p ->
+           |    CASE WHEN (doc_id % 4) > 0 AND ((p + doc_id % 4) % 29 = 0)
+           |      THEN least($grayB + 16, 255) ELSE $grayB END) AS g
+           |  FROM documents),
+           |pco AS (
+           |  SELECT doc_id, list_transform(range(0,64), b ->
+           |    CAST(list_sum(list_transform(range(0,256), p ->
+           |      g[CAST(p+1 AS INTEGER)]
+           |      * ct[CAST((b//8)*16 + (p%16) + 1 AS INTEGER)]
+           |      * ct[CAST((b%8)*16 + (p//16) + 1 AS INTEGER)])) AS BIGINT)) AS coefs
+           |  FROM pg, (SELECT ${graft.plans.Phash.CtSql} AS ct)),
+           |phh AS (
+           |  SELECT doc_id, CAST(list_sum(list_transform(range(1,64), b ->
+           |    CASE WHEN coefs[CAST(b+1 AS INTEGER)] > 0
+           |         THEN CAST(pow(2, b-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ph
+           |  FROM pco),
+           |pb AS (SELECT doc_id, ph, tt.t,
+           |         (ph // CAST(pow(2, 16*tt.t) AS BIGINT)) % 65536 AS band
+           |       FROM phh CROSS JOIN (SELECT unnest([0,1,2,3]) AS t) tt),
+           |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM pb a JOIN pb b ON a.t = b.t AND a.band = b.band
+           |            AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b, bit_count(xor(ha.ph, hb.ph)) AS hamming
+           |FROM pcand c JOIN phh ha ON ha.doc_id = c.doc_a
+           |JOIN phh hb ON hb.doc_id = c.doc_b
+           |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      import graft.plans.{Phash, PhashExpr}
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val hashed = T.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids => // per-partition init point for a real codec
+          ids.map(id => MediaBlob(id, Phash.bmpPixelFixture(id)))
+        }
+        .toDF()
+        .select(col("doc_id"), toCol(PhashExpr(toExpr(col("media")))).as("ph"))
+        .localCheckpoint(eager = true)
+      val bands = hashed
+        .select(col("doc_id"), col("ph"), explode(expr("sequence(0, 3)")).as("t"))
+        .select(col("doc_id"), col("t"),
+          expr("shiftright(ph, cast(16*t as int)) % 65536").as("band"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("t"), col("band"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("t"), col("band")),
+          Seq("t", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .dropDuplicates(Seq("doc_a", "doc_b"))
+      cand
+        .join(hashed.select(col("doc_id").as("doc_a"), col("ph").as("ha")), Seq("doc_a"))
+        .join(hashed.select(col("doc_id").as("doc_b"), col("ph").as("hb")), Seq("doc_b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

@@ -9,6 +9,19 @@ import org.apache.spark.sql.types._
 import graft.core.{Q, Tables => T}
 import graft.plans.{RollingHash, RollingMinHashExpr, WinnowExpr}
 
+/** the fixed BM25 query workload (tx_bm25): (q_id, term) — ONE Scala
+  * literal drives both the Spark query table and the oracle's VALUES list,
+  * so the two engines can never disagree on the workload. */
+private object Bm25Workload {
+  val Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "group",
+    3L -> "fast", 3L -> "scan", 3L -> "filter",
+    4L -> "stream", 4L -> "batch", 4L -> "merge")
+  val Sql: String =
+    Queries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+}
+
 /** Training-data text pipeline operators — SURVEY.md §7.4 extension surface
   * (beyond reference parity): tokenization, quality scoring, language-ID,
   * fingerprinting, and the deduplication family (exact, n-gram Jaccard,
@@ -1686,6 +1699,71 @@ object TextOps {
           array_join(transform(col("top"), t => t.getField("_1").cast("string")), ",")
             .as("postings"))
         .orderBy(col("token"))
+    },
+
+    // BM25 RETRIEVAL over the corpus (round 12) — the query side of the
+    // inverted index: top-5 documents per query under Okapi BM25 with
+    // k1 = 1.2, b = 0.75, INTEGER-EXACT on both engines. The idf leg uses
+    // the same log-free (N·10^6 div df) scaling as tx_tfidf (a libm ln()
+    // would drift cross-engine in the last ulp); the legs BM25 actually
+    // adds — tf saturation and document-length normalization — are exact
+    // rationals: with the ×10^4 clearing of k1/b the per-term score is
+    //   (idf · 22000 · tf) div (10000·tf + 3000 + (9000·dl·N) div T)
+    // (dl = doc length, N = docs, T = total tokens; every operand
+    // non-negative so Spark div ≡ DuckDB //). int64 headroom: idf ≤ 10^6·N
+    // caps N at ~10^9 docs before the DECIMAL(38,0) discipline applies —
+    // documented, not hit here. Plan: the tf/df/dl stats are the SAME
+    // grouped passes the index build runs; the 11-term query table joins
+    // broadcast; per-(query, doc) scores sum in one keyed agg; top-5 per
+    // query via BoundedTopK so the scored stream partial-aggregates to ≤5
+    // entries before the final shuffle — never a corpus-sized rank window.
+    Q(
+      "tx_bm25",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT count(*) FROM toks) AS total_toks),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |qt AS (SELECT * FROM (VALUES ${Bm25Workload.Sql}) AS t(q_id, term)),
+         |scored AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    CAST(SUM( (((s.n_docs*1000000)//dfr.df) * 22000 * tf.tf)
+         |         // (10000*tf.tf + 3000 + (9000*d.dl*s.n_docs)//s.total_toks) ) AS BIGINT) AS score
+         |  FROM qt JOIN tf ON tf.token = qt.term
+         |  JOIN dfr ON dfr.token = qt.term
+         |  JOIN dl d ON d.doc_id = tf.doc_id, st s
+         |  GROUP BY 1, 2)
+         |SELECT q_id, doc_id, score, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.agg(count(lit(1)).as("total_toks")))
+      val qt = Bm25Workload.Queries.toDF("q_id", "term")
+      val scored = tf
+        .join(broadcast(qt), col("token") === col("term"))
+        .join(dfr, Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("q_id"), col("doc_id"),
+          expr("(((n_docs*1000000) div df) * 22000 * tf) div " +
+            "(10000*tf + 3000 + (9000*dl*n_docs) div total_toks)").as("term_score"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("term_score")).as("score"))
+      val top5 = udaf(graft.functions.BoundedTopK[Long](5))
+      scored.groupBy(col("q_id"))
+        .agg(top5(-col("score"), col("doc_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("q_id"), col("t._2").as("doc_id"), (-col("t._1")).as("score"),
+          (col("r0") + 1).cast(LongType).as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
     },
 
     // Dedup SURVIVORSHIP (the MDM "golden record" step a dedup pipeline

@@ -2039,6 +2039,112 @@ object VectorOps {
         .select(col("vec_id"), col("label"),
           toCol(IntDotExpr(toExpr(expr("q")), toExpr(expr(s"array($vlit)")))).as("pc1"))
         .orderBy(col("vec_id"))
+    },
+
+    // Margin-based BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    // Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    // CCMatrix/CCAligned build step): mine aligned pairs between two
+    // corpus halves (here the even/odd vec_id split standing in for the
+    // two language shards) by the RATIO margin — cos(x,y) normalized by
+    // the mean similarity of each side's k-NN neighborhood, so a pair
+    // only mines when it stands out from BOTH sides' local similarity
+    // floor — plus mutual-best-match. Scale shape: candidates come from
+    // the adaptive multi-table sign codes (the ss_knn_graph generator —
+    // bucket-bounded fan-out, never corpus²); the k-NN means are computed
+    // over that same candidate graph (the production approximation — an
+    // exact-kNN margin would need the full cross product); per-side top-4
+    // survives via BoundedTopK partial aggregation, so each agg's shuffle
+    // is ≤4 entries per key; mutual-best is two max_by aggs + one keyed
+    // join. Determinism: si = floor((cos+1)·10^12) shifts the cosine
+    // non-negative so every division is non-negative-integer div (both
+    // engines truncate identically); BoundedTopK's (ord, id) lexicographic
+    // order and the (margin DESC, id ASC) argmax tie-breaks are pinned on
+    // both engines. Margin is scaled ×10^6; mined iff ≥ 1.05.
+    Q(
+      "ss_bitext_mine",
+      s"""$FlatCte,
+         |$AdaptiveCodesSql,
+         |xcand AS (
+         |  SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS tgt_id
+         |  FROM mb s JOIN mb c ON s.t = c.t AND s.bucket = c.bucket
+         |  WHERE s.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+         |xdots AS (
+         |  SELECT x.src_id, x.tgt_id, sum(a.v*b.v) AS dot
+         |  FROM xcand x JOIN flat a ON a.vec_id = x.src_id
+         |  JOIN flat b ON b.vec_id = x.tgt_id AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |xsc AS (
+         |  SELECT src_id, tgt_id,
+         |    CAST(floor((${cosSql("dot", "nq.nrm", "nc.nrm")} + 1.0)*1000000000000.0) AS BIGINT) AS si
+         |  FROM xdots JOIN norms nq ON nq.vec_id = src_id
+         |  JOIN norms nc ON nc.vec_id = tgt_id),
+         |savg AS (
+         |  SELECT src_id, CAST(sum(si) // count(*) AS BIGINT) AS av FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY si DESC, tgt_id) AS rn
+         |    FROM xsc)
+         |  WHERE rn <= 4 GROUP BY src_id),
+         |tavg AS (
+         |  SELECT tgt_id, CAST(sum(si) // count(*) AS BIGINT) AS av FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY si DESC, src_id) AS rn
+         |    FROM xsc)
+         |  WHERE rn <= 4 GROUP BY tgt_id),
+         |marg AS (
+         |  SELECT x.src_id, x.tgt_id, (x.si * 2000000) // (sa.av + ta.av) AS margin
+         |  FROM xsc x JOIN savg sa USING (src_id) JOIN tavg ta USING (tgt_id)),
+         |bs AS (SELECT src_id, tgt_id, margin,
+         |         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs
+         |       FROM marg),
+         |bt AS (SELECT src_id, tgt_id,
+         |         row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+         |       FROM marg)
+         |SELECT b.src_id, b.tgt_id, b.margin
+         |FROM bs b JOIN bt t ON b.src_id = t.src_id AND b.tgt_id = t.tgt_id
+         |WHERE b.rs = 1 AND t.rt = 1 AND b.margin >= 1050000
+         |ORDER BY b.src_id""".stripMargin) { (s, d) =>
+      val emb = quantized(s, d, withBucket = false)
+      val codes = adaptiveSignCodes(s, d)
+      val cand = codes.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("t"), col("bucket"))
+        .join(codes.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("t"), col("bucket")),
+          Seq("t", "bucket"))
+        .select(col("src_id"), col("tgt_id"))
+        .dropDuplicates(Seq("src_id", "tgt_id"))
+      val payload = emb.select(col("vec_id"), col("qarr"), col("nrm"))
+      val si = cand
+        .join(payload.select(col("vec_id").as("tgt_id"),
+          col("qarr"), col("nrm").as("nc")), Seq("tgt_id"))
+        .join(payload.select(col("vec_id").as("src_id"),
+          col("qarr").as("q_qarr"), col("nrm").as("nq")), Seq("src_id"))
+        .select(col("src_id"), col("tgt_id"),
+          dotOf("q_qarr", "qarr").as("dot"), col("nq"), col("nc"))
+        .select(col("src_id"), col("tgt_id"),
+          floor((cosFrom(col("dot"), col("nq"), col("nc")) + lit(1.0))
+            * lit(1000000000000.0)).cast(LongType).as("si"))
+        // one pair stream, four consumers (two avg aggs, margin, argmaxes)
+        .localCheckpoint(eager = true)
+      val top4 = udaf(BoundedTopK[Long](4))
+      def sideAvg(key: String, partner: String): DataFrame =
+        si.groupBy(col(key))
+          .agg(top4(-col("si"), col(partner)).as("top"))
+          .select(col(key),
+            expr("aggregate(top, 0L, (acc, x) -> acc - x._1) div size(top)").as("av"))
+      val marg = si
+        .join(sideAvg("src_id", "tgt_id").withColumnRenamed("av", "sa"), Seq("src_id"))
+        .join(sideAvg("tgt_id", "src_id").withColumnRenamed("av", "ta"), Seq("tgt_id"))
+        .select(col("src_id"), col("tgt_id"),
+          expr("(si * 2000000) div (sa + ta)").as("margin"))
+      val bestS = marg.groupBy(col("src_id"))
+        .agg(min_by(struct(col("tgt_id"), col("margin")),
+          struct(-col("margin"), col("tgt_id"))).as("b"))
+        .select(col("src_id"), col("b.tgt_id").as("tgt_id"), col("b.margin").as("margin"))
+      val bestT = marg.groupBy(col("tgt_id"))
+        .agg(min_by(struct(col("src_id")), struct(-col("margin"), col("src_id"))).as("b"))
+        .select(col("tgt_id"), col("b.src_id").as("src_id"))
+      bestS.join(bestT, Seq("src_id", "tgt_id"))
+        .filter(col("margin") >= 1050000L)
+        .select(col("src_id"), col("tgt_id"), col("margin"))
+        .orderBy(col("src_id"))
     }
   )
 }
