@@ -1101,6 +1101,46 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // SOFT dedup (round 12) — the down-WEIGHT alternative to dropping:
+    // instead of electing one survivor per near-dup cluster, every member
+    // keeps weight 1/|cluster| (ppm-scaled), so the cluster contributes
+    // ONE document's worth of training mass however many copies exist —
+    // the reweighting form of dedup used when hard drops are too lossy
+    // (templated-but-distinct pages) or when the sampler downstream wants
+    // a weight column (tx_weighted_sample's contract). Unclustered docs
+    // are their own singleton (weight exactly 10^6). Cost on top of the
+    // memoized cluster artifact: one size agg + one keyed join — no new
+    // pair work at any scale.
+    Q(
+      "tx_soft_dedup",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |p2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |edges AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |fcl AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |siz AS (SELECT cluster_id, COUNT(*) AS n_members FROM fcl GROUP BY cluster_id)
+         |SELECT f.doc_id, f.cluster_id, s.n_members,
+         |  CAST(1000000 // s.n_members AS BIGINT) AS weight_ppm
+         |FROM fcl f JOIN siz s USING (cluster_id)
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val full = T.documents(s, d).select(col("doc_id"))
+        .join(clusterLabels(s, d).select(col("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val siz = full.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      full.join(siz, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          expr("1000000 div n_members").as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // ENSEMBLE (multi-signal) dedup — the fused verdict a production
     // curation run actually ships: a document is a duplicate if the TEXT
     // signal (winnow fingerprint pairs, ≥2 shared) OR the EMBEDDING signal
@@ -1764,6 +1804,46 @@ object TextOps {
         .select(col("q_id"), col("t._2").as("doc_id"), (-col("t._1")).as("score"),
           (col("r0") + 1).cast(LongType).as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // VOCAB COVERAGE by language (round 12) — the tokenizer-sizing
+    // analysis a multilingual corpus needs before training: fix the vocab
+    // to the top-256 corpus tokens (frequency desc, token asc — a
+    // deterministic stand-in for the trained vocab), then per language
+    // report total token mass, the ppm covered by the vocab, and the
+    // count of out-of-vocab token TYPES — the numbers that decide vocab
+    // size and per-language fertility budgets. Plan: one token-frequency
+    // agg, top-256 via TakeOrderedAndProject (never a global sort), the
+    // 256-row vocab broadcast into a left semi-ish join, one per-lang
+    // agg. Coverage stays integer (ppm via non-negative div).
+    Q(
+      "tx_vocab_coverage",
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |vocab AS (SELECT token FROM freq ORDER BY cnt DESC, token LIMIT 256),
+        |marked AS (
+        |  SELECT t.lang, t.token, (v.token IS NOT NULL) AS in_vocab
+        |  FROM toks t LEFT JOIN vocab v ON v.token = t.token)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST((count(*) FILTER (WHERE in_vocab)) * 1000000 // count(*) AS BIGINT)
+        |    AS coverage_ppm,
+        |  count(DISTINCT CASE WHEN NOT in_vocab THEN token END) AS oov_types
+        |FROM marked GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(256)
+        .select(col("token"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .select(col("lang"), col("token"),
+          coalesce(col("in_vocab"), lit(false)).as("in_vocab"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("count(CASE WHEN in_vocab THEN 1 END) * 1000000 div count(*)")
+            .as("coverage_ppm"),
+          countDistinct(when(!col("in_vocab"), col("token"))).as("oov_types"))
+        .orderBy(col("lang"))
     },
 
     // Dedup SURVIVORSHIP (the MDM "golden record" step a dedup pipeline

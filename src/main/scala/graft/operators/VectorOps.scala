@@ -2145,6 +2145,67 @@ object VectorOps {
         .filter(col("margin") >= 1050000L)
         .select(col("src_id"), col("tgt_id"), col("margin"))
         .orderBy(col("src_id"))
+    },
+
+    // Embedding OUTLIER flag (round 12) — the curation signal the text
+    // quality suite has no analog for: vectors far from their own label's
+    // centroid are mislabeled/noisy/adversarial candidates (the embedding
+    // leg of "remove the weird tail before training"). Exact integer
+    // pipeline: 10^4-quantized components (the PCA quantization — squared
+    // distances stay ≤ ~10^12, so per-label SUMS hold to ~10^6 rows per
+    // label in int64; the DECIMAL(38,0) discipline documents the 100 TB
+    // path), centroid = floor(component mean) exactly as ss_kmeans_assign
+    // builds it, dist² = qq − 2·q·c + cc ≥ 0 in int64, and the flag
+    // compares against the label MEAN dist² (2.5× rule): a threshold from
+    // one agg + one broadcast join — never a per-label rank window (10
+    // labels = 10 window tasks at any corpus size — the w1_top1_per_key
+    // skew trap this operator deliberately avoids). ratio_ppm carries the
+    // continuous score for downstream cutoffs.
+    Q(
+      "ss_outlier_flag",
+      """WITH oq AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ocent AS (
+        |  SELECT label, i, CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS c
+        |  FROM (SELECT label, generate_subscripts(q, 1) AS i, unnest(q) AS v FROM oq)
+        |  GROUP BY label, i),
+        |ocl AS (SELECT label, list(c ORDER BY i) AS ce FROM ocent GROUP BY label),
+        |od AS (
+        |  SELECT o.vec_id, o.label,
+        |    CAST(list_sum(list_transform(range(1,65),
+        |      i -> (o.q[CAST(i AS INTEGER)] - l.ce[CAST(i AS INTEGER)])
+        |         * (o.q[CAST(i AS INTEGER)] - l.ce[CAST(i AS INTEGER)]))) AS BIGINT) AS dist2
+        |  FROM oq o JOIN ocl l USING (label)),
+        |om AS (SELECT label, CAST(sum(dist2) // count(*) AS BIGINT) AS mean2 FROM od GROUP BY label)
+        |SELECT d.vec_id, d.label, d.dist2,
+        |  CAST((d.dist2 * 1000000) // m.mean2 AS BIGINT) AS ratio_ppm,
+        |  (d.dist2 * 2 > m.mean2 * 5) AS is_outlier
+        |FROM od d JOIN om m USING (label)
+        |ORDER BY d.vec_id""".stripMargin) { (s, d) =>
+      val q = T.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*10000.0D) as bigint))")
+            .as("q"))
+      val cent = q
+        .select(col("label"), posexplode(col("q")).as(Seq("i0", "v")))
+        .groupBy(col("label"), col("i0"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("sv").cast(DoubleType) / col("n")).cast(LongType))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i0, c))), x -> x.c)").as("ce"))
+        .withColumn("cc", normOf("ce"))
+      val od = q.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          (toCol(IntDotExpr(toExpr(expr("q")), toExpr(expr("q"))))
+            - lit(2L) * dotOf("q", "ce") + col("cc")).as("dist2"))
+      val om = od.groupBy(col("label")).agg(expr("sum(dist2) div count(*)").as("mean2"))
+      od.join(broadcast(om), Seq("label"))
+        .select(col("vec_id"), col("label"), col("dist2"),
+          expr("(dist2 * 1000000) div mean2").as("ratio_ppm"),
+          (col("dist2") * 2 > col("mean2") * 5).as("is_outlier"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.QueryRegistry
+
+/** Round-12 curation additions: tx_soft_dedup (cluster reweighting),
+  * tx_vocab_coverage (tokenizer sizing), ss_outlier_flag (embedding
+  * outlier signal). Oracles pin engine equivalence; these pin the
+  * arithmetic CONTRACTS downstream consumers rely on.
+  */
+class CurationBatchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("tx_soft_dedup: each cluster contributes ~one document of mass " +
+    "(floor rounding only), singletons keep exactly 10^6") {
+    val rows = QueryRegistry.byName("tx_soft_dedup").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val n = members.length
+      assert(members.forall(_.getLong(2) == n.toLong),
+        s"cluster $cid: n_members column disagrees with actual membership")
+      val mass = members.map(_.getLong(3)).sum
+      assert(mass <= 1000000L && mass > 1000000L - n,
+        s"cluster $cid: mass $mass outside the floor-rounding envelope")
+      if (n == 1)
+        assert(members.head.getLong(3) === 1000000L, s"singleton $cid reweighted")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong === docs, "soft dedup must weight EVERY document")
+  }
+
+  test("tx_vocab_coverage: per-language totals reconcile and coverage is " +
+    "exactly 10^6 iff nothing is out of vocab") {
+    val rows = QueryRegistry.byName("tx_vocab_coverage").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, cov, oov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      total += n
+      assert(cov >= 0L && cov <= 1000000L)
+      assert((cov == 1000000L) === (oov == 0L),
+        s"lang ${r.getString(0)}: coverage $cov inconsistent with oov_types $oov")
+    }
+    val expected = spark.sql(
+      s"SELECT sum(size(split(text, ' '))) FROM parquet.`$sf/documents.parquet`")
+      .collect()(0).getLong(0)
+    assert(total === expected, "per-language token masses must sum to the corpus total")
+  }
+
+  test("ss_outlier_flag: the flag is exactly the 2.5x-of-label-mean rule " +
+    "over the returned distances, and flags a minority") {
+    val rows = QueryRegistry.byName("ss_outlier_flag").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 0L, "squared distance negative"))
+    rows.groupBy(_.getLong(1)).foreach { case (label, members) =>
+      val mean = members.map(_.getLong(2)).sum / members.length
+      members.foreach { r =>
+        assert(r.getBoolean(4) === (r.getLong(2) * 2 > mean * 5),
+          s"label $label vec ${r.getLong(0)}: flag disagrees with the rule")
+      }
+    }
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged.toDouble / rows.length < 0.3,
+      s"outlier rule flags $flagged/${rows.length} — not a tail signal")
+  }
+}
