@@ -57,6 +57,33 @@ object Multimodal {
   /** input rows for the fixture-binary decode stage */
   final case class MediaBlob(doc_id: Long, media: Array[Byte])
 
+  /** DuckDB-side mirror of the fixture-gray → integer-DCT → 63-bit
+    * sign-hash pipeline (graft.plans.Phash), ending in `phh (doc_id, ph)`
+    * — shared by the mm_phash_dedup and dd_incremental_phash oracles. The
+    * DCT basis is the SAME integer literal table both engines use
+    * (Phash.CtSql), so no libm drift is possible. */
+  private val PhashSqlCtes: String = {
+    val grayB = "CAST('0x'||substr(md5(concat(CAST(doc_id//4 AS VARCHAR), ':', " +
+      "CAST(p AS VARCHAR))),1,2) AS BIGINT)"
+    s"""pg AS (
+       |  SELECT doc_id, list_transform(range(0,256), p ->
+       |    CASE WHEN (doc_id % 4) > 0 AND ((p + doc_id % 4) % 29 = 0)
+       |      THEN least($grayB + 16, 255) ELSE $grayB END) AS g
+       |  FROM documents),
+       |pco AS (
+       |  SELECT doc_id, list_transform(range(0,64), b ->
+       |    CAST(list_sum(list_transform(range(0,256), p ->
+       |      g[CAST(p+1 AS INTEGER)]
+       |      * ct[CAST((b//8)*16 + (p%16) + 1 AS INTEGER)]
+       |      * ct[CAST((b%8)*16 + (p//16) + 1 AS INTEGER)])) AS BIGINT)) AS coefs
+       |  FROM pg, (SELECT ${graft.plans.Phash.CtSql} AS ct)),
+       |phh AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(1,64), b ->
+       |    CASE WHEN coefs[CAST(b+1 AS INTEGER)] > 0
+       |         THEN CAST(pow(2, b-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ph
+       |  FROM pco)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Decode: binary payload → typed metadata struct, from REAL container
@@ -273,26 +300,8 @@ object Multimodal {
     // three consumers), a keyed band join, one verify join; no shuffle
     // carries pixel payloads.
     Q(
-      "mm_phash_dedup", {
-        val grayB = "CAST('0x'||substr(md5(concat(CAST(doc_id//4 AS VARCHAR), ':', " +
-          "CAST(p AS VARCHAR))),1,2) AS BIGINT)"
-        s"""WITH pg AS (
-           |  SELECT doc_id, list_transform(range(0,256), p ->
-           |    CASE WHEN (doc_id % 4) > 0 AND ((p + doc_id % 4) % 29 = 0)
-           |      THEN least($grayB + 16, 255) ELSE $grayB END) AS g
-           |  FROM documents),
-           |pco AS (
-           |  SELECT doc_id, list_transform(range(0,64), b ->
-           |    CAST(list_sum(list_transform(range(0,256), p ->
-           |      g[CAST(p+1 AS INTEGER)]
-           |      * ct[CAST((b//8)*16 + (p%16) + 1 AS INTEGER)]
-           |      * ct[CAST((b%8)*16 + (p//16) + 1 AS INTEGER)])) AS BIGINT)) AS coefs
-           |  FROM pg, (SELECT ${graft.plans.Phash.CtSql} AS ct)),
-           |phh AS (
-           |  SELECT doc_id, CAST(list_sum(list_transform(range(1,64), b ->
-           |    CASE WHEN coefs[CAST(b+1 AS INTEGER)] > 0
-           |         THEN CAST(pow(2, b-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ph
-           |  FROM pco),
+      "mm_phash_dedup",
+      s"""WITH $PhashSqlCtes,
            |pb AS (SELECT doc_id, ph, tt.t,
            |         (ph // CAST(pow(2, 16*tt.t) AS BIGINT)) % 65536 AS band
            |       FROM phh CROSS JOIN (SELECT unnest([0,1,2,3]) AS t) tt),
@@ -303,8 +312,7 @@ object Multimodal {
            |FROM pcand c JOIN phh ha ON ha.doc_id = c.doc_a
            |JOIN phh hb ON hb.doc_id = c.doc_b
            |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }) { (s, d) =>
+           |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.plans.{Phash, PhashExpr}
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
@@ -333,6 +341,61 @@ object Multimodal {
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Incremental IMAGE dedup — the production probe shape for the third
+    // modality (text: dd_incremental_lsh, vectors: dd_incremental_embed):
+    // a NEW image batch (the deterministic top-10%-of-doc_id slice) is
+    // hashed and probed against the existing corpus's slim (img_id, ph)
+    // index WITHOUT re-pairing the corpus — bands derived row-locally on
+    // both sides, batch bands broadcast, corpus unshuffled through the
+    // band join, first-band-match row-local dedup, exact bit_count
+    // verify (graft.operators.ImageDup — the same index/probe API the
+    // streaming imageDupGate seals runs with). Verdict per new image:
+    // distinct band-collision candidates, best hamming (64 = none), dup
+    // iff ≤ 3. The oracle replays hash → cut → band join → verdict from
+    // doc_id alone.
+    Q(
+      "dd_incremental_phash",
+      s"""WITH $PhashSqlCtes,
+         |icut AS (SELECT (max(doc_id)*9)//10 AS cutv FROM documents),
+         |ib AS (SELECT doc_id, ph, tt.t,
+         |         (ph // CAST(pow(2, 16*tt.t) AS BIGINT)) % 65536 AS band
+         |       FROM phh CROSS JOIN (SELECT unnest([0,1,2,3]) AS t) tt),
+         |icand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM ib n JOIN ib c ON n.t = c.t AND n.band = c.band, icut
+         |  WHERE n.doc_id >= icut.cutv AND c.doc_id < icut.cutv),
+         |iham AS (
+         |  SELECT x.new_id, bit_count(xor(a.ph, b.ph)) AS hamming
+         |  FROM icand x JOIN phh a ON a.doc_id = x.new_id
+         |  JOIN phh b ON b.doc_id = x.corpus_id),
+         |iper AS (SELECT new_id, count(*) AS n_cand, min(hamming) AS best_hamming
+         |         FROM iham GROUP BY new_id)
+         |SELECT n.doc_id AS img_id, coalesce(p.n_cand, 0) AS n_cand,
+         |  CAST(coalesce(p.best_hamming, 64) AS BIGINT) AS best_hamming,
+         |  coalesce(p.best_hamming, 64) <= 3 AS is_dup
+         |FROM (SELECT ph.doc_id FROM phh ph, icut WHERE ph.doc_id >= icut.cutv) n
+         |LEFT JOIN iper p ON p.new_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.plans.Phash
+      val withMedia = T.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids => // per-partition init point for a real codec
+          ids.map(id => MediaBlob(id, Phash.bmpPixelFixture(id)))
+        }
+        .toDF()
+        .withColumnRenamed("doc_id", "img_id")
+      val idx = ImageDup.imageIndex(withMedia)
+      val cut = idx.agg(expr("(max(img_id)*9) div 10").as("cut"))
+      val withCut = idx.crossJoin(broadcast(cut)).localCheckpoint(eager = true)
+      val corpus = withCut.filter(col("img_id") < col("cut"))
+        .select(col("img_id"), col("ph"))
+      val batch = withCut.filter(col("img_id") >= col("cut"))
+        .select(col("img_id"), col("ph"))
+      ImageDup.probeImageIndex(batch, corpus)
+        .orderBy(col("img_id"))
     }
   )
 }

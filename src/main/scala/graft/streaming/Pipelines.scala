@@ -838,6 +838,67 @@ object Pipelines {
         ()
       }
 
+  /** Streaming IMAGE dedup admit gate — the multimodal third of the
+    * dedup-gate family (text: [[nearDupGate]], vectors: [[embedDupGate]]),
+    * over the same size-tiered run index machinery: every micro-batch of
+    * `(img_id, media)` rows is hashed into the slim (img_id, ph)
+    * perceptual-hash index layout (ImageDup.imageIndex — one codegen'd
+    * phash16 per payload, unparseable payloads dropped), probed against
+    * the persisted index (ImageDup.probeImageIndex — corpus streams
+    * through the band join unshuffled, batch bands broadcast, exact
+    * bit_count hamming verify at `maxHamming`), admitted images flow to
+    * `out`, and the admitted index rows seal as this batch's `run=`.
+    *
+    * Same crash/replay story as the sibling gates: staged-then-renamed
+    * runs named by batchId (a replayed sealed batch writes nothing),
+    * replayed images dropped BOTH by hamming self-match (an identical
+    * payload re-sent under its old id collides with itself at hamming 0)
+    * and by the explicit id-level guard (which also catches a retry
+    * re-sending an admitted img_id with a perturbed payload). Duplicate
+    * img_ids inside one micro-batch collapse to a deterministic winner;
+    * `intraBatch = true` adds the first-wins within-batch pass
+    * (ImageDup.intraBatchImageDups). Compaction via [[mergeSmallRuns]]
+    * keyed by img_id. `img_id` must be NON-NULL. */
+  def imageDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
+      out: DataFrame => Unit, maxHamming: Long = graft.operators.ImageDup.MaxHamming,
+      intraBatch: Boolean = false,
+      compactEvery: Int = CompactEvery): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.ImageDup
+        val spark = batch.sparkSession
+        val sigBase = new Path(s"$indexDir/sig")
+        val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val runs = completeRuns(fs, sigBase)
+        val imgs = dedupDeterministic(batch.toDF(), "img_id").persist()
+        val newIdx = ImageDup.imageIndex(imgs).persist()
+        val indexDropped =
+          if (runs.nonEmpty) {
+            val idx = spark.read.parquet(runs.map(_.toString): _*)
+            val hamDropped = ImageDup.probeImageIndex(newIdx, idx, maxHamming)
+              .filter(col("is_dup")).select(col("img_id"))
+            val replayed = idx.select(col("img_id"))
+              .join(broadcast(newIdx.select(col("img_id"))), Seq("img_id"), "left_semi")
+            hamDropped.union(replayed)
+          } else newIdx.select(col("img_id")).limit(0)
+        val dropped =
+          if (intraBatch)
+            indexDropped.union(ImageDup.intraBatchImageDups(newIdx, maxHamming)).distinct()
+          else indexDropped.distinct()
+        val admittedIds = newIdx.select(col("img_id"))
+          .join(dropped, Seq("img_id"), "left_anti")
+        val staging = s"$indexDir/staging"
+        newIdx.join(admittedIds, Seq("img_id"))
+          .write.mode("overwrite").parquet(staging)
+        val staged = spark.read.parquet(staging)
+        out(imgs.join(staged.select(col("img_id")), Seq("img_id")))
+        sealRun(fs, sigBase, batchId, new Path(staging))
+        if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery, "img_id")
+        newIdx.unpersist(); imgs.unpersist()
+        ()
+      }
+
   /** Streaming decontamination gate — the eval-overlap filter applied AT
     * INGEST: drop micro-batch documents sharing any 4-word shingle with a
     * STATIC benchmark corpus (index built once by
