@@ -396,6 +396,67 @@ object Multimodal {
         .select(col("img_id"), col("ph"))
       ImageDup.probeImageIndex(batch, corpus)
         .orderBy(col("img_id"))
+    },
+
+    // "More like this IMAGE" serving (the mm mirror of dd_sim_topk): for
+    // every image, its top-3 perceptual neighbors by hamming among the
+    // band-collision candidates (both orientations of the pigeonhole
+    // graph — a query image collides with neighbors whichever side
+    // indexed first), ranked (hamming ASC, neighbor id ASC). Candidates
+    // stay band-bounded — never all-pairs — and the per-image top-3
+    // survives via BoundedTopK partial aggregation, ≤3 entries per key
+    // across the shuffle (no rank window over the pair stream). The
+    // hamming order key packs (hamming, n_id) into one Long (hamming ≤ 64
+    // → 7 bits; ids < 2^48) so the aggregator's lexicographic tie-break
+    // IS the output order.
+    Q(
+      "mm_phash_rank",
+      s"""WITH $PhashSqlCtes,
+         |rb AS (SELECT doc_id, ph, tt.t,
+         |         (ph // CAST(pow(2, 16*tt.t) AS BIGINT)) % 65536 AS band
+         |       FROM phh CROSS JOIN (SELECT unnest([0,1,2,3]) AS t) tt),
+         |rcand AS (SELECT DISTINCT a.doc_id AS img_id, b.doc_id AS n_id
+         |          FROM rb a JOIN rb b ON a.t = b.t AND a.band = b.band
+         |            AND a.doc_id <> b.doc_id),
+         |rham AS (
+         |  SELECT c.img_id, c.n_id,
+         |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |  FROM rcand c JOIN phh a ON a.doc_id = c.img_id
+         |  JOIN phh b ON b.doc_id = c.n_id)
+         |SELECT img_id, n_id, hamming, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY img_id ORDER BY hamming, n_id) AS rnk
+         |  FROM rham)
+         |WHERE rnk <= 3 ORDER BY img_id, rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.plans.Phash
+      val idx = ImageDup.imageIndex(
+        T.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map(id => MediaBlob(id, Phash.bmpPixelFixture(id))))
+          .toDF()
+          .withColumnRenamed("doc_id", "img_id"))
+        .localCheckpoint(eager = true)
+      val bands = idx
+        .select(col("img_id"), col("ph"), explode(expr("sequence(0, 3)")).as("t"))
+        .select(col("img_id"), col("ph"), col("t"),
+          expr("shiftright(ph, cast(16*t as int)) % 65536").as("band"))
+      val cand = bands.select(col("img_id"), col("t"), col("band"), col("ph").as("pa"))
+        .join(bands.select(col("img_id").as("n_id"), col("t"), col("band"),
+          col("ph").as("pb")), Seq("t", "band"))
+        .filter(col("img_id") =!= col("n_id"))
+        .select(col("img_id"), col("n_id"),
+          bit_count(col("pa").bitwiseXOR(col("pb"))).cast(LongType).as("hamming"))
+        .dropDuplicates(Seq("img_id", "n_id"))
+      // one packed Long orders (hamming, n_id) lexicographically inside
+      // the aggregator: hamming ≤ 64 fits high bits, ids ≪ 2^48 low bits
+      val top3 = udaf(graft.functions.BoundedTopK[Long](3))
+      cand.groupBy(col("img_id"))
+        .agg(top3(expr("hamming * 281474976710656L + n_id"), col("n_id")).as("top"))
+        .select(col("img_id"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("img_id"), col("t._2").as("n_id"),
+          expr("t._1 div 281474976710656L").as("hamming"),
+          (col("r0") + 1).cast(LongType).as("rnk"))
+        .orderBy(col("img_id"), col("rnk"))
     }
   )
 }

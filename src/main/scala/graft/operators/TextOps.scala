@@ -645,6 +645,58 @@ object TextOps {
     ensembleLabels(s, d); ()
   }
 
+  /** BM25 scored POSTINGS `(doc_id, token, term_score)` — the retrieval
+    * tier's per-snapshot index artifact: every (doc, term) pair's full
+    * integer BM25 contribution (k1 = 1.2, b = 0.75; see tx_bm25 for the
+    * exact-rational clearing), precomputed once so a query is just a
+    * broadcast term join + per-doc sum + top-k. Memoized per (session,
+    * dataset) as an eager localCheckpoint like every other index build
+    * (quantized corpus, winnow pairs); ColdBuilds times it as
+    * `text_bm25_postings`. At 100 TB this IS the inverted index a search
+    * tier persists — the tf/df/dl stats passes run once per snapshot. */
+  private val bm25Cache = new graft.core.SessionCache[DataFrame]()
+  private[graft] def bm25Postings(s: SparkSession, d: String): DataFrame =
+    bm25Cache.get(s, d) {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.agg(count(lit(1)).as("total_toks")))
+      tf.join(dfr, Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), col("token"),
+          expr("(((n_docs*1000000) div df) * 22000 * tf) div " +
+            "(10000*tf + 3000 + (9000*dl*n_docs) div total_toks)").as("term_score"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** cold-build hook for the BM25 postings artifact. */
+  private[graft] def buildBm25Postings(s: SparkSession, d: String): Unit = {
+    bm25Postings(s, d); ()
+  }
+
+  /** parameterized BM25 top-k over [[bm25Postings]] — the program behind
+    * the serving tier's /search route: broadcast the (tiny) term set, sum
+    * per-doc contributions in one keyed agg, global BoundedTopK — the
+    * collect downstream is bounded at k rows by construction. Unknown
+    * terms simply contribute nothing; an all-unknown query returns an
+    * empty frame (total, like topkFor). */
+  def bm25For(s: SparkSession, d: String, terms: Seq[String], k: Int): DataFrame = {
+    import s.implicits._
+    val topk = udaf(graft.functions.BoundedTopK[Long](k))
+    bm25Postings(s, d)
+      .join(broadcast(terms.distinct.toDF("token")), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .agg(topk(-col("score"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t._2").as("doc_id"), (-col("t._1")).as("score"),
+        (col("r0") + 1).cast(LongType).as("rnk"))
+  }
+
   /** Connected components over an undirected pair graph `(doc_a, doc_b)`:
     * returns one `(doc_id, label)` row per node, label = min node id of
     * the component.
@@ -869,6 +921,85 @@ object TextOps {
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("doc_id"), col("token"), col("score"), col("rnk").cast(LongType).as("rnk"))
         .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // CORPUS OVERLAP estimation by K-minimum-values (theta) sketches
+    // (round 12) — the set-sketch the family was missing: HLL union-merges
+    // (a15_hll_union) but cannot INTERSECT; KMV supports both, which is
+    // what "how much of corpus B is already in corpus A" needs before
+    // paying a full anti-join at 100 TB. Two shards (even/odd source
+    // suffix), elements = 60-bit hashes of the normalized-text
+    // fingerprint, k = 64 smallest per shard via BoundedTopK (map-side
+    // partial — the sketch IS the shuffle payload, ≤64 values per side at
+    // any corpus size). Merge = union the value sets, keep the 64
+    // smallest; matches = union-sketch values present in BOTH sides'
+    // sketches; jaccard = matches/|union sketch| (exact integer ppm);
+    // n̂_union = (k−1)·2^60 / kth-smallest — the one double chain, same
+    // correctly-rounded-IEEE discipline as a1b_approx_distinct — with the
+    // n < k exact fallback; n̂_∩ = jaccard·n̂_union in integers. The EXACT
+    // shard/intersection counts ride beside the estimates so the row
+    // shows its own error, like a1b.
+    Q(
+      "dd_corpus_overlap",
+      """WITH el AS (
+        |  SELECT CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS in_a,
+        |    CAST('0x'||substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),1,15) AS BIGINT) AS h60
+        |  FROM documents),
+        |da AS (SELECT DISTINCT h60 FROM el WHERE in_a),
+        |db AS (SELECT DISTINCT h60 FROM el WHERE NOT in_a),
+        |ka AS (SELECT list(h60 ORDER BY h60) AS va FROM (SELECT h60 FROM da ORDER BY h60 LIMIT 64)),
+        |kb AS (SELECT list(h60 ORDER BY h60) AS vb FROM (SELECT h60 FROM db ORDER BY h60 LIMIT 64)),
+        |un AS (SELECT va, vb, list_sort(list_distinct(va || vb)) AS uv FROM ka, kb),
+        |hu AS (SELECT va, vb, uv[1:CAST(least(64, len(uv)) AS INTEGER)] AS hu FROM un),
+        |st AS (
+        |  SELECT
+        |    CAST(len(hu) AS BIGINT) AS m_union,
+        |    CAST(len(list_filter(hu, x -> list_contains(va, x) AND list_contains(vb, x))) AS BIGINT) AS matches,
+        |    hu[CAST(len(hu) AS INTEGER)] AS kth
+        |  FROM hu),
+        |ex AS (
+        |  SELECT (SELECT count(*) FROM da) AS n_a, (SELECT count(*) FROM db) AS n_b,
+        |    (SELECT count(*) FROM da JOIN db USING (h60)) AS n_inter_exact)
+        |SELECT ex.n_a, ex.n_b, ex.n_inter_exact, st.m_union, st.matches,
+        |  (st.matches * 1000000) // st.m_union AS jaccard_ppm,
+        |  CASE WHEN st.m_union < 64 THEN st.m_union
+        |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(st.kth AS DOUBLE)) AS BIGINT)
+        |  END AS est_union,
+        |  (st.matches * (CASE WHEN st.m_union < 64 THEN st.m_union
+        |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(st.kth AS DOUBLE)) AS BIGINT)
+        |  END)) // st.m_union AS est_intersect
+        |FROM st, ex""".stripMargin) { (s, d) =>
+      val el = T.documents(s, d).select(
+        (expr("cast(substring(source, 4, 10) as int)") % 2 === 0).as("in_a"),
+        conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
+          .cast(LongType).as("h60"))
+      val da = el.filter(col("in_a")).select(col("h60")).distinct()
+        .localCheckpoint(eager = true) // two consumers: sketch + exact counts
+      val db = el.filter(!col("in_a")).select(col("h60")).distinct()
+        .localCheckpoint(eager = true)
+      val kmin = udaf(graft.functions.BoundedTopK[Long](64))
+      val ka = da.agg(kmin(col("h60"), col("h60")).as("ta"))
+        .select(expr("transform(ta, x -> x._1)").as("va"))
+      val kb = db.agg(kmin(col("h60"), col("h60")).as("tb"))
+        .select(expr("transform(tb, x -> x._1)").as("vb"))
+      val ex = da.agg(count(lit(1)).as("n_a"))
+        .crossJoin(db.agg(count(lit(1)).as("n_b")))
+        .crossJoin(da.join(db, Seq("h60")).agg(count(lit(1)).as("n_inter_exact")))
+      ka.crossJoin(kb).crossJoin(ex)
+        .withColumn("hu", expr(
+          "slice(array_sort(array_distinct(concat(va, vb))), 1, 64)"))
+        .withColumn("m_union", size(col("hu")).cast(LongType))
+        .withColumn("matches", expr(
+          "cast(size(filter(hu, x -> array_contains(va, x) AND array_contains(vb, x))) as bigint)"))
+        .withColumn("kth", expr("element_at(hu, cast(m_union as int))"))
+        .withColumn("est_union", expr(
+          "CASE WHEN m_union < 64 THEN m_union " +
+            "ELSE cast(floor(63.0D * 1152921504606846976.0D / cast(kth as double)) as bigint) END"))
+        .select(col("n_a"), col("n_b"), col("n_inter_exact"), col("m_union"),
+          col("matches"),
+          expr("(matches * 1000000) div m_union").as("jaccard_ppm"),
+          col("est_union"),
+          expr("(matches * est_union) div m_union").as("est_intersect"))
     },
 
     // Deterministic stratified downsampling (dataset curation): keep every
@@ -1741,7 +1872,9 @@ object TextOps {
         .orderBy(col("token"))
     },
 
-    // BM25 RETRIEVAL over the corpus (round 12) — the query side of the
+    // BM25 RETRIEVAL over the corpus (round 12) — reads the memoized
+    // [[bm25Postings]] scored-postings artifact (the serving tier's index,
+    // ColdBuilds-timed like every other per-snapshot build) — the query side of the
     // inverted index: top-5 documents per query under Okapi BM25 with
     // k1 = 1.2, b = 0.75, INTEGER-EXACT on both engines. The idf leg uses
     // the same log-free (N·10^6 div df) scaling as tx_tfidf (a libm ln()
@@ -1779,22 +1912,9 @@ object TextOps {
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
       import s.implicits._
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val st = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(toks.agg(count(lit(1)).as("total_toks")))
       val qt = Bm25Workload.Queries.toDF("q_id", "term")
-      val scored = tf
+      val scored = bm25Postings(s, d)
         .join(broadcast(qt), col("token") === col("term"))
-        .join(dfr, Seq("token"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(st))
-        .select(col("q_id"), col("doc_id"),
-          expr("(((n_docs*1000000) div df) * 22000 * tf) div " +
-            "(10000*tf + 3000 + (9000*dl*n_docs) div total_toks)").as("term_score"))
         .groupBy(col("q_id"), col("doc_id"))
         .agg(sum(col("term_score")).as("score"))
       val top5 = udaf(graft.functions.BoundedTopK[Long](5))

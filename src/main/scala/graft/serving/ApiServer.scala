@@ -36,6 +36,11 @@ import graft.operators.Api
   *       nearest neighbors from the memoized quantized index (the ANN
   *       family's serving tier; k clamped to [1,20], 404 without an
   *       embeddings table, 400 on a non-integer vec_id)
+  *   GET /api/v1/webapp/search?q=&k=
+  *     → `{"query": [terms], "results": [...]}` — BM25 top-k documents
+  *       from the memoized scored-postings index (TextOps.bm25For; terms
+  *       split on whitespace/+, k clamped to [1,20], 400 on empty q, 404
+  *       without a documents table, unknown terms contribute nothing)
   *
   * Faithful endpoint semantics: case-insensitive SUBSTRING address match
   * (the reference filters with `$regex ... $options: i`), the excluded-
@@ -205,6 +210,20 @@ final class ApiServer(
       .mkString(s"""{"query":$vecId,"neighbors":[""", ",", "]}")
   }
 
+  /** /search — the BM25 retrieval tier over the memoized scored-postings
+    * index (TextOps.bm25For: broadcast term set, one keyed agg, global
+    * BoundedTopK — the collect is bounded at k rows by construction).
+    * Terms the corpus has never seen contribute nothing; an all-unknown
+    * query serves an empty result list, not an error. */
+  def searchBm25(terms: Seq[String], k: Int): String = {
+    val rows = graft.operators.TextOps.bm25For(spark, dataDir, terms, k).collect()
+    val results = rows.map(r =>
+      s"""{"doc_id":${r.getLong(0)},"score":${r.getLong(1)},"rnk":${r.getLong(2)}}""")
+      .mkString("[", ",", "]")
+    val q = terms.map(t => "\"" + jsonEscape(t) + "\"").mkString("[", ",", "]")
+    s"""{"query":$q,"results":$results}"""
+  }
+
   /** doubles → JSON: NaN/Infinity are not valid JSON literals, so map any
     * non-finite value to null. topkFor scores only through the total
     * cosFrom today and never produces one — this guard makes the route's
@@ -324,6 +343,18 @@ final class ApiServer(
             p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5)))
           catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
       }
+    })
+    server.createContext("/api/v1/webapp/search", (ex: HttpExchange) => {
+      val p = parseQuery(ex.getRequestURI.getRawQuery)
+      val terms = p.get("q").map(_.split("[\\s+]+").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+      if (terms.isEmpty) respond(ex, 400, "Missing q", "text/plain")
+      else if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dataDir, "documents.parquet")))
+        respond(ex, 404, "no documents", "text/plain")
+      else try respond(ex, 200, searchBm25(terms,
+        p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5)))
+      catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
     })
     // health/info routes (webservice/bp_main.py:10-26): `/` empty-200,
     // `/ping` a fixed OK string, `/infoapi` the version/store-health doc

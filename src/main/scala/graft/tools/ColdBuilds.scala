@@ -40,6 +40,8 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => TextOps.buildSimhashSignatures(s, d)),
     "text_winnow_pairs" ->
       ((s: SparkSession, d: String) => TextOps.buildWinnowPairs(s, d)),
+    "text_bm25_postings" ->
+      ((s: SparkSession, d: String) => TextOps.buildBm25Postings(s, d)),
     "text_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
     "ensemble_cluster_labels" ->

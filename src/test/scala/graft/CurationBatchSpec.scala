@@ -49,6 +49,46 @@ class CurationBatchSpec extends AnyFunSuite {
     assert(total === expected, "per-language token masses must sum to the corpus total")
   }
 
+  test("dd_corpus_overlap: KMV estimates reconcile with the exact counts " +
+    "riding in the same row") {
+    val r = QueryRegistry.byName("dd_corpus_overlap").fn(spark, sf).collect().head
+    val (nA, nB, nInter) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (mU, matches) = (r.getLong(3), r.getLong(4))
+    val (jacc, estU, estI) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(mU <= 64L && matches <= mU)
+    assert(jacc === matches * 1000000L / mU)
+    val trueUnion = nA + nB - nInter
+    if (mU < 64L) {
+      // sub-k regime: the sketch IS the set — estimates must be exact
+      assert(estU === trueUnion, "sub-k union estimate must be exact")
+      assert(estI === nInter, "sub-k intersection estimate must be exact")
+    } else {
+      // sketch regime: KMV with k=64 has ~1/sqrt(62) ≈ 13% relative error;
+      // accept 3 sigma
+      assert(math.abs(estU - trueUnion).toDouble / trueUnion < 0.4,
+        s"union estimate $estU vs true $trueUnion outside 3-sigma envelope")
+    }
+  }
+
+  test("mm_phash_rank: the nearest perceptual neighbor of a clustered image " +
+    "is a member of its own 4-doc cluster") {
+    val rows = QueryRegistry.byName("mm_phash_rank").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val top1 = rows.filter(_.getLong(3) == 1L)
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getLong(0) / 4 === r.getLong(1) / 4,
+        s"img ${r.getLong(0)}: rank-1 neighbor ${r.getLong(1)} crosses clusters")
+    }
+    // ranks are dense from 1 and hamming is non-decreasing within an image
+    rows.groupBy(_.getLong(0)).foreach { case (img, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to sorted.length).toSeq)
+      val hams = sorted.map(_.getLong(2)).toSeq
+      assert(hams === hams.sorted, s"img $img: hamming not monotone over ranks")
+    }
+  }
+
   test("ss_outlier_flag: the flag is exactly the 2.5x-of-label-mean rule " +
     "over the returned distances, and flags a minority") {
     val rows = QueryRegistry.byName("ss_outlier_flag").fn(spark, sf).collect()

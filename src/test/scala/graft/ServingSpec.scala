@@ -236,4 +236,30 @@ class ServingSpec extends AnyFunSuite {
       assert(get(port, "/api/v1/webapp/vectors/topk?vec_id=abc")._1 === 400)
     }
   }
+
+  test("search serves BM25 top-k from the postings index and agrees with " +
+    "the oracle-pinned tx_bm25 program") {
+    withServer(minAddrLen = 3) { port =>
+      // workload query 1 is exactly the terms "hash join" — the served
+      // route must reproduce the registered query's rows for q_id = 1
+      val (status, body) = get(port, "/api/v1/webapp/search?q=hash+join&k=5")
+      assert(status === 200)
+      assert(body.startsWith("""{"query":["hash","join"],"results":["""), body.take(60))
+      val served = """"doc_id":(\d+),"score":(\d+),"rnk":(\d+)""".r
+        .findAllMatchIn(body).map(m =>
+          (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong)).toSeq
+      val expected = graft.core.QueryRegistry.byName("tx_bm25").fn(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("q_id") === 1)
+        .orderBy(org.apache.spark.sql.functions.col("rnk"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(served === expected,
+        s"served results differ from tx_bm25 q1: $served vs $expected")
+      // unknown terms: total program, empty result list
+      val (s2, b2) = get(port, "/api/v1/webapp/search?q=zzzznotaword")
+      assert(s2 === 200 && b2.endsWith(""""results":[]}"""), b2)
+      // empty q: 400
+      assert(get(port, "/api/v1/webapp/search?q=")._1 === 400)
+      assert(get(port, "/api/v1/webapp/search")._1 === 400)
+    }
+  }
 }
