@@ -93,6 +93,52 @@ object ImageDup {
       .withColumn("is_dup", col("best_hamming") <= maxHamming)
   }
 
+  /** memoized corpus hash table `(img_id, ph)` over the documents
+    * fixture corpus — the serving tier's image index (built once per
+    * (session, dataset) like the quantized vector index; the fixture
+    * generation stands in for reading an image store). */
+  private val hashCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]()
+  private[graft] def hashedCorpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    hashCache.get(s, d) {
+      import s.implicits._
+      imageIndex(
+        graft.core.Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map(id =>
+            (id, graft.plans.Phash.bmpPixelFixture(id))))
+          .toDF("img_id", "media"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** top-k perceptual neighbors of ONE corpus image — the program behind
+    * the serving tier's /images/similar route: the query image's 4 bands
+    * probe the memoized hash corpus (broadcast single-row band table,
+    * corpus unshuffled), exact hamming, global BoundedTopK — the collect
+    * downstream is bounded at k rows. Unknown img_id returns empty. */
+  def similarFor(s: org.apache.spark.sql.SparkSession, d: String,
+      imgId: Long, k: Int): DataFrame = {
+    val corpus = hashedCorpus(s, d)
+    val q = corpus.filter(col("img_id") === imgId)
+      .select(col("ph").as("qph"))
+      .withColumn("qbands", bandArr("qph"))
+      .select(col("qph"), posexplode(col("qbands")).as(Seq("t", "band")))
+    val cand = corpus.withColumn("bands", bandArr("ph"))
+      .select(col("img_id").as("n_id"), col("ph"), col("bands"),
+        posexplode(col("bands")).as(Seq("t", "band")))
+      .join(broadcast(q), Seq("t", "band"))
+      .filter(col("n_id") =!= imgId)
+      .select(col("n_id"),
+        bit_count(col("qph").bitwiseXOR(col("ph"))).cast(LongType).as("hamming"))
+      .dropDuplicates(Seq("n_id"))
+    val topk = udaf(graft.functions.BoundedTopK[Long](k))
+    cand
+      .agg(topk(expr(s"hamming * 281474976710656L + n_id"), col("n_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("t._2").as("img_id"),
+        expr("t._1 div 281474976710656L").as("hamming"),
+        (col("r0") + 1).cast(org.apache.spark.sql.types.LongType).as("rnk"))
+  }
+
   /** within-batch first-wins: of any two batch images within `maxHamming`,
     * the LARGER img_id drops (the text/embed gates' intra-batch contract).
     * Band join on the batch itself — batch-sized, not corpus-sized. */

@@ -41,6 +41,11 @@ import graft.operators.Api
   *       from the memoized scored-postings index (TextOps.bm25For; terms
   *       split on whitespace/+, k clamped to [1,20], 400 on empty q, 404
   *       without a documents table, unknown terms contribute nothing)
+  *   GET /api/v1/webapp/images/similar?img_id=&k=
+  *     → `{"query": id, "similar": [...]}` — perceptual-hash neighbors
+  *       from the memoized image hash corpus (ImageDup.similarFor; k
+  *       clamped to [1,20], 400 on a non-integer img_id, 404 without a
+  *       documents table, unknown img_id serves an empty list)
   *
   * Faithful endpoint semantics: case-insensitive SUBSTRING address match
   * (the reference filters with `$regex ... $options: i`), the excluded-
@@ -224,6 +229,17 @@ final class ApiServer(
     s"""{"query":$q,"results":$results}"""
   }
 
+  /** /images/similar — perceptual-hash image retrieval over the memoized
+    * hash corpus (ImageDup.similarFor: broadcast single-image band probe,
+    * global BoundedTopK, collect bounded at k). Unknown img_id serves an
+    * empty list: total, like the vector route. */
+  def imagesSimilar(imgId: Long, k: Int): String = {
+    val rows = graft.operators.ImageDup.similarFor(spark, dataDir, imgId, k).collect()
+    rows.map(r =>
+      s"""{"img_id":${r.getLong(0)},"hamming":${r.getLong(1)},"rnk":${r.getLong(2)}}""")
+      .mkString(s"""{"query":$imgId,"similar":[""", ",", "]}")
+  }
+
   /** doubles → JSON: NaN/Infinity are not valid JSON literals, so map any
     * non-finite value to null. topkFor scores only through the total
     * cosFrom today and never produces one — this guard makes the route's
@@ -340,6 +356,19 @@ final class ApiServer(
               java.nio.file.Paths.get(dataDir, "embeddings.parquet")))
             respond(ex, 404, "no embeddings", "text/plain")
           else try respond(ex, 200, vectorsTopk(id,
+            p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5)))
+          catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
+      }
+    })
+    server.createContext("/api/v1/webapp/images/similar", (ex: HttpExchange) => {
+      val p = parseQuery(ex.getRequestURI.getRawQuery)
+      p.get("img_id").flatMap(_.toLongOption) match {
+        case None => respond(ex, 400, "Invalid img_id", "text/plain")
+        case Some(id) =>
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dataDir, "documents.parquet")))
+            respond(ex, 404, "no documents", "text/plain")
+          else try respond(ex, 200, imagesSimilar(id,
             p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5)))
           catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
       }

@@ -862,7 +862,12 @@ object Pipelines {
   def imageDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, maxHamming: Long = graft.operators.ImageDup.MaxHamming,
       intraBatch: Boolean = false,
-      compactEvery: Int = CompactEvery): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactEvery: Int = CompactEvery,
+      /** optional DLQ tee: rows whose payload the hash stage rejects
+        * (wrong container, truncated pixels) — the image mirror of the
+        * text pipeline's quarantine path. Default keeps the round-12
+        * drop-silently contract. */
+      quarantine: Option[DataFrame => Unit] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -873,6 +878,9 @@ object Pipelines {
         val runs = completeRuns(fs, sigBase)
         val imgs = dedupDeterministic(batch.toDF(), "img_id").persist()
         val newIdx = ImageDup.imageIndex(imgs).persist()
+        quarantine.foreach { q =>
+          q(imgs.join(newIdx.select(col("img_id")), Seq("img_id"), "left_anti"))
+        }
         val indexDropped =
           if (runs.nonEmpty) {
             val idx = spark.read.parquet(runs.map(_.toString): _*)

@@ -42,6 +42,8 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => TextOps.buildWinnowPairs(s, d)),
     "text_bm25_postings" ->
       ((s: SparkSession, d: String) => TextOps.buildBm25Postings(s, d)),
+    "image_phash_corpus" ->
+      ((s: SparkSession, d: String) => { graft.operators.ImageDup.hashedCorpus(s, d); () }),
     "text_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
     "ensemble_cluster_labels" ->

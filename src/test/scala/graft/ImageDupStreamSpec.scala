@@ -82,6 +82,33 @@ class ImageDupStreamSpec extends AnyFunSuite {
     assert(admitted === Seq(1L, 12L), "3 must lose the intra-batch tie to 1")
   }
 
+  test("quarantine tee receives exactly the unparseable payloads") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-imdlq").toString
+    val admittedDir = s"$base/admitted"
+    val dlqDir = s"$base/dlq"
+
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Pipelines.imageDupGate(
+      in.toDF().toDF("img_id", "media"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir),
+      quarantine = Some(bad => bad.write.mode("append").parquet(dlqDir))).start()
+    try {
+      in.addData(img(20L), 21L -> "garbage".getBytes,
+        22L -> graft.plans.ImageMeta.bmpFixture(32, 32)) // header-only, no pixels
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("img_id")).as[Long].collect().sorted.toSeq
+    val dlq = spark.read.parquet(dlqDir)
+      .select(col("img_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(20L), "only the decodable image admits")
+    assert(dlq === Seq(21L, 22L), "both unparseable payloads must reach the DLQ")
+  }
+
   test("batch probe and gate verdicts agree: dd_incremental_phash's is_dup " +
     "set matches a direct probeImageIndex call") {
     import graft.operators.ImageDup

@@ -262,4 +262,26 @@ class ServingSpec extends AnyFunSuite {
       assert(get(port, "/api/v1/webapp/search")._1 === 400)
     }
   }
+
+  test("images/similar serves perceptual neighbors and agrees with the " +
+    "oracle-pinned mm_phash_rank program") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) = get(port, "/api/v1/webapp/images/similar?img_id=0&k=3")
+      assert(status === 200)
+      assert(body.startsWith("""{"query":0,"similar":["""), body.take(60))
+      val served = """"img_id":(\d+),"hamming":(\d+),"rnk":(\d+)""".r
+        .findAllMatchIn(body).map(m =>
+          (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong)).toSeq
+      val expected = graft.core.QueryRegistry.byName("mm_phash_rank").fn(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("img_id") === 0)
+        .orderBy(org.apache.spark.sql.functions.col("rnk"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(served === expected,
+        s"served neighbors differ from mm_phash_rank img 0: $served vs $expected")
+      // unknown image: total, empty list; malformed id: 400
+      val (s2, b2) = get(port, "/api/v1/webapp/images/similar?img_id=99999999")
+      assert(s2 === 200 && b2.endsWith(""""similar":[]}"""), b2)
+      assert(get(port, "/api/v1/webapp/images/similar?img_id=abc")._1 === 400)
+    }
+  }
 }
