@@ -1272,6 +1272,60 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup threshold SENSITIVITY curve (round 12) — the tuning table an
+    // operator reads before picking the shared-fingerprint threshold τ:
+    // for τ = 2..6, how many candidate pairs survive, how many documents
+    // get flagged, and the corpus dup-rate — the precision/recall dial of
+    // the winnow family in one row per τ (dd_winnow ships τ = 2; this
+    // shows what 3..6 would have done WITHOUT re-running the pipeline;
+    // τ = 1 is not derivable from the memoized τ ≥ 2 pair artifact and a
+    // 1-shared hit is band noise by construction, so the curve starts at
+    // the shipped threshold).
+    // Cost: one pass over the memoized pair graph × 5 grid rows + a
+    // bounded per-τ distinct; no new fingerprint work at any scale.
+    Q(
+      "dd_threshold_curve",
+      s"""WITH $WinnowPairsCte,
+         |taus AS (SELECT unnest(range(2, 7)) AS tau),
+         |hit AS (
+         |  SELECT t.tau, p.doc_a, p.doc_b FROM pairs p JOIN taus t
+         |  ON p.n_shared >= t.tau),
+         |pc AS (SELECT tau, count(*) AS n_pairs FROM hit GROUP BY tau),
+         |dc AS (SELECT tau, count(*) AS n_docs_flagged FROM (
+         |         SELECT DISTINCT tau, doc_id FROM (
+         |           SELECT tau, doc_a AS doc_id FROM hit
+         |           UNION ALL SELECT tau, doc_b FROM hit))
+         |       GROUP BY tau),
+         |tot AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT t.tau, coalesce(pc.n_pairs, 0) AS n_pairs,
+         |  coalesce(dc.n_docs_flagged, 0) AS n_docs_flagged,
+         |  (coalesce(dc.n_docs_flagged, 0) * 1000000) // tot.n_docs AS dup_rate_ppm
+         |FROM taus t LEFT JOIN pc ON pc.tau = t.tau
+         |LEFT JOIN dc ON dc.tau = t.tau, tot
+         |ORDER BY t.tau""".stripMargin) { (s, d) =>
+      val pairs = winnowPairs(s, d)
+      val hit = pairs
+        .select(col("n_shared"), col("doc_a"), col("doc_b"),
+          explode(expr("sequence(2, 6)")).as("tau"))
+        .filter(col("n_shared") >= col("tau"))
+      val pc = hit.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+      val dc = hit
+        .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .groupBy(col("tau")).agg(count(lit(1)).as("n_docs_flagged"))
+      val tot = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val taus = s.range(2, 7).select(col("id").as("tau"))
+      taus
+        .join(pc, Seq("tau"), "left")
+        .join(dc, Seq("tau"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+          expr("(coalesce(n_docs_flagged, 0) * 1000000) div n_docs").as("dup_rate_ppm"))
+        .orderBy(col("tau"))
+    },
+
     // ENSEMBLE (multi-signal) dedup — the fused verdict a production
     // curation run actually ships: a document is a duplicate if the TEXT
     // signal (winnow fingerprint pairs, ≥2 shared) OR the EMBEDDING signal

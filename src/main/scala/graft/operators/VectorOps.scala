@@ -2284,6 +2284,88 @@ object VectorOps {
         .orderBy(col("src_id"))
     },
 
+    // Embedding distribution DRIFT monitor (round 12) — the snapshot-over-
+    // snapshot health check an embedding pipeline runs before trusting a
+    // refreshed corpus (encoder regressed? upstream distribution moved?):
+    // split old (vec_id below the 90% cut — the incremental-dedup family's
+    // deterministic cut) vs new, compare each label's centroid across the
+    // halves, and scale the squared centroid shift by the OLD half's mean
+    // within-label scatter so the ratio is unit-free (ratio_ppm ≈ 10^6
+    // means the centroid moved as far as a typical member sits from it —
+    // loud drift; a healthy refresh sits orders below). Exact integers
+    // end to end: 10^4 quantization, ss_kmeans_assign's floored-mean
+    // centroids, dist² sums, non-negative integer divisions. Labels
+    // absent from either half produce no row (inner join — a vanished
+    // label IS drift, caught by the row-count change). Plan: two grouped
+    // passes + a 10-row join; no shuffle grows with the corpus.
+    Q(
+      "ss_centroid_drift",
+      """WITH dq AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000.0) AS BIGINT)) AS q,
+        |    vec_id >= (SELECT (max(vec_id)*9)//10 FROM embeddings) AS is_new
+        |  FROM embeddings),
+        |dcent AS (
+        |  SELECT label, is_new, i, CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS c,
+        |    count(*) AS n
+        |  FROM (SELECT label, is_new, generate_subscripts(q, 1) AS i, unnest(q) AS v FROM dq)
+        |  GROUP BY label, is_new, i),
+        |dcl AS (SELECT label, is_new, max(n) AS n, list(c ORDER BY i) AS ce
+        |        FROM dcent GROUP BY label, is_new),
+        |drift AS (
+        |  SELECT o.label, o.n AS n_old, w.n AS n_new,
+        |    CAST(list_sum(list_transform(range(1,65),
+        |      i -> (o.ce[CAST(i AS INTEGER)] - w.ce[CAST(i AS INTEGER)])
+        |         * (o.ce[CAST(i AS INTEGER)] - w.ce[CAST(i AS INTEGER)]))) AS BIGINT) AS drift2
+        |  FROM dcl o JOIN dcl w ON o.label = w.label AND NOT o.is_new AND w.is_new),
+        |scat AS (
+        |  SELECT d.label, CAST(sum(CAST(list_sum(list_transform(range(1,65),
+        |      i -> (d.q[CAST(i AS INTEGER)] - l.ce[CAST(i AS INTEGER)])
+        |         * (d.q[CAST(i AS INTEGER)] - l.ce[CAST(i AS INTEGER)]))) AS BIGINT))
+        |    // count(*) AS BIGINT) AS mean2
+        |  FROM dq d JOIN dcl l ON l.label = d.label AND NOT l.is_new
+        |  WHERE NOT d.is_new GROUP BY d.label)
+        |SELECT dr.label, dr.n_old, dr.n_new, dr.drift2,
+        |  CAST((dr.drift2 * 1000000) // s.mean2 AS BIGINT) AS ratio_ppm
+        |FROM drift dr JOIN scat s USING (label)
+        |ORDER BY dr.label""".stripMargin) { (s, d) =>
+      val cut = T.embeddings(s, d).agg(expr("(max(vec_id)*9) div 10").as("cutv"))
+      val dq = T.embeddings(s, d)
+        .crossJoin(broadcast(cut))
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*10000.0D) as bigint))")
+            .as("q"),
+          (col("vec_id") >= col("cutv")).as("is_new"))
+        .localCheckpoint(eager = true) // two consumers: centroids + scatter
+      val cent = dq
+        .select(col("label"), col("is_new"), posexplode(col("q")).as(Seq("i0", "v")))
+        .groupBy(col("label"), col("is_new"), col("i0"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("sv").cast(DoubleType) / col("n")).cast(LongType))
+        .groupBy(col("label"), col("is_new"))
+        .agg(max(col("n")).as("n"),
+          expr("transform(array_sort(collect_list(struct(i0, c))), x -> x.c)").as("ce"))
+      val old = cent.filter(!col("is_new"))
+        .select(col("label"), col("n").as("n_old"), col("ce").as("ceo"))
+      val nw = cent.filter(col("is_new"))
+        .select(col("label"), col("n").as("n_new"), col("ce").as("cen"))
+      val drift = old.join(nw, Seq("label"))
+        .select(col("label"), col("n_old"), col("n_new"), col("ceo"),
+          expr("aggregate(zip_with(ceo, cen, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)")
+            .as("drift2"))
+      val scat = dq.filter(!col("is_new"))
+        .join(broadcast(old.select(col("label"), col("ceo"))), Seq("label"))
+        .select(col("label"),
+          expr("aggregate(zip_with(q, ceo, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("label"))
+        .agg(expr("sum(d2) div count(*)").as("mean2"))
+      drift.join(broadcast(scat), Seq("label"))
+        .select(col("label"), col("n_old"), col("n_new"), col("drift2"),
+          expr("(drift2 * 1000000) div mean2").as("ratio_ppm"))
+        .orderBy(col("label"))
+    },
+
     // Embedding OUTLIER flag (round 12) — the curation signal the text
     // quality suite has no analog for: vectors far from their own label's
     // centroid are mislabeled/noisy/adversarial candidates (the embedding

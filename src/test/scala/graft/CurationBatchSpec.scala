@@ -49,6 +49,34 @@ class CurationBatchSpec extends AnyFunSuite {
     assert(total === expected, "per-language token masses must sum to the corpus total")
   }
 
+  test("dd_threshold_curve: pair/doc counts are non-increasing in tau and " +
+    "tau=2 reproduces dd_winnow's pair count") {
+    val rows = QueryRegistry.byName("dd_threshold_curve").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L, 5L, 6L))
+    val pairs = rows.map(_.getLong(1)).toSeq
+    val docs = rows.map(_.getLong(2)).toSeq
+    assert(pairs === pairs.sorted.reverse, "pair counts must be non-increasing in tau")
+    assert(docs === docs.sorted.reverse, "doc counts must be non-increasing in tau")
+    val winnow = QueryRegistry.byName("dd_winnow").fn(spark, sf).count()
+    assert(rows.head.getLong(1) === winnow,
+      "tau=2 row must equal the shipped dd_winnow pair count")
+  }
+
+  test("ss_centroid_drift: IID halves of one corpus drift far less than " +
+    "the within-label scatter, and the rule is self-consistent") {
+    val rows = QueryRegistry.byName("ss_centroid_drift").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getLong(3) >= 0L, "squared drift negative")
+      // the 90/10 split of ONE distribution: centroid shift stays well
+      // under the typical member distance (ratio 10^6); sampling noise on
+      // a ~5-member new half allows some slack but not parity
+      assert(r.getLong(4) < 1000000L,
+        s"label ${r.getLong(0)}: drift ratio ${r.getLong(4)} at member-distance scale on IID halves")
+    }
+  }
+
   test("dd_corpus_overlap: KMV estimates reconcile with the exact counts " +
     "riding in the same row") {
     val r = QueryRegistry.byName("dd_corpus_overlap").fn(spark, sf).collect().head
