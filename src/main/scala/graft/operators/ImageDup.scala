@@ -74,6 +74,8 @@ object ImageDup {
     * (no band collision) verdict as (0, [[NoCandidate]], false). */
   def probeImageIndex(newIdx: DataFrame, corpusIdx: DataFrame,
       maxHamming: Long = MaxHamming): DataFrame = {
+    require(maxHamming <= MaxHamming,
+      s"4-band pigeonhole is complete only for hamming <= $MaxHamming; got $maxHamming")
     val nb = bandTable(newIdx).select(col("img_id").as("new_id"),
       col("ph").as("nph"), col("bands").as("nbands"), col("t"), col("band"))
     val scored = bandTable(corpusIdx)
@@ -144,6 +146,8 @@ object ImageDup {
     * Band join on the batch itself — batch-sized, not corpus-sized. */
   def intraBatchImageDups(newIdx: DataFrame,
       maxHamming: Long = MaxHamming): DataFrame = {
+    require(maxHamming <= MaxHamming,
+      s"4-band pigeonhole is complete only for hamming <= $MaxHamming; got $maxHamming")
     val b = bandTable(newIdx)
     b.select(col("img_id").as("img_a"), col("ph").as("pa"),
         col("bands").as("abands"), col("t"), col("band"))

@@ -970,7 +970,9 @@ object TextOps {
         |  END)) // st.m_union AS est_intersect
         |FROM st, ex""".stripMargin) { (s, d) =>
       val el = T.documents(s, d).select(
-        (expr("cast(substring(source, 4, 10) as int)") % 2 === 0).as("in_a"),
+        // unbounded substring on BOTH engines (the oracle uses substr(source, 4))
+        // so a >10-digit or non-numeric suffix can never diverge the shard split
+        (expr("cast(substring(source, 4) as int)") % 2 === 0).as("in_a"),
         conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
           .cast(LongType).as("h60"))
       val da = el.filter(col("in_a")).select(col("h60")).distinct()

@@ -2226,7 +2226,7 @@ object VectorOps {
          |    FROM xsc)
          |  WHERE rn <= 4 GROUP BY tgt_id),
          |marg AS (
-         |  SELECT x.src_id, x.tgt_id, (x.si * 2000000) // (sa.av + ta.av) AS margin
+         |  SELECT x.src_id, x.tgt_id, (x.si * 2000000) // greatest(sa.av + ta.av, 1) AS margin
          |  FROM xsc x JOIN savg sa USING (src_id) JOIN tavg ta USING (tgt_id)),
          |bs AS (SELECT src_id, tgt_id, margin,
          |         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs
@@ -2270,7 +2270,9 @@ object VectorOps {
         .join(sideAvg("src_id", "tgt_id").withColumnRenamed("av", "sa"), Seq("src_id"))
         .join(sideAvg("tgt_id", "src_id").withColumnRenamed("av", "ta"), Seq("tgt_id"))
         .select(col("src_id"), col("tgt_id"),
-          expr("(si * 2000000) div (sa + ta)").as("margin"))
+          // greatest(..,1): si is cos+1 scaled (≥0), so a degenerate all-zero
+          // neighborhood yields margin 0 on both engines instead of NULL-vs-error
+          expr("(si * 2000000) div greatest(sa + ta, 1L)").as("margin"))
       val bestS = marg.groupBy(col("src_id"))
         .agg(min_by(struct(col("tgt_id"), col("margin")),
           struct(-col("margin"), col("tgt_id"))).as("b"))
@@ -2326,7 +2328,7 @@ object VectorOps {
         |  FROM dq d JOIN dcl l ON l.label = d.label AND NOT l.is_new
         |  WHERE NOT d.is_new GROUP BY d.label)
         |SELECT dr.label, dr.n_old, dr.n_new, dr.drift2,
-        |  CAST((dr.drift2 * 1000000) // s.mean2 AS BIGINT) AS ratio_ppm
+        |  CAST((dr.drift2 * 1000000) // greatest(s.mean2, 1) AS BIGINT) AS ratio_ppm
         |FROM drift dr JOIN scat s USING (label)
         |ORDER BY dr.label""".stripMargin) { (s, d) =>
       val cut = T.embeddings(s, d).agg(expr("(max(vec_id)*9) div 10").as("cutv"))
@@ -2360,9 +2362,12 @@ object VectorOps {
             .as("d2"))
         .groupBy(col("label"))
         .agg(expr("sum(d2) div count(*)").as("mean2"))
+      // greatest(mean2,1) on BOTH engines: a label whose old half is all
+      // exactly at its centroid has mean2 = 0 — Spark div would yield NULL
+      // while DuckDB // raises; the guard defines the degenerate case.
       drift.join(broadcast(scat), Seq("label"))
         .select(col("label"), col("n_old"), col("n_new"), col("drift2"),
-          expr("(drift2 * 1000000) div mean2").as("ratio_ppm"))
+          expr("(drift2 * 1000000) div greatest(mean2, 1L)").as("ratio_ppm"))
         .orderBy(col("label"))
     },
 
@@ -2399,7 +2404,7 @@ object VectorOps {
         |  FROM oq o JOIN ocl l USING (label)),
         |om AS (SELECT label, CAST(sum(dist2) // count(*) AS BIGINT) AS mean2 FROM od GROUP BY label)
         |SELECT d.vec_id, d.label, d.dist2,
-        |  CAST((d.dist2 * 1000000) // m.mean2 AS BIGINT) AS ratio_ppm,
+        |  CAST((d.dist2 * 1000000) // greatest(m.mean2, 1) AS BIGINT) AS ratio_ppm,
         |  (d.dist2 * 2 > m.mean2 * 5) AS is_outlier
         |FROM od d JOIN om m USING (label)
         |ORDER BY d.vec_id""".stripMargin) { (s, d) =>
@@ -2422,7 +2427,7 @@ object VectorOps {
       val om = od.groupBy(col("label")).agg(expr("sum(dist2) div count(*)").as("mean2"))
       od.join(broadcast(om), Seq("label"))
         .select(col("vec_id"), col("label"), col("dist2"),
-          expr("(dist2 * 1000000) div mean2").as("ratio_ppm"),
+          expr("(dist2 * 1000000) div greatest(mean2, 1L)").as("ratio_ppm"),
           (col("dist2") * 2 > col("mean2") * 5).as("is_outlier"))
         .orderBy(col("vec_id"))
     }

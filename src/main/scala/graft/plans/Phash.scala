@@ -110,7 +110,7 @@ object Phash extends Serializable {
     val bpp = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
     if (w != Dim || h != Dim || bpp != 24) return null
     val stride = ((w * 3 + 3) / 4) * 4
-    if (off < 54 || off + stride * Dim > b.length) return null
+    if (off < 54 || off.toLong + stride.toLong * Dim > b.length) return null
     val g = Array.ofDim[Long](Dim * Dim)
     var y = 0
     while (y < Dim) {

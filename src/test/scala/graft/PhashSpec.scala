@@ -53,6 +53,25 @@ class PhashSpec extends AnyFunSuite {
     // truncated pixel array: header promises 16x16 but bytes end early
     val full = Phash.bmpPixelFixture(0L)
     assert(Phash.phash(full.take(full.length - 10)) == null)
+    // crafted pixel-offset near Int.MaxValue: `off + stride*Dim` wraps
+    // negative in 32-bit, so an Int-arithmetic bounds check would pass and
+    // the pixel loop would throw (killing a whole imageDupGate micro-batch)
+    // instead of returning null — the guard must run in Long arithmetic
+    val huge = full.clone()
+    huge(10) = 0xf8.toByte; huge(11) = 0xff.toByte
+    huge(12) = 0xff.toByte; huge(13) = 0x7f.toByte // off = Int.MaxValue - 7
+    assert(Phash.phash(huge) == null)
+  }
+
+  test("probe/intra-batch reject a maxHamming beyond the pigeonhole bound") {
+    import spark.implicits._
+    val idx = Seq((1L, 5L)).toDF("img_id", "ph")
+    intercept[IllegalArgumentException] {
+      graft.operators.ImageDup.probeImageIndex(idx, idx, maxHamming = 4L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.ImageDup.intraBatchImageDups(idx, maxHamming = 7L)
+    }
   }
 
   test("mm_phash_dedup finds only intra-cluster pairs and nearly all of them") {
