@@ -602,48 +602,130 @@ object TextOps {
     winnowPairs(s, d); ()
   }
 
-  /** near-dup cluster labels over [[winnowPairs]] — memoized like the
-    * pairs themselves (the cluster assignment is THE per-snapshot dedup
-    * artifact; four queries consume it). Eager localCheckpoint: the
-    * pointer-jumping RDD loop runs once per (session, dataset). */
+  /** snapshot cut for the INCREMENTAL label maintenance below: documents
+    * with `doc_id >= cut` (the top ~10% of the id range) stand in for "the
+    * newly admitted batch" and everything below is "the prior corpus
+    * snapshot" — the same 90/10 framing as ss_centroid_drift. Memoized:
+    * one scalar agg per (session, dataset); the collect is a single Long
+    * (N-independent, like the other bounded scalar heads). */
+  private val cutCache = new graft.core.SessionCache[java.lang.Long]()
+  private[graft] def snapshotCut(s: SparkSession, d: String): Long =
+    cutCache.get(s, d) {
+      Long.box(T.documents(s, d)
+        .agg(expr("(max(doc_id)*9) div 10").as("cutv"))
+        .collect()(0).getLong(0))
+    }
+
+  /** BASE near-dup cluster labels — connected components over the pairs of
+    * the PRIOR corpus snapshot only (both endpoints below [[snapshotCut]]).
+    * This is the weekly-compaction artifact: at 100 TB the full CC rebuild
+    * runs on this cadence, not per batch — every per-batch snapshot is
+    * maintained by [[mergeLabels]] on top of it. */
+  private val ccBaseCache = new graft.core.SessionCache[DataFrame]()
+  private def clusterLabelsBase(s: SparkSession, d: String): DataFrame =
+    ccBaseCache.get(s, d) {
+      val cut = snapshotCut(s, d)
+      connectedComponents(
+        winnowPairs(s, d)
+          .filter(col("doc_a") < cut && col("doc_b") < cut)
+          .select(col("doc_a"), col("doc_b")))
+        .localCheckpoint(eager = true)
+    }
+
+  /** near-dup cluster labels over [[winnowPairs]] — THE per-snapshot dedup
+    * artifact (four queries consume it), maintained INCREMENTALLY since
+    * round 13: connected components run once over the prior snapshot's
+    * pairs ([[clusterLabelsBase]], the weekly-compaction role), and the
+    * newly admitted batch's pairs — every pair touching a `doc_id >=`
+    * [[snapshotCut]], i.e. exactly what the streaming probe emits per
+    * batch — fold in via [[mergeLabels]], whose CC runs on the CONDENSED
+    * graph (old components collapse to one node), never the corpus.
+    * Incremental ≡ full rebuild EXACTLY: CC(P ∪ Q) = merge(CC(P), Q) for
+    * any edge partition (ClusterSpec pins this on random graphs;
+    * CurationBatchSpec pins artifact equality on the fixture corpus; every
+    * consumer's DuckDB oracle replays the FULL graph, so all of them
+    * re-prove it per round). Eager localCheckpoint, once per (session,
+    * dataset). */
   private val ccCache = new graft.core.SessionCache[DataFrame]()
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     ccCache.get(s, d) {
-      connectedComponents(
-        winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val cut = snapshotCut(s, d)
+      mergeLabels(
+        clusterLabelsBase(s, d),
+        winnowPairs(s, d)
+          .filter(col("doc_a") >= cut || col("doc_b") >= cut)
+          .select(col("doc_a"), col("doc_b")))
         .localCheckpoint(eager = true)
     }
 
-  /** cold-build hook: force the memoized cluster labels so the bench's
-    * artifact pass can time the pointer-jumping loop in isolation. */
+  /** the FULL-rebuild form of [[clusterLabels]] — the weekly-compaction
+    * path that resorbs any long-horizon drift; exposed for the equality
+    * spec, not registered as an artifact (the incremental form IS the
+    * artifact). */
+  private[graft] def fullRebuildClusterLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** cold-build hooks: base CC (the amortized weekly-compaction cost) and
+    * the incremental merge (the TRUE per-batch cost — the number that
+    * matters at 100 TB) time as separate bench cold rows. */
+  private[graft] def buildClusterLabelsBase(s: SparkSession, d: String): Unit = {
+    clusterLabelsBase(s, d); ()
+  }
   private[graft] def buildClusterLabels(s: SparkSession, d: String): Unit = {
     clusterLabels(s, d); ()
   }
+  private[graft] def incrementalClusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
 
-  /** ENSEMBLE cluster labels — connected components over the UNION of the
-    * winnow text-pair graph and the SemDeDup embedding pair graph
-    * (VectorOps.semanticPairs). Memoized like [[clusterLabels]]: the fused
-    * cluster assignment is the per-snapshot artifact of the multi-signal
-    * dedup, built once per corpus snapshot in production (the round-12
-    * first cut ran the CC loop inside the query — three bench passes each
-    * re-ran pointer jumping over the full union graph at the 64× replica;
-    * the artifact form pays it once in the cold pass like every other CC
-    * consumer). */
-  private val ensCache = new graft.core.SessionCache[DataFrame]()
-  private def ensembleLabels(s: SparkSession, d: String): DataFrame =
-    ensCache.get(s, d) {
-      val tpair = winnowPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val epair = VectorOps.semanticPairs(s, d)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  /** the fused text ∪ embedding pair graph behind the ensemble verdict. */
+  private def ensemblePairs(s: SparkSession, d: String): DataFrame = {
+    val tpair = winnowPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val epair = VectorOps.semanticPairs(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    tpair.unionByName(epair).dropDuplicates(Seq("doc_a", "doc_b"))
+  }
+
+  /** BASE ensemble labels — CC over the prior snapshot's fused pair graph
+    * (see [[clusterLabelsBase]]). */
+  private val ensBaseCache = new graft.core.SessionCache[DataFrame]()
+  private def ensembleLabelsBase(s: SparkSession, d: String): DataFrame =
+    ensBaseCache.get(s, d) {
+      val cut = snapshotCut(s, d)
       connectedComponents(
-        tpair.unionByName(epair).dropDuplicates(Seq("doc_a", "doc_b")))
+        ensemblePairs(s, d)
+          .filter(col("doc_a") < cut && col("doc_b") < cut))
         .localCheckpoint(eager = true)
     }
 
-  /** cold-build hook for the ensemble label artifact. */
+  /** ENSEMBLE cluster labels — connected components over the UNION of the
+    * winnow text-pair graph and the SemDeDup embedding pair graph
+    * (VectorOps.semanticPairs), incrementally maintained exactly like
+    * [[clusterLabels]]: base CC over the prior snapshot's fused graph +
+    * [[mergeLabels]] of the admitted batch's fused pairs. */
+  private val ensCache = new graft.core.SessionCache[DataFrame]()
+  private def ensembleLabels(s: SparkSession, d: String): DataFrame =
+    ensCache.get(s, d) {
+      val cut = snapshotCut(s, d)
+      mergeLabels(
+        ensembleLabelsBase(s, d),
+        ensemblePairs(s, d)
+          .filter(col("doc_a") >= cut || col("doc_b") >= cut))
+        .localCheckpoint(eager = true)
+    }
+
+  /** full-rebuild form of [[ensembleLabels]] for the equality spec. */
+  private[graft] def fullRebuildEnsembleLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ensemblePairs(s, d))
+
+  /** cold-build hooks for the ensemble label artifact (base + merge). */
+  private[graft] def buildEnsembleLabelsBase(s: SparkSession, d: String): Unit = {
+    ensembleLabelsBase(s, d); ()
+  }
   private[graft] def buildEnsembleLabels(s: SparkSession, d: String): Unit = {
     ensembleLabels(s, d); ()
   }
+  private[graft] def incrementalEnsembleLabels(s: SparkSession, d: String): DataFrame =
+    ensembleLabels(s, d)
 
   /** BM25 scored POSTINGS `(doc_id, token, term_score)` — the retrieval
     * tier's per-snapshot index artifact: every (doc, term) pair's full
@@ -782,6 +864,78 @@ object TextOps {
     // the caller's action completes (recomputable from lineage if evicted)
     spent.dropRight(1).foreach(_.unpersist(blocking = false))
     spark.createDataFrame(labels).toDF("doc_id", "label")
+  }
+
+  /** INCREMENTAL union-find maintenance: fold a new batch of pairs into an
+    * existing `(doc_id, label)` artifact WITHOUT re-running CC over the
+    * full graph.
+    *
+    * Algebra: CC(P ∪ Q) = merge(CC(P), Q) for ANY partition of the edge
+    * set — because every old component is condensed to a single node (its
+    * label, which is the component's min member id), connecting condensed
+    * nodes connects exactly the underlying components, and the min label
+    * of a merged condensed component equals the min member id of the
+    * merged full component (old labels ARE min ids; unlabeled endpoints
+    * ride in as themselves). So the result is IDENTICAL to a full rebuild
+    * over P ∪ Q — ClusterSpec pins this on random graph partitions.
+    *
+    * Scale contract: the CC here runs on the CONDENSED graph — bounded by
+    * |Q| + the number of components Q touches, never the corpus. At 100 TB
+    * the per-batch label maintenance is probe-pair-sized; the full-corpus
+    * CC rebuild is demoted to a weekly compaction
+    * ([[fullRebuildClusterLabels]]).
+    *
+    * `oldLabels` rows for untouched components pass through unchanged;
+    * endpoints of `newPairs` absent from `oldLabels` (genuinely new docs,
+    * or old singletons pairing for the first time) enter as their own id
+    * and come out labeled. */
+  def mergeLabels(oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val pairs = newPairs
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .localCheckpoint(eager = true) // endpoints + 2 lookup legs read it
+    // the label ARTIFACT is the big side and must never shuffle: semi-filter
+    // it by the broadcast batch endpoints first (one unshuffled artifact
+    // stream per side), which bounds the lookup tables at batch size — they
+    // then broadcast as the right side of the left joins below
+    val endA = pairs.select(col("doc_a")).distinct()
+    val endB = pairs.select(col("doc_b")).distinct()
+    val laT = oldLabels.select(col("doc_id").as("doc_a"), col("label").as("la"))
+      .join(broadcast(endA), Seq("doc_a"), "left_semi")
+      .localCheckpoint(eager = true) // condensed lookup + new-node anti both read it
+    val lbT = oldLabels.select(col("doc_id").as("doc_b"), col("label").as("lb"))
+      .join(broadcast(endB), Seq("doc_b"), "left_semi")
+      .localCheckpoint(eager = true)
+    // condense: each endpoint maps to its component label (or itself);
+    // dedup AFTER condensing — many batch pairs collapse onto few
+    // component pairs, and the CC below runs on this bounded graph only
+    val condensed = pairs
+      .join(broadcast(laT), Seq("doc_a"), "left")
+      .join(broadcast(lbT), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .dropDuplicates(Seq("doc_a", "doc_b"))
+    val cc = connectedComponents(condensed)
+      .localCheckpoint(eager = true) // consumed by relabel + new-node legs
+    // relabel rows whose (condensed) label merged into a bigger component —
+    // cc is condensed-graph-sized, so the artifact streams through one
+    // broadcast left join unshuffled
+    val relabeled = oldLabels
+      .join(broadcast(cc.select(col("doc_id").as("label"), col("label").as("nl"))),
+        Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label"))
+    // endpoints of newPairs with no prior label: their condensed node id is
+    // their own doc_id, so cc carries their final label directly (laT/lbT
+    // hold exactly the batch endpoints that HAD labels — the anti set is
+    // computed against those batch-bounded tables, never the artifact)
+    val newNodes = endA.select(col("doc_a").as("doc_id"))
+      .union(endB.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(broadcast(laT.select(col("doc_a").as("doc_id"))
+        .union(lbT.select(col("doc_b").as("doc_id"))).distinct()),
+        Seq("doc_id"), "left_anti")
+      .join(cc, Seq("doc_id"))
+    relabeled.unionByName(newNodes)
   }
 
   val queries: Seq[Q] = Seq(
@@ -1232,6 +1386,68 @@ object TextOps {
         .join(sizes.select(col("label").as("cluster_id"), col("n_members")), Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("n_members"))
         .orderBy(col("doc_id"))
+    },
+
+    // INCREMENTAL CC maintenance receipt (round 13) — the lifecycle row of
+    // the union-find merge that keeps [[clusterLabels]] from being a full
+    // CC rebuild per corpus snapshot: base labels = CC over the prior
+    // snapshot's pairs (both endpoints below the 90% doc-id cut), the
+    // admitted batch's pairs fold in via mergeLabels (CC over the
+    // CONDENSED graph only). The Spark side reads the base + incrementally
+    // merged artifacts; the ORACLE replays base CC and the FULL-graph CC
+    // independently — so a hash match IS the proof that incremental ≡ full
+    // rebuild on the composed snapshot (the merge algebra
+    // CC(P ∪ Q) = merge(CC(P), Q) holds for any edge partition;
+    // ClusterSpec pins it on random partitions too). One summary row;
+    // every count is N-bounded aggregation over memoized artifacts.
+    Q(
+      "dd_incremental_cc",
+      s"""WITH RECURSIVE $WinnowPairsCte,
+         |p2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE n_shared >= 2),
+         |cutv AS (SELECT (max(doc_id)*9)//10 AS cut FROM documents),
+         |oldp AS (SELECT a, b FROM p2, cutv WHERE a < cut AND b < cut),
+         |oedges AS (SELECT a, b FROM oldp UNION SELECT b, a FROM oldp),
+         |onodes AS (SELECT DISTINCT a AS d FROM oedges),
+         |oreach(src, dst) AS (
+         |  SELECT d, d FROM onodes
+         |  UNION
+         |  SELECT r.src, e.b FROM oreach r JOIN oedges e ON r.dst = e.a),
+         |olab AS (SELECT src AS doc_id, MIN(dst) AS label FROM oreach GROUP BY src),
+         |edges AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |flab AS (SELECT src AS doc_id, MIN(dst) AS label FROM reach GROUP BY src)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM olab) AS n_base_docs,
+         |  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM olab) AS n_base_clusters,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p2, cutv
+         |     WHERE a >= cut OR b >= cut) AS n_new_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM flab) AS n_docs,
+         |  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM flab) AS n_clusters,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM olab o JOIN flab f USING (doc_id)
+         |     WHERE o.label <> f.label) AS n_relabeled,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM flab f
+         |     LEFT JOIN olab o USING (doc_id)
+         |     WHERE o.doc_id IS NULL) AS n_newly_labeled""".stripMargin) { (s, d) =>
+      val base = clusterLabelsBase(s, d)
+      val merged = clusterLabels(s, d)
+      val cut = snapshotCut(s, d)
+      val newp = winnowPairs(s, d)
+        .filter(col("doc_a") >= cut || col("doc_b") >= cut)
+      val chg = base.select(col("doc_id"), col("label").as("bl"))
+        .join(merged.select(col("doc_id"), col("label").as("ml")), Seq("doc_id"))
+        .filter(col("bl") =!= col("ml"))
+      val fresh = merged.join(base.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      base.agg(count(lit(1)).as("n_base_docs"),
+          countDistinct(col("label")).as("n_base_clusters"))
+        .crossJoin(newp.agg(count(lit(1)).as("n_new_pairs")))
+        .crossJoin(merged.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_clusters")))
+        .crossJoin(chg.agg(count(lit(1)).as("n_relabeled")))
+        .crossJoin(fresh.agg(count(lit(1)).as("n_newly_labeled")))
     },
 
     // SOFT dedup (round 12) — the down-WEIGHT alternative to dropping:

