@@ -96,6 +96,56 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaTopK: all four deflated components are pairwise near-orthogonal " +
+    "and their Rayleigh quotients are spectrally ordered") {
+    val vs = graft.operators.VectorOps.pcaTopK(spark, sf)
+    assert(vs.length === graft.operators.VectorOps.PcaK)
+    def nrm(v: Array[Long]): Double = math.sqrt(v.map(x => x.toDouble * x).sum)
+    for (i <- vs.indices; j <- vs.indices if i < j) {
+      val dot = (0 until 64).map(k => vs(i)(k).toDouble * vs(j)(k)).sum
+      val cosang = math.abs(dot) / (nrm(vs(i)) * nrm(vs(j)))
+      // the ss_pca2 bound, applied pairwise: exact deflation annihilates
+      // each extracted direction, so residual overlap is fixed-point noise
+      assert(cosang < 1e-4, s"|cos(v${i + 1}, v${j + 1})| = $cosang")
+    }
+    val rq = vs.map(rayleigh)
+    rq.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(b <= a * (1 + 1e-9),
+        s"component ${i + 2}'s Rayleigh quotient exceeds component ${i + 1}'s")
+    }
+    // each component still dominates every coordinate axis projected into
+    // the remaining spectrum's proxy: at minimum, beat the WORST axis
+    val axisMin = (0 until 64).map { i =>
+      val e = Array.fill(64)(0L); e(i) = 1L; rayleigh(e)
+    }.min
+    vs.foreach(v => assert(rayleigh(v) >= axisMin))
+  }
+
+  test("ss_pca_k's four projections are the exact integer dots with the " +
+    "deflation chain, and its first two columns equal ss_pca2's") {
+    val vs = graft.operators.VectorOps.pcaTopK(spark, sf)
+    val out = QueryRegistry.byName("ss_pca_k").fn(spark, sf).collect()
+    val qrows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*10000.0D) as bigint))").as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(out.length === qrows.size)
+    out.foreach { r =>
+      val q = qrows(r.getLong(0))
+      vs.zipWithIndex.foreach { case (v, i) =>
+        assert(r.getLong(2 + i) === (0 until 64).map(k => q(k) * v(k)).sum,
+          s"vec ${r.getLong(0)} pc${i + 1} mismatch")
+      }
+    }
+    val pca2 = QueryRegistry.byName("ss_pca2").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    out.foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) === pca2(r.getLong(0)),
+        "ss_pca_k's first two components must reproduce ss_pca2")
+    }
+  }
+
   test("the registered query's projection IS the exact integer dot with " +
     "the component (output contract), one row per vector") {
     val v = graft.operators.VectorOps.pcaComponent(spark, sf)
