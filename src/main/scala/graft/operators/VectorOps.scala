@@ -947,14 +947,32 @@ object VectorOps {
     * recovers neighbors any one code would miss, while per-table fan-out
     * stays bucket-bounded — at scale this is T co-partitioned joins, not
     * an all-pairs. */
-  private def topkLsh4(s: SparkSession, d: String): DataFrame = {
+  /** occupancy-targeted adaptive code width for top-k retrieval: the
+    * widest w with expected bucket occupancy N/2^w ≥ 64 (floor 2, cap 16).
+    * Integer threshold comparisons only — both engines derive the
+    * identical w from the identical count. Per-query candidate volume is
+    * ~4 tables × 64 = O(k) at ANY corpus size: width grows with N, so
+    * total candidate work stays LINEAR in N — the production ANN shape —
+    * while small corpora naturally degrade toward a scan (the honest
+    * behavior: index tiny corpora by scanning them). Contrast with the
+    * FIXED 8-bit tables of ss_topk_lsh/ss_topk_lsh4, whose recall
+    * collapses (~0.01/~0.08 measured by ss_recall) because a fixed width
+    * prunes the same fraction regardless of what k needs. */
+  private def topkWidth(n: Long): Int =
+    math.max(2, (1 to 16).count(k => n >= (64L << k)))
+
+  /** shared multi-table sign-LSH top-k: 4 tables of `w`-bit slice codes,
+    * candidate union across tables, exact rerank — ss_topk_lsh4 pins
+    * w = 8 (the documented recall-collapse contrast); ss_topk_lsha feeds
+    * the adaptive [[topkWidth]]. */
+  private def topkLshTables(s: SparkSession, d: String, w: Int): DataFrame = {
     val emb = quantized(s, d, withBucket = false)
-    // (vec_id, t, bucket): table t's code = sign bits of dims 8t+1..8t+8
+    // (vec_id, t, bucket): table t's code = sign bits of dims wt+1..wt+w
     val codes = emb.select(col("vec_id"), col("embedding"), col("qarr"), col("nrm"),
         explode(expr("sequence(0, 3)")).as("t"))
       .withColumn("bucket", expr(
-        "aggregate(sequence(1, 8), 0, (acc, i) -> " +
-          "acc + if(element_at(embedding, t*8 + i) >= cast(0 as float), " +
+        s"aggregate(sequence(1, $w), 0, (acc, i) -> " +
+          s"acc + if(element_at(embedding, t*$w + i) >= cast(0 as float), " +
           "cast(pow(2, i-1) as int), 0))"))
       .drop("embedding")
     // candidate ids only through the dedup shuffle — the 64-element query
@@ -978,6 +996,12 @@ object VectorOps {
       .withColumn("cos", cosFrom(col("dot"), col("nq"), col("nc")))
     rankTopK(pairs, 5)
   }
+
+  private def topkLsh4(s: SparkSession, d: String): DataFrame =
+    topkLshTables(s, d, 8)
+
+  private def topkLshAdaptive(s: SparkSession, d: String): DataFrame =
+    topkLshTables(s, d, topkWidth(T.embeddings(s, d).count()))
 
   /** the multi-table LSH CTE chain (prefix `m`), sharing `flat`/`norms`. */
   private val Lsh4TopSql =
@@ -1003,6 +1027,39 @@ object VectorOps {
       |  SELECT q_id, n_id, cos, rnk FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
       |    FROM mscored)
+      |  WHERE rnk <= 5)""".stripMargin
+
+  /** the ADAPTIVE-width multi-table LSH CTE chain (prefix `a`), sharing
+    * `flat`/`norms` — `awsel` derives the same occupancy-64 integer width
+    * as [[topkWidth]]. */
+  private val LshaTopSql =
+    s"""awsel AS (
+      |  SELECT GREATEST(2, ${(1 to 16).map(k => s"(CASE WHEN n >= ${64L << k} THEN 1 ELSE 0 END)")
+                               .mkString(" + ")}) AS w
+      |  FROM (SELECT count(*) AS n FROM embeddings)),
+      |ab AS (
+      |  SELECT e.vec_id, tt.t,
+      |    list_sum(list_transform(range(1, ws.w + 1),
+      |      i -> CASE WHEN e.embedding[tt.t*ws.w + i] >= 0
+      |           THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+      |  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt
+      |  CROSS JOIN awsel ws),
+      |acand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      |  FROM ab q JOIN ab c ON q.t = c.t AND q.bucket = c.bucket
+      |    AND q.vec_id < 16 AND q.vec_id <> c.vec_id),
+      |adots AS (
+      |  SELECT c.q_id, c.n_id, sum(qf.v*nf.v) AS dot
+      |  FROM acand c JOIN flat qf ON qf.vec_id = c.q_id
+      |  JOIN flat nf ON nf.vec_id = c.n_id AND nf.i = qf.i
+      |  GROUP BY 1, 2),
+      |ascored AS (
+      |  SELECT q_id, n_id, ${cosSql("dot", "nq.nrm", "nc.nrm")} AS cos
+      |  FROM adots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id),
+      |atop AS (
+      |  SELECT q_id, n_id, cos, rnk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      |    FROM ascored)
       |  WHERE rnk <= 5)""".stripMargin
 
   /** the SQ8 top-k CTE chain (prefix `q`), sharing `flat`/`norms`. */
@@ -1430,6 +1487,21 @@ object VectorOps {
       (s, d) => topkLsh4(s, d)
     },
 
+    // ADAPTIVE-width multi-table sign-LSH top-k (round 13) — the repaired
+    // production form: same 4-table candidate-union shape as ss_topk_lsh4,
+    // but the code width follows the occupancy-64 rule (topkWidth), so the
+    // per-query candidate budget is O(k) at any corpus size instead of a
+    // fixed-fraction prune. ss_recall carries the evidence: the fixed
+    // 8-bit rows stay as the documented recall-collapse contrast
+    // (lsh ~0.01, lsh4 ~0.08); this row's recall is the deployable number.
+    Q(
+      "ss_topk_lsha",
+      s"""$FlatCte,
+         |$LshaTopSql
+         |SELECT q_id, n_id, cos, rnk FROM atop ORDER BY q_id, rnk""".stripMargin) {
+      (s, d) => topkLshAdaptive(s, d)
+    },
+
     // Late-interaction (ColBERT-style) MaxSim retrieval: multi-vector
     // passages (8 token-vectors each), score = per-query-token best-match
     // sum. The scorer a multi-vector embedding index serves; top-5
@@ -1501,6 +1573,7 @@ object VectorOps {
          |$BruteTopSql,
          |$LshTopSql,
          |$Lsh4TopSql,
+         |$LshaTopSql,
          |$QuantTopSql,
          |$PqTopSql,
          |$IvfTopSql,
@@ -1517,6 +1590,10 @@ object VectorOps {
          |  UNION ALL
          |  SELECT 'lsh4' AS method, b.q_id, count(m.n_id) AS n_hits
          |  FROM btop b LEFT JOIN mtop m ON m.q_id = b.q_id AND m.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |  UNION ALL
+         |  SELECT 'lsha' AS method, b.q_id, count(a.n_id) AS n_hits
+         |  FROM btop b LEFT JOIN atop a ON a.q_id = b.q_id AND a.n_id = b.n_id
          |  GROUP BY b.q_id
          |  UNION ALL
          |  SELECT 'quant' AS method, b.q_id, count(t.n_id) AS n_hits
@@ -1544,6 +1621,7 @@ object VectorOps {
       recallOf("ivf", topkIvf(s, d))
         .union(recallOf("lsh", topkLsh(s, d)))
         .union(recallOf("lsh4", topkLsh4(s, d)))
+        .union(recallOf("lsha", topkLshAdaptive(s, d)))
         .union(recallOf("quant", topkQuant(s, d)))
         .union(recallOf("pq", topkPq(s, d)))
         .union(recallOf("ivfpq", topkIvfPq(s, d)))
@@ -1566,6 +1644,7 @@ object VectorOps {
          |$BruteTopSql,
          |$LshTopSql,
          |$Lsh4TopSql,
+         |$LshaTopSql,
          |$QuantTopSql,
          |$PqTopSql,
          |$IvfTopSql,
@@ -1584,6 +1663,8 @@ object VectorOps {
          |    LEFT JOIN ltop l ON l.q_id = t1.q_id AND l.n_id = t1.n_id
          |  UNION ALL SELECT 'lsh4', t1.q_id, m.rnk FROM t1
          |    LEFT JOIN mtop m ON m.q_id = t1.q_id AND m.n_id = t1.n_id
+         |  UNION ALL SELECT 'lsha', t1.q_id, a.rnk FROM t1
+         |    LEFT JOIN atop a ON a.q_id = t1.q_id AND a.n_id = t1.n_id
          |  UNION ALL SELECT 'pq', t1.q_id, p.rnk FROM t1
          |    LEFT JOIN pqtop p ON p.q_id = t1.q_id AND p.n_id = t1.n_id
          |  UNION ALL SELECT 'quant', t1.q_id, t.rnk FROM t1
@@ -1605,6 +1686,7 @@ object VectorOps {
         .union(mrrOf("ivfpq", topkIvfPq(s, d)))
         .union(mrrOf("lsh", topkLsh(s, d)))
         .union(mrrOf("lsh4", topkLsh4(s, d)))
+        .union(mrrOf("lsha", topkLshAdaptive(s, d)))
         .union(mrrOf("pq", topkPq(s, d)))
         .union(mrrOf("quant", topkQuant(s, d)))
         .orderBy(col("method"))
