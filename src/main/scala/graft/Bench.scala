@@ -166,7 +166,9 @@ object Bench {
     // line stays under budget; the remainder is summarized, never dropped
     // silently (n + seconds of everything not listed).
     val byWeight = results.sortBy(-_._2)
-    val budget = 1100
+    // stdout must stay comfortably inside the driver's trailing-2000-char
+    // parse window: ~220 fixed + ~460 cold_builds + this + ~80 other/spread
+    val budget = 900
     val head = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used = 0
     byWeight.foreach { case (k, v) =>
