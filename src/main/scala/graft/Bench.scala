@@ -73,15 +73,37 @@ object Bench {
     // still shields against transient host steal (observed: 0.6s ↔ 8s on
     // identical plans); a genuine plan regression moves the min, steal
     // only widens the spread.
-    val perQuery: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
+    // EXECUTOR CPU TIME per run (round 13): wall-clock on a time-shared
+    // host carries steal noise that no retry protocol fully removes (two
+    // same-code full runs spanned 78.7-112 s in r12/r13); summed task CPU
+    // time is steal-robust — the reproducible round-over-round signal.
+    // The listener bus is drained before each read so attribution never
+    // bleeds across queries. Driver-side math (e.g. the PCA squarings) is
+    // deliberately outside this counter; wall stays the primary metric.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+      }
+    })
+    def drainBus(): Unit =
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark.sparkContext)
+    def timedRuns(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[(Double, Double)] = {
       System.gc()
-      val ts = (1 to 3).map { _ =>
+      (1 to 3).map { _ =>
         spark.catalog.clearCache()
+        drainBus()
+        val c0 = cpuNs.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        (w, (cpuNs.get() - c0) / 1e9)
       }
-      name -> ts.toSeq
+    }
+    val perQuery: Seq[(String, Seq[(Double, Double)])] = ordered.map { case (name, fn) =>
+      name -> timedRuns(fn)
     }
     // REFERENCE-FLOOR RETRY (round 13): min-of-3 back-to-back is blind to
     // SUSTAINED steal — if the host is stolen for the whole ~20 s window a
@@ -109,34 +131,33 @@ object Bench {
     } catch { case _: Throwable => Map.empty[String, Double] }
     val flagged = perQuery.collect {
       case (name, ts) if refMins.get(name).exists(r =>
-        ts.min > r * 1.5 && ts.min - r > 0.3) => name
+        ts.map(_._1).min > r * 1.5 && ts.map(_._1).min - r > 0.3) => name
     }.toSet
-    val retried: Seq[(String, Seq[Double])] = ordered
+    val retried: Seq[(String, Seq[(Double, Double)])] = ordered
       .filter { case (name, _) => flagged(name) }
-      .map { case (name, fn) =>
-        System.gc()
-        val ts = (1 to 3).map { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> ts.toSeq
-      }
+      .map { case (name, fn) => name -> timedRuns(fn) }
     val retriedRuns = retried.toMap
     val perQueryFinal = perQuery.map { case (name, ts) =>
       name -> (ts ++ retriedRuns.getOrElse(name, Seq.empty))
     }
-    val results = perQueryFinal.map { case (name, ts) => name -> ts.min }
+    val results = perQueryFinal.map { case (name, ts) => name -> ts.map(_._1).min }
+    // per-query CPU: the MEDIAN of the runs' executor-CPU seconds (a
+    // stolen run's cpu barely moves, so median ≈ every run)
+    val cpuResults = perQueryFinal.map { case (name, ts) =>
+      val cs = ts.map(_._2).sorted
+      name -> cs(cs.size / 2)
+    }
     val spreads = perQueryFinal.map { case (name, ts) =>
-      name -> (if (ts.min > 0) ts.max / ts.min else 0.0)
+      val w = ts.map(_._1)
+      name -> (if (w.min > 0) w.max / w.min else 0.0)
     }
     // med/min is the steal-robust spread: ONE stolen run out of three
     // inflates max/min but leaves the median untouched, so a med/min near
     // 1 with a big max/min reads "host steal", while both high reads
     // "genuinely unstable query"
     val spreadsMed = perQuery.map { case (name, ts) =>
-      name -> (if (ts.min > 0) ts.sorted.apply(1) / ts.min else 0.0)
+      val w = ts.map(_._1)
+      name -> (if (w.min > 0) w.sorted.apply(1) / w.min else 0.0)
     }
     // Locale.ROOT: the f interpolator formats with the JVM default locale,
     // and a comma-decimal locale would make this line unparseable JSON
@@ -154,11 +175,13 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     // best-effort: an unwritable cwd must not take down the stdout report
     val runsObj = perQueryFinal
-      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, "%.3f")).mkString(",") + "]" }
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => fmt(t._1, "%.3f")).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val retriedArr = retried.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val cpuTotal = cpuResults.map(_._2).sum
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"cold artifact pass x2 (per-artifact min), then query-major min-of-3, cache cleared per run, gc per query, reference-floor retry pass (>1.5x and >0.3s over $refPath re-timed in a second window)","cold_builds":${obj(coldBuilds)},"cold_total":${fmt(coldTotal, "%.4f")},"queries":${obj(results)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"retried":$retriedArr,"runs":$runsObj,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","protocol":"cold artifact pass x2 (per-artifact min), then query-major min-of-3, cache cleared per run, gc per query, reference-floor retry pass (>1.5x and >0.3s over $refPath re-timed in a second window); cpu_* = summed executor task CPU (median of runs), the steal-robust cross-run signal","cold_builds":${obj(coldBuilds)},"cold_total":${fmt(coldTotal, "%.4f")},"queries":${obj(results)},"cpu_total":${fmt(cpuTotal, "%.4f")},"cpu_queries":${obj(cpuResults)},"spread_max_over_min":${obj(spreads)},"spread_med_over_min":${obj(spreadsMed)},"retried":$retriedArr,"runs":$runsObj,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] full dump failed: ${e.getMessage}")
     }
@@ -181,7 +204,7 @@ object Bench {
     }
     val spreadMedian = medianOf(spreads.map(_._2))
     val spreadMedianM2 = medianOf(spreadsMed.map(_._2))
-    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","n_queries":${results.size},"cold_builds":${obj(coldBuilds, "%.2f")},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_retried":${retried.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","cpu_total":${fmt(cpuTotal, "%.2f")},"n_queries":${results.size},"cold_builds":${obj(coldBuilds, "%.2f")},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_retried":${retried.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

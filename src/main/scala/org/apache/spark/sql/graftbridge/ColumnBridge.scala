@@ -51,4 +51,10 @@ object ColumnBridge {
     * audited plan counters independent of registry ordering. */
   def clearAllCache(spark: SparkSession): Unit =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.clearCache()
+
+  /** drain the listener bus (private[spark]) — lets a metrics listener's
+    * counters be read back synchronously after an action returns, so
+    * per-query CPU-time attribution doesn't bleed into the next query. */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
