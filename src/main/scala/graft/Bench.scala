@@ -40,7 +40,11 @@ object Bench {
     // cold pass swinging 34.9 s ↔ 70.2 s on identical code (host steal
     // lands on whichever pass it lands on); two passes in two time
     // windows make the committed number reproducible.
-    val coldBuilds: Seq[(String, Double)] = if (only.nonEmpty) Seq() else {
+    // SPARK_GRAFT_COLD=1 forces the cold pass even under a name filter —
+    // how an isolated replica batch measures artifact-build scale (e.g.
+    // the base-CC vs incremental-merge split at 64×)
+    val coldBuilds: Seq[(String, Double)] =
+      if (only.nonEmpty && !sys.env.contains("SPARK_GRAFT_COLD")) Seq() else {
       val passes = (1 to 2).map { _ =>
         graft.core.SessionCache.invalidate(spark)
         graft.tools.ColdBuilds.all.map { case (name, build) =>
