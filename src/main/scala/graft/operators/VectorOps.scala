@@ -574,17 +574,33 @@ object VectorOps {
     * SemDeDup pair set, shared by `dd_semantic` (keep-min verdict) and
     * `TextOps.dd_ensemble` (the embedding signal of the fused dedup
     * verdict). Candidate space = sum of per-class pair counts, never
-    * corpus² (see dd_semantic's scaladoc). */
-  private[operators] def semanticPairs(s: SparkSession, d: String): DataFrame = {
-    val e = semBase(s, d)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
-      col("qe").as("qa"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
-      col("qe").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(cosFrom(dotOf("qa", "qb"), col("na"), col("nb")) >= 0.4)
-      .select(col("vec_a"), col("vec_b"))
+    * corpus² (see dd_semantic's scaladoc).
+    *
+    * MEMOIZED since round 13 (eager localCheckpoint, like winnowPairs):
+    * the pair graph is the shared per-snapshot upstream of dd_semantic,
+    * dd_ensemble, and both ensemble label builds — the 64× replica batch
+    * measured dd_ensemble paying ~33 s PER RUN recomputing this join
+    * (within-label pair volume grows quadratically on replicas), where
+    * every other pair graph was already a build-once artifact. ColdBuilds
+    * times it as `vec_semantic_pairs`. */
+  private val semPairCache = new graft.core.SessionCache[DataFrame]()
+  private[operators] def semanticPairs(s: SparkSession, d: String): DataFrame =
+    semPairCache.get(s, d) {
+      val e = semBase(s, d)
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("qe").as("qa"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("qe").as("qb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(cosFrom(dotOf("qa", "qb"), col("na"), col("nb")) >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** cold-build hook for the semantic pair-graph artifact. */
+  private[graft] def buildSemanticPairs(s: SparkSession, d: String): Unit = {
+    semanticPairs(s, d); ()
   }
 
   /** DuckDB-side mirror of [[semBase]]/[[semanticPairs]] — CTE chain

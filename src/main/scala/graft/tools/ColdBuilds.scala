@@ -53,6 +53,8 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => TextOps.buildClusterLabelsBase(s, d)),
     "text_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
+    "vec_semantic_pairs" ->
+      ((s: SparkSession, d: String) => VectorOps.buildSemanticPairs(s, d)),
     "ensemble_labels_base" ->
       ((s: SparkSession, d: String) => TextOps.buildEnsembleLabelsBase(s, d)),
     "ensemble_cluster_labels" ->
