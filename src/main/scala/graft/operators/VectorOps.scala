@@ -2466,9 +2466,17 @@ object VectorOps {
           .agg(top4(-col("si"), col(partner)).as("top"))
           .select(col(key),
             expr("aggregate(top, 0L, (acc, x) -> acc - x._1) div size(top)").as("av"))
+      // shuffle_hash pins: the per-side neighborhood tables are CORPUS-keyed
+      // (one row per src/tgt id) — at scale they must never broadcast, and
+      // at tiny SF the un-hinted plan sat exactly on the AQE broadcast
+      // threshold, flipping broadcast↔shuffle between identical runs (the
+      // one nondeterministic row in the r13 plan audit). The hint makes the
+      // plan BOTH deterministic and the 100 TB shape.
       val marg = si
-        .join(sideAvg("src_id", "tgt_id").withColumnRenamed("av", "sa"), Seq("src_id"))
-        .join(sideAvg("tgt_id", "src_id").withColumnRenamed("av", "ta"), Seq("tgt_id"))
+        .join(sideAvg("src_id", "tgt_id").withColumnRenamed("av", "sa")
+          .hint("shuffle_hash"), Seq("src_id"))
+        .join(sideAvg("tgt_id", "src_id").withColumnRenamed("av", "ta")
+          .hint("shuffle_hash"), Seq("tgt_id"))
         .select(col("src_id"), col("tgt_id"),
           // greatest(..,1): si is cos+1 scaled (≥0), so a degenerate all-zero
           // neighborhood yields margin 0 on both engines instead of NULL-vs-error
