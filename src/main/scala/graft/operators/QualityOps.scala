@@ -96,6 +96,14 @@ object QualityOps {
   // layout pin; if the epoch count ever needs tuning, re-measure the
   // mistake sequence first — don't assume it plateaus.
   private val ClsEpochs = 12
+  // warm-start continuation budget (round 14): the per-snapshot artifact
+  // seeds from the prior generation's pocket weights and pays only these
+  // epochs over the full corpus — 4 (+1 evaluation pass) vs the base's
+  // 12 (+1), so the per-batch training cost drops ~12/4 ≈ 3× while the
+  // oscillating mistake curve above still gets several continuation shots
+  // and the seed-as-candidate pocket rule guarantees the artifact is
+  // never worse than the prior generation on full-corpus mistakes.
+  private val ClsEpochsWarm = 4
   // label threshold ~ the corpus qmicro median, so the distilled rule is a
   // genuinely two-class target instead of a constant
   private val ClsLabelThr = 680000L
@@ -281,8 +289,13 @@ object QualityOps {
     * map-side-combining shuffle keyed by (doc_id, bucket) plus a broadcast
     * of nothing (the length rides in from a second tiny projection);
     * persisted because every epoch consumes it twice (margins + update). */
-  private def classifierFeatures(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
+  private def classifierFeatures(s: SparkSession, d: String): DataFrame =
+    classifierFeaturesFor(T.documents(s, d))
+
+  /** [[classifierFeatures]] over an explicit doc relation — the base
+    * (prior-snapshot) training scope reuses the identical feature
+    * definition on a filtered corpus (round 14 warm-start split). */
+  private def classifierFeaturesFor(docs: DataFrame): DataFrame = {
     val dlen = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("n_tok"))
     docs
@@ -328,8 +341,12 @@ object QualityOps {
     * pure integer algebra, so the sparse plan and the oracle's dense spec
     * agree bit for bit. The bias bucket (-1) is exempt (a constant column
     * standardizes to zero and would erase the bias). */
-  private def classifierStats(s: SparkSession, d: String, feat: DataFrame): DataFrame = {
-    val nDf = T.documents(s, d).agg(count(lit(1)).as("n"))
+  private def classifierStats(s: SparkSession, d: String, feat: DataFrame): DataFrame =
+    classifierStatsFor(feat, T.documents(s, d).agg(count(lit(1)).as("n")))
+
+  /** [[classifierStats]] against an explicit doc-count relation (the base
+    * scope standardizes over prior-snapshot docs only). */
+  private def classifierStatsFor(feat: DataFrame, nDf: DataFrame): DataFrame = {
     feat.groupBy(col("bucket")).agg(
         sum(col("cnt")).as("sc"), sum(col("cnt") * col("cnt")).as("ssc"))
       .crossJoin(broadcast(nDf))
@@ -384,6 +401,38 @@ object QualityOps {
   private def trainedWeights(s: SparkSession, d: String): DataFrame =
     classifierState(s, d).w
 
+  /** BASE classifier weights — the pocketed perceptron trained from ZERO
+    * for the full [[ClsEpochs]] epochs over the PRIOR corpus snapshot only
+    * (doc_id below TextOps.snapshotCut, its own features / standardization
+    * stats / labels on that scope). This is the weekly-compaction role of
+    * the classifier story, exactly parallel to clusterLabelsBase /
+    * semanticPairsBase: at 100 TB the from-scratch retrain runs on that
+    * cadence, and each per-snapshot artifact WARM-STARTS from these
+    * weights instead of re-paying the full epoch budget. Memoized as the
+    * driver-side integer map (≤67 entries — the same bounded shape the
+    * epoch loop already uses). */
+  private val clsBaseCache = new graft.core.SessionCache[Map[Long, Long]]()
+  private def classifierBaseWeights(s: SparkSession, d: String): Map[Long, Long] =
+    clsBaseCache.get(s, d) {
+      val cut = TextOps.snapshotCut(s, d)
+      val docs = T.documents(s, d).filter(col("doc_id") < cut)
+      val feat = classifierFeaturesFor(docs)
+      val stats = classifierStatsFor(feat, docs.agg(count(lit(1)).as("n")))
+        .localCheckpoint()
+      val fz = classifierFeatZ(feat, stats).localCheckpoint(eager = true)
+      val lab = qualityDocs(s, d).filter(col("doc_id") < cut)
+        .select(col("doc_id"),
+          when(col("qmicro") >= lit(ClsLabelThr), 1L).otherwise(-1L).as("label"))
+        .repartition(col("doc_id")).localCheckpoint(eager = true)
+      feat.unpersist(blocking = false)
+      trainedMapFrom(fz, stats, lab, Map.empty, ClsEpochs, seedCandidate = false)
+    }
+
+  /** cold-build hook for the base (weekly-compaction) training. */
+  private[graft] def buildClassifierBase(s: SparkSession, d: String): Unit = {
+    classifierBaseWeights(s, d); ()
+  }
+
   /** The classifier's trained state, memoized per (session, data dir):
     * the persisted sparse feature table, standardization stats, labels,
     * and the localCheckpoint'd weight table. Training is paid ONCE per
@@ -394,12 +443,25 @@ object QualityOps {
     * the session OBJECT (core.SessionCache) so a restarted session can
     * never alias a stopped one's frames; results are hash-identical to the
     * uncached path because the cached weights ARE the uncached
-    * computation's output. */
+    * computation's output.
+    *
+    * WARM-STARTED since round 14: the per-snapshot state runs only
+    * [[ClsEpochsWarm]] continuation epochs over the full corpus, seeded
+    * from [[classifierBaseWeights]] (buckets the prior snapshot never saw
+    * seed at 0), with the SEED ITSELF a pocket candidate — so a retrain
+    * that never beats the prior generation's weights on full-corpus
+    * mistakes KEEPS them (the staged-retrain/drift-audit semantics of
+    * Pipelines.dsirGateGen, made exact by the pocket rule; the pocket
+    * guarantee mis(final) ≤ mis(seed) is the drift audit, reported by
+    * tx_classifier_drift). Both training stages replay in every consumer's
+    * DuckDB oracle, so the full base+warm recurrence stays hash-pinned. */
   private final case class ClsState(
-      fz: DataFrame, stats: DataFrame, lab: DataFrame, w: DataFrame)
+      fz: DataFrame, stats: DataFrame, lab: DataFrame, w: DataFrame,
+      seedW: Map[Long, Long])
   private val clsCache = new graft.core.SessionCache[ClsState]()
   private def classifierState(s: SparkSession, d: String): ClsState =
     clsCache.get(s, d) {
+      val seed = classifierBaseWeights(s, d)
       val feat = classifierFeatures(s, d)
       val stats = classifierStats(s, d, feat).localCheckpoint()
       // fz/lab are CHECKPOINTED, not persisted: every scoring pass reads
@@ -410,12 +472,18 @@ object QualityOps {
       val fz = classifierFeatZ(feat, stats).localCheckpoint(eager = true)
       val lab = labelsPartitioned(s, d).localCheckpoint(eager = true)
       feat.unpersist(blocking = false)
-      val w = trainedWeightsFrom(fz, stats, lab).localCheckpoint(eager = true)
-      ClsState(fz, stats, lab, w)
+      val buckets = stats.select(col("bucket")).collect().map(_.getLong(0))
+      val seedFull = buckets.map(b => b -> seed.getOrElse(b, 0L)).toMap
+      val wMap = trainedMapFrom(fz, stats, lab, seedFull, ClsEpochsWarm,
+        seedCandidate = true)
+      import s.implicits._
+      val w = wMap.toSeq.toDF("bucket", "w").localCheckpoint(eager = true)
+      ClsState(fz, stats, lab, w, seedFull)
     }
 
   /** cold-build hook: force the memoized classifier state so the bench's
-    * artifact pass can time training in isolation (core.ColdBuilds). */
+    * artifact pass can time the warm-start continuation in isolation
+    * (core.ColdBuilds; the base training is its own row). */
   private[graft] def buildClassifierState(s: SparkSession, d: String): Unit = {
     classifierState(s, d); ()
   }
@@ -426,9 +494,16 @@ object QualityOps {
   private def labelsPartitioned(s: SparkSession, d: String): DataFrame =
     classifierLabels(s, d).repartition(col("doc_id"))
 
-  private def trainedWeightsFrom(fz: DataFrame, stats: DataFrame,
-      lab: DataFrame): DataFrame = {
-    val s = fz.sparkSession
+  /** the pocketed-perceptron epoch loop, parameterized for the round-14
+    * base/warm split: `seed` is the starting weight map (empty = zeros,
+    * the from-scratch base form), `epochs` the continuation budget, and
+    * `seedCandidate` whether the seed itself competes in the pocket (the
+    * warm path sets it — a continuation that never beats the prior
+    * generation keeps it, with the earliest-on-ties rule favoring the
+    * seed). Returns the pocket winner as the driver-side integer map. */
+  private def trainedMapFrom(fz: DataFrame, stats: DataFrame,
+      lab: DataFrame, seed: Map[Long, Long], epochs: Int,
+      seedCandidate: Boolean): Map[Long, Long] = {
     // The weight table is ≤67 rows, so the epoch state lives on the DRIVER
     // as an integer map (the same bounded-collect shape as BPE's per-round
     // argmax): each epoch ships the weights into the margin pass as a
@@ -441,9 +516,9 @@ object QualityOps {
     val z0 = stats.select(col("bucket"), col("z0")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val buckets = z0.keys.toSeq.sorted
-    var w: Map[Long, Long] = buckets.map(_ -> 0L).toMap
+    var w: Map[Long, Long] = buckets.map(b => b -> seed.getOrElse(b, 0L)).toMap
     var best: (Long, Map[Long, Long]) = (Long.MaxValue, w)
-    for (e <- 1 to ClsEpochs + 1) {
+    for (e <- 1 to epochs + 1) {
       val c = buckets.iterator.map(b => z0(b) * w(b)).sum
       val wvCol = element_at(typedLit(w), col("bucket"))
       val margins = fz
@@ -465,90 +540,116 @@ object QualityOps {
       val bias = rows.find(_.getLong(0) == -1L)
       val nm = bias.map(_.getLong(2)).getOrElse(0L)
       val sl = bias.map(_.getLong(3)).getOrElse(0L)
-      if (e >= 2 && nm < best._1) best = (nm, w) // w here is w_(e-1)
-      if (e <= ClsEpochs) {
+      // epoch e's margin pass evaluates w_(e-1); the seed (w_0) competes
+      // only on the warm path (strict < keeps earliest on ties — the seed)
+      if ((seedCandidate || e >= 2) && nm < best._1) best = (nm, w)
+      if (e <= epochs) {
         val upd = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
         w = buckets.map(b =>
           b -> (w(b) + upd.getOrElse(b, 0L) + z0(b) * sl)).toMap
       }
     }
-    import s.implicits._
-    best._2.toSeq.toDF("bucket", "w")
+    best._2
   }
 
-  /** the classifier's CTE chain — feat/lab, standardization stats, sparse
-    * dz table, then one c/m/mis/sl/u/w sextet per epoch (margins carry the
+  /** ONE pocketed-perceptron training chain as CTEs — feat/lab over the
+    * given doc/ql relations, standardization stats, sparse dz table, the
+    * given w0, then one c/m/mis/sl/u/w sextet per epoch (margins carry the
     * Σ z0·w constant exactly as the Spark side does), closed by the pocket
-    * pick (per-epoch mistake counts from the NEXT epoch's margin pass, best
-    * = fewest mistakes, earliest on ties). Shared by the train and score
-    * oracles; the SQL is the SPEC of the recurrence, unrolled because the
-    * epoch count is a fixed knob. */
-  private def classifierSql: String = {
+    * pick (per-epoch mistake counts from the NEXT epoch's margin pass,
+    * fewest mistakes, earliest on ties; `seedCandidate` enters w0 as epoch
+    * 0 — the warm path's keep-the-prior-generation rule). Every CTE name
+    * is prefixed with `p` so two chains compose in one WITH. */
+  private def clsChainSql(p: String, docsRel: String, qlRel: String,
+      nEpochs: Int, w0Sql: String, seedCandidate: Boolean): String = {
     val base =
-      s"""tokb AS (
+      s"""${p}tokb AS (
          |  SELECT doc_id, ${sid60Sql("tok")} % $ClsBuckets AS bucket
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
-         |dlen AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
-         |feat AS MATERIALIZED (
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM $docsRel)),
+         |${p}dlen AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok FROM $docsRel),
+         |${p}feat AS MATERIALIZED (
          |  SELECT f.doc_id, f.bucket, CAST((f.rawc*1000)//d.n_tok AS BIGINT) AS cnt
-         |  FROM (SELECT doc_id, bucket, count(*) AS rawc FROM tokb GROUP BY 1, 2) f
-         |  JOIN dlen d USING(doc_id)
+         |  FROM (SELECT doc_id, bucket, count(*) AS rawc FROM ${p}tokb GROUP BY 1, 2) f
+         |  JOIN ${p}dlen d USING(doc_id)
          |  UNION ALL
-         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1000 AS BIGINT) FROM documents
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1000 AS BIGINT) FROM $docsRel
          |  UNION ALL
          |  SELECT doc_id, CAST(-2 AS BIGINT),
          |    CAST(len(list_distinct(string_split(text,' ')))*1000
-         |         // len(string_split(text,' ')) AS BIGINT) FROM documents
+         |         // len(string_split(text,' ')) AS BIGINT) FROM $docsRel
          |  UNION ALL
          |  SELECT doc_id, CAST(-3 AS BIGINT),
-         |    CAST(least(len(string_split(text,' ')), 100)*10 AS BIGINT) FROM documents),
-         |lab AS MATERIALIZED (SELECT doc_id,
+         |    CAST(least(len(string_split(text,' ')), 100)*10 AS BIGINT) FROM $docsRel),
+         |${p}lab AS MATERIALIZED (SELECT doc_id,
          |  CASE WHEN qmicro >= $ClsLabelThr THEN CAST(1 AS BIGINT)
-         |       ELSE CAST(-1 AS BIGINT) END AS label FROM ql),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |st0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS sc,
-         |        CAST(sum(cnt*cnt) AS BIGINT) AS ssc FROM feat GROUP BY bucket),
-         |st1 AS (SELECT bucket, sc, ssc,
+         |       ELSE CAST(-1 AS BIGINT) END AS label FROM $qlRel),
+         |${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $docsRel),
+         |${p}st0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS sc,
+         |        CAST(sum(cnt*cnt) AS BIGINT) AS ssc FROM ${p}feat GROUP BY bucket),
+         |${p}st1 AS (SELECT bucket, sc, ssc,
          |        CASE WHEN bucket = -1 THEN 0 ELSE (sc*1000)//nn.n END AS mu
-         |        FROM st0, nn),
-         |st2 AS (SELECT bucket, mu,
+         |        FROM ${p}st0, ${p}nn nn),
+         |${p}st2 AS (SELECT bucket, mu,
          |        CASE WHEN bucket = -1 THEN 0
          |             ELSE (1000000*ssc - 2000*mu*sc + nn.n*mu*mu)//(nn.n - 1) END AS vr
-         |        FROM st1, nn),
-         |stz AS MATERIALIZED (SELECT bucket, mu,
+         |        FROM ${p}st1, ${p}nn nn),
+         |${p}stz AS MATERIALIZED (SELECT bucket, mu,
          |        CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT) + 1 AS sd1,
          |        CASE WHEN bucket = -1 THEN 0
          |             ELSE (-mu*1000)//(CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT) + 1)
          |        END AS z0
-         |        FROM st2),
-         |fz AS MATERIALIZED (SELECT f.doc_id, f.bucket,
+         |        FROM ${p}st2),
+         |${p}fz AS MATERIALIZED (SELECT f.doc_id, f.bucket,
          |        CASE WHEN f.bucket = -1 THEN f.cnt
          |             ELSE ((f.cnt*1000 - s.mu)*1000)//s.sd1 - s.z0 END AS dz
-         |       FROM feat f JOIN stz s USING(bucket)),
-         |w0 AS MATERIALIZED (SELECT bucket, CAST(0 AS BIGINT) AS w FROM stz)""".stripMargin
-    val epochs = (1 to ClsEpochs + 1).map { e =>
-      s"""c$e AS (SELECT CAST(coalesce(sum(s.z0*w.w), 0) AS BIGINT) AS c
-         |  FROM stz s JOIN w${e - 1} w USING(bucket)),
-         |m$e AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.dz*w.w) AS BIGINT) + (SELECT c FROM c$e) AS margin
-         |  FROM fz f JOIN w${e - 1} w USING(bucket) GROUP BY f.doc_id),
-         |mis$e AS MATERIALIZED (SELECT l.doc_id, l.label FROM lab l JOIN m$e m USING(doc_id)
+         |       FROM ${p}feat f JOIN ${p}stz s USING(bucket)),
+         |${p}w0 AS MATERIALIZED ($w0Sql)""".stripMargin
+    val epochs = (1 to nEpochs + 1).map { e =>
+      s"""${p}c$e AS (SELECT CAST(coalesce(sum(s.z0*w.w), 0) AS BIGINT) AS c
+         |  FROM ${p}stz s JOIN ${p}w${e - 1} w USING(bucket)),
+         |${p}m$e AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.dz*w.w) AS BIGINT) + (SELECT c FROM ${p}c$e) AS margin
+         |  FROM ${p}fz f JOIN ${p}w${e - 1} w USING(bucket) GROUP BY f.doc_id),
+         |${p}mis$e AS MATERIALIZED (SELECT l.doc_id, l.label FROM ${p}lab l JOIN ${p}m$e m USING(doc_id)
          |  WHERE l.label*m.margin <= 0),
-         |sl$e AS MATERIALIZED (SELECT CAST(coalesce(sum(label), 0) AS BIGINT) AS sl,
-         |  CAST(count(*) AS BIGINT) AS nm FROM mis$e),
-         |u$e AS (SELECT f.bucket, CAST(sum(m.label*f.dz) AS BIGINT) AS dwp
-         |  FROM fz f JOIN mis$e m USING(doc_id) GROUP BY f.bucket),
-         |w$e AS MATERIALIZED (SELECT w.bucket, w.w + coalesce(u.dwp, 0) + st.z0*(SELECT sl FROM sl$e) AS w
-         |  FROM w${e - 1} w LEFT JOIN u$e u USING(bucket) JOIN stz st USING(bucket))""".stripMargin
+         |${p}sl$e AS MATERIALIZED (SELECT CAST(coalesce(sum(label), 0) AS BIGINT) AS sl,
+         |  CAST(count(*) AS BIGINT) AS nm FROM ${p}mis$e),
+         |${p}u$e AS (SELECT f.bucket, CAST(sum(m.label*f.dz) AS BIGINT) AS dwp
+         |  FROM ${p}fz f JOIN ${p}mis$e m USING(doc_id) GROUP BY f.bucket),
+         |${p}w$e AS MATERIALIZED (SELECT w.bucket, w.w + coalesce(u.dwp, 0) + st.z0*(SELECT sl FROM ${p}sl$e) AS w
+         |  FROM ${p}w${e - 1} w LEFT JOIN ${p}u$e u USING(bucket) JOIN ${p}stz st USING(bucket))""".stripMargin
     }
+    // sl$e.nm evaluates w_(e-1), so epoch e's candidate row reads sl${e+1};
+    // the seed (epoch 0, nm from sl1) competes only on the warm path
+    val candEpochs = (if (seedCandidate) Seq(0) else Seq.empty[Int]) ++ (1 to nEpochs)
     val pocket =
-      s"""mc AS (${(1 to ClsEpochs).map(e =>
-            s"SELECT $e AS e, (SELECT nm FROM sl${e + 1}) AS nm").mkString("\n|  UNION ALL ")}),
-         |best AS (SELECT e FROM mc ORDER BY nm, e LIMIT 1),
-         |allw AS (${(1 to ClsEpochs).map(e =>
-            s"SELECT $e AS e, bucket, w FROM w$e").mkString("\n|  UNION ALL ")}),
-         |wbest AS (SELECT a.bucket, a.w FROM allw a JOIN best b USING(e))""".stripMargin
+      s"""${p}mc AS (${candEpochs.map(e =>
+            s"SELECT $e AS e, (SELECT nm FROM ${p}sl${e + 1}) AS nm").mkString("\n|  UNION ALL ")}),
+         |${p}best AS (SELECT e FROM ${p}mc ORDER BY nm, e LIMIT 1),
+         |${p}allw AS (${candEpochs.map(e =>
+            s"SELECT $e AS e, bucket, w FROM ${p}w$e").mkString("\n|  UNION ALL ")}),
+         |${p}wbest AS (SELECT a.bucket, a.w FROM ${p}allw a JOIN ${p}best b USING(e))""".stripMargin
     (base +: epochs :+ pocket).mkString(",\n")
   }
+
+  /** the classifier's full oracle chain (round 14, base + warm-start):
+    * `b`-prefixed CTEs train from zero over the prior snapshot (doc_id
+    * below the 90% cut — the weekly-compaction role), then the unprefixed
+    * chain standardizes over the FULL corpus, seeds w0 from `bwbest`
+    * (absent buckets 0), runs [[ClsEpochsWarm]] continuation epochs with
+    * the seed as a pocket candidate, and lands in the same `stz/fz/lab/
+    * wbest` names the score/calibration oracles consume. The SQL is the
+    * SPEC of the two-stage recurrence, unrolled because both epoch counts
+    * are fixed knobs. */
+  private def classifierSql: String = Seq(
+    "bcut AS (SELECT (max(doc_id)*9)//10 AS cutv FROM documents)",
+    "bdocs AS (SELECT d.* FROM documents d, bcut WHERE d.doc_id < bcut.cutv)",
+    "bql AS (SELECT q.* FROM ql q, bcut WHERE q.doc_id < bcut.cutv)",
+    clsChainSql("b", "bdocs", "bql", ClsEpochs,
+      "SELECT bucket, CAST(0 AS BIGINT) AS w FROM bstz", seedCandidate = false),
+    clsChainSql("", "documents", "ql", ClsEpochsWarm,
+      "SELECT s.bucket, CAST(coalesce(b.w, 0) AS BIGINT) AS w " +
+        "FROM stz s LEFT JOIN bwbest b USING(bucket)", seedCandidate = true)
+  ).mkString(",\n")
 
   def queries: Seq[Q] = Seq(
 
@@ -1777,6 +1878,44 @@ object QualityOps {
             / count(lit(1))).as("accuracy"),
           min(col("margin")).as("margin_lo"), max(col("margin")).as("margin_hi"))
         .orderBy(col("decile"))
+    },
+
+    // Classifier DRIFT AUDIT (round 14) — the receipt a staged retrain
+    // publishes before a generation swap (the classifier mirror of
+    // dsirAdmitDrift): full-corpus mistake counts of the SEED (the prior
+    // generation's weights, the warm start's w0) vs the pocket-picked
+    // FINAL weights. The pocket rule makes mis_final ≤ mis_seed a
+    // structural guarantee — `improved` says the continuation epochs
+    // genuinely helped on this snapshot, `retained_seed` says the artifact
+    // kept the prior generation (a retrain that changed nothing). Two
+    // broadcast-join margin passes over the cached feature table; the
+    // oracle reads the same numbers straight out of the unrolled
+    // recurrence (sl1 = mistakes(w0), min over the pocket candidates).
+    Q(
+      "tx_classifier_drift",
+      s"""WITH $qualityDocsSql,
+         |$classifierSql,
+         |drift AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_docs,
+         |    (SELECT nm FROM sl1) AS mis_seed,
+         |    (SELECT CAST(min(nm) AS BIGINT) FROM mc) AS mis_final)
+         |SELECT n_docs, mis_seed, mis_final,
+         |  mis_final < mis_seed AS improved,
+         |  mis_final = mis_seed AS retained_seed
+         |FROM drift""".stripMargin) { (s, d) =>
+      val st = classifierState(s, d)
+      import s.implicits._
+      val seedDF = st.seedW.toSeq.toDF("bucket", "w")
+      def misOf(wdf: DataFrame, name: String): DataFrame =
+        st.lab.join(classifierMargins(st.fz, st.stats, wdf), Seq("doc_id"))
+          .agg(sum(when(col("label") * col("margin") <= 0, 1L).otherwise(0L))
+            .as(name))
+      st.lab.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(misOf(seedDF, "mis_seed"))
+        .crossJoin(misOf(st.w, "mis_final"))
+        .select(col("n_docs"), col("mis_seed"), col("mis_final"),
+          (col("mis_final") < col("mis_seed")).as("improved"),
+          (col("mis_final") === col("mis_seed")).as("retained_seed"))
     },
 
     // Deterministic global shuffle + shard packing — the training-order

@@ -253,15 +253,37 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** shared oracle CTE chain `tsh/tcnt/tcm/truth`: the UNCAPPED exact
+  /** target size of the deterministic truth SAMPLE both recall evals run
+    * on (round 14): the truth side is an exact shingle self-join whose
+    * cost tracks Σdf² — quadratic in dup structure, which made the
+    * uncapped form the ONLY two rows excluded from the replica sweeps.
+    * Sampling to a fixed SIZE (not rate) bounds the truth join at any
+    * corpus scale: admission is the tx_mix_apply trick — a doc enters iff
+    * its 60-bit md5 hash mod 1e6 falls under rpm = min(1e6,
+    * target·1e6 div N), with N from one bounded count job. Unbiased
+    * (md5-uniform), reproducible across engines and reruns (no RNG
+    * state), and DEGENERATE below the target: corpora ≤ 2048 docs sample
+    * everything, so the fixture-scale eval results are byte-identical to
+    * the former uncapped rows while 8×/64× replica sweeps now cover the
+    * whole registry with no exception list. */
+  private val TruthSampleTarget = 2048L
+
+  /** shared oracle CTE chain `tsn/tsdocs/tsh/tcnt/tcm/truth`: the exact
     * word-3-gram Jaccard >= 1/2 pair set (integer-exact 3·common >=
-    * |A|+|B|) — the one truth both dedup-estimator recall evals join
-    * against. */
+    * |A|+|B|) over the [[TruthSampleTarget]]-bounded deterministic doc
+    * sample — the one truth both dedup-estimator recall evals join
+    * against (recall is measured on pairs whose BOTH endpoints are
+    * sampled; the estimators under audit keep their full-corpus scope). */
   private lazy val JaccTruthSql: String =
-    s"""tsh AS (
+    s"""tsn AS (SELECT least(1000000, ($TruthSampleTarget*1000000)//count(*)) AS rpm
+       |        FROM documents),
+       |tsdocs AS (
+       |  SELECT doc_id, text FROM documents, tsn
+       |  WHERE ${sid60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < tsn.rpm),
+       |tsh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest($shinglesSql) AS shingle
-       |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+       |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM tsdocs))),
        |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
        |tcm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |        FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -274,11 +296,13 @@ object TextOps {
        |  WHERE 3*common >= ca.n + cb.n)""".stripMargin
 
   /** the Spark side of [[JaccTruthSql]] — (doc_a, doc_b, common, uni) over
-    * the same shingle definition; the uncapped pair expansion is the
-    * EVAL's cost (sample-scoped in production, like ss_recall's
-    * brute-force side). */
+    * the same shingle definition and the same deterministic
+    * [[TruthSampleTarget]]-bounded doc sample (one memoized bounded count
+    * job derives the identical integer rpm on both engines). */
   private def jaccTruth(s: SparkSession, d: String): DataFrame = {
+    val rpm = math.min(1000000L, TruthSampleTarget * 1000000L / docCount(s, d))
     val sh = T.documents(s, d)
+      .filter(sid60(col("doc_id").cast(StringType)) % 1000000L < rpm)
       .withColumn("l", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(shinglesSpark)).as("shingle"))
     // one shingle-keyed shuffle; both truth grains (per-doc sizes and
@@ -616,6 +640,14 @@ object TextOps {
         .collect()(0).getLong(0))
     }
 
+  /** corpus document count, memoized per (session, dataset) — one bounded
+    * count job backing the recall evals' deterministic truth-sample rate
+    * (the same per-snapshot-scalar pattern as [[snapshotCut]] and
+    * VectorOps' corpus count). */
+  private val docCountCache = new graft.core.SessionCache[java.lang.Long]()
+  private def docCount(s: SparkSession, d: String): Long =
+    docCountCache.get(s, d) { Long.box(T.documents(s, d).count()) }
+
   /** BASE near-dup cluster labels — connected components over the pairs of
     * the PRIOR corpus snapshot only (both endpoints below [[snapshotCut]]).
     * This is the weekly-compaction artifact: at 100 TB the full CC rebuild
@@ -893,24 +925,35 @@ object TextOps {
     val pairs = newPairs
       .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
       .localCheckpoint(eager = true) // endpoints + 2 lookup legs read it
-    // the label ARTIFACT is the big side and must never shuffle: semi-filter
-    // it by the broadcast batch endpoints first (one unshuffled artifact
-    // stream per side), which bounds the lookup tables at batch size — they
-    // then broadcast as the right side of the left joins below
+    // Broadcast hints are CONDITIONAL on the batch actually being
+    // batch-sized: in the streaming probe path the pairs are micro-batch
+    // bounded and every derived table (endpoints, filtered label lookups,
+    // condensed CC) must broadcast so the label artifact streams through
+    // unshuffled — but the SNAPSHOT-CUT artifact path feeds every pair
+    // touching the top ~10% of ids, a corpus FRACTION that grows linearly
+    // with N, and a mandatory hint there would eventually blow the 8 GB
+    // broadcast / driver-memory ceiling. One count over the checkpointed
+    // pairs (cheap: bounded scan of materialized partitions) decides all
+    // five hints at once — every hinted table is O(|pairs|) rows by
+    // construction. Past the bound the joins fall back to AQE's choice
+    // (shuffle-hash on these key-heavy shapes), which is the correct plan
+    // for a corpus-fraction batch anyway.
+    val hintAll = pairs.count() <= MergeBroadcastMaxPairs
+    def hinted(df: DataFrame): DataFrame = if (hintAll) broadcast(df) else df
     val endA = pairs.select(col("doc_a")).distinct()
     val endB = pairs.select(col("doc_b")).distinct()
     val laT = oldLabels.select(col("doc_id").as("doc_a"), col("label").as("la"))
-      .join(broadcast(endA), Seq("doc_a"), "left_semi")
+      .join(hinted(endA), Seq("doc_a"), "left_semi")
       .localCheckpoint(eager = true) // condensed lookup + new-node anti both read it
     val lbT = oldLabels.select(col("doc_id").as("doc_b"), col("label").as("lb"))
-      .join(broadcast(endB), Seq("doc_b"), "left_semi")
+      .join(hinted(endB), Seq("doc_b"), "left_semi")
       .localCheckpoint(eager = true)
     // condense: each endpoint maps to its component label (or itself);
     // dedup AFTER condensing — many batch pairs collapse onto few
     // component pairs, and the CC below runs on this bounded graph only
     val condensed = pairs
-      .join(broadcast(laT), Seq("doc_a"), "left")
-      .join(broadcast(lbT), Seq("doc_b"), "left")
+      .join(hinted(laT), Seq("doc_a"), "left")
+      .join(hinted(lbT), Seq("doc_b"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
         coalesce(col("lb"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
@@ -919,9 +962,9 @@ object TextOps {
       .localCheckpoint(eager = true) // consumed by relabel + new-node legs
     // relabel rows whose (condensed) label merged into a bigger component —
     // cc is condensed-graph-sized, so the artifact streams through one
-    // broadcast left join unshuffled
+    // broadcast left join unshuffled (hint conditional like the rest)
     val relabeled = oldLabels
-      .join(broadcast(cc.select(col("doc_id").as("label"), col("label").as("nl"))),
+      .join(hinted(cc.select(col("doc_id").as("label"), col("label").as("nl"))),
         Seq("label"), "left")
       .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label"))
     // endpoints of newPairs with no prior label: their condensed node id is
@@ -931,12 +974,22 @@ object TextOps {
     val newNodes = endA.select(col("doc_a").as("doc_id"))
       .union(endB.select(col("doc_b").as("doc_id")))
       .distinct()
-      .join(broadcast(laT.select(col("doc_a").as("doc_id"))
+      .join(hinted(laT.select(col("doc_a").as("doc_id"))
         .union(lbT.select(col("doc_b").as("doc_id"))).distinct()),
         Seq("doc_id"), "left_anti")
       .join(cc, Seq("doc_id"))
     relabeled.unionByName(newNodes)
   }
+
+  /** above this many batch pairs [[mergeLabels]] stops force-broadcasting
+    * its batch-derived tables (each is O(|pairs|) rows): ~4 M pair rows of
+    * two longs ≈ 64 MB raw — comfortably under the broadcast ceiling with
+    * margin for row overhead, and far above any real micro-batch. */
+  private val MergeBroadcastMaxPairs = 4L * 1000 * 1000
+
+  /** minimum covered-run length (chars) tx_substring_cut excises — the
+    * Lee et al. 2022 50-char production threshold. */
+  private val MinCutSpan = 50
 
   val queries: Seq[Q] = Seq(
 
@@ -1096,7 +1149,7 @@ object TextOps {
     Q(
       "dd_corpus_overlap",
       """WITH el AS (
-        |  SELECT CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS in_a,
+        |  SELECT TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS in_a,
         |    CAST('0x'||substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),1,15) AS BIGINT) AS h60
         |  FROM documents),
         |da AS (SELECT DISTINCT h60 FROM el WHERE in_a),
@@ -1124,9 +1177,14 @@ object TextOps {
         |  END)) // st.m_union AS est_intersect
         |FROM st, ex""".stripMargin) { (s, d) =>
       val el = T.documents(s, d).select(
-        // unbounded substring on BOTH engines (the oracle uses substr(source, 4))
-        // so a >10-digit or non-numeric suffix can never diverge the shard split
-        (expr("cast(substring(source, 4) as int)") % 2 === 0).as("in_a"),
+        // unbounded substring + BIGINT on BOTH engines, and the oracle uses
+        // TRY_CAST so a non-numeric suffix yields NULL there exactly as
+        // Spark's non-ANSI cast does here — both engines then exclude the
+        // doc from BOTH shards (NULL fails both in_a filters). Bounded
+        // numeric suffixes (the fixture universe) split identically; the
+        // failure MODE now also matches, instead of DuckDB raising where
+        // Spark nulls.
+        (expr("cast(substring(source, 4) as bigint)") % 2 === 0).as("in_a"),
         conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
           .cast(LongType).as("h60"))
       val da = el.filter(col("in_a")).select(col("h60")).distinct()
@@ -1290,6 +1348,135 @@ object TextOps {
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           when(col("n_win") > 0,
             col("n_shared").cast(DoubleType) / col("n_win")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // EXACT-SUBSTRING REMOVAL transform (round 14, the other half of Lee
+    // et al. 2022: production substring dedup doesn't just SCORE the
+    // signal dd_substring computes — it CUTS the duplicated spans and
+    // keeps the rest of the document). Shared hash definition with
+    // dd_substring (the same 16-char Rabin-Karp windows, the same
+    // df ≥ 2 across-document duplication test over per-doc-distinct
+    // hashes), so the transform can never drift from the signal it acts
+    // on. A char is covered when any duplicated window contains it;
+    // maximal covered runs (starts merged at gap ≤ 16) of ≥ 50 chars are
+    // excised and the document reconstructed from the kept segments —
+    // per-doc byte accounting reconciles exactly: orig_len = cut_len +
+    // bytes_cut on every row.
+    //
+    // Shapes: the window hashes are the narrow codegen'd polynomial map;
+    // df and the start join are two co-partitioned keyed shuffles (the
+    // dd_substring plan); span merging is lag + running-sum windows
+    // PARTITIONED BY doc_id — per-key input bounded by document length,
+    // never a global or pair-stream window; the rebuild is one
+    // groupBy(doc_id) whose per-doc payload is the CUT-SPAN segments
+    // (dup-structure-sized, not corpus-sized). Docs with no duplicated
+    // ≥50-char run pass through byte-identical via the left join.
+    Q(
+      "tx_substring_cut", {
+        val w = 16
+        val consts = (0 until w).map(j =>
+          BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+        val terms = consts.zipWithIndex.map { case (c, j) =>
+          s"CAST(ascii(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $c"
+        }.mkString(" + ")
+        s"""WITH hsq AS (
+           |  SELECT doc_id, text, length(text) AS n,
+           |    CASE WHEN length(text) < $w THEN []
+           |      ELSE list_transform(range(1, length(text) - ${w - 2}),
+           |        i -> ($terms) % ${RollingHash.M})
+           |    END AS hl
+           |  FROM documents),
+           |fp AS (SELECT doc_id, unnest(hl) AS h,
+           |         unnest(range(1, CAST(len(hl) + 1 AS BIGINT))) AS i FROM hsq),
+           |dups AS (SELECT h FROM (
+           |    SELECT h, count(*) AS df
+           |    FROM (SELECT DISTINCT doc_id, h FROM fp) GROUP BY h) WHERE df >= 2),
+           |st AS (SELECT doc_id, i FROM fp JOIN dups USING (h)),
+           |lg AS (SELECT doc_id, i,
+           |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM st),
+           |sid AS (SELECT doc_id, i,
+           |    sum(CASE WHEN prev IS NULL OR i - prev > $w THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS span_id
+           |  FROM lg),
+           |sp AS (SELECT doc_id, span_id, min(i) AS s, max(i) + ${w - 1} AS e
+           |       FROM sid GROUP BY 1, 2),
+           |cutsp AS (SELECT doc_id, s, e FROM sp WHERE e - s + 1 >= $MinCutSpan),
+           |seg AS (SELECT doc_id, s, e,
+           |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS seg_start
+           |  FROM cutsp),
+           |pieces AS (SELECT g.doc_id,
+           |    string_agg(substr(d.text, CAST(g.seg_start AS INTEGER),
+           |      CAST(g.s - g.seg_start AS INTEGER)), '' ORDER BY g.s) AS kept_head,
+           |    max(g.e) AS last_e,
+           |    CAST(sum(g.e - g.s + 1) AS BIGINT) AS bytes_cut,
+           |    CAST(count(*) AS BIGINT) AS n_spans_cut
+           |  FROM seg g JOIN hsq d USING (doc_id) GROUP BY g.doc_id),
+           |fin AS (SELECT h2.doc_id,
+           |    CASE WHEN p.doc_id IS NULL THEN h2.text
+           |         ELSE p.kept_head || substr(h2.text, CAST(p.last_e + 1 AS INTEGER))
+           |    END AS cut_text,
+           |    CAST(h2.n AS BIGINT) AS orig_len,
+           |    coalesce(p.bytes_cut, 0) AS bytes_cut,
+           |    coalesce(p.n_spans_cut, 0) AS n_spans_cut
+           |  FROM hsq h2 LEFT JOIN pieces p USING (doc_id))
+           |SELECT doc_id, orig_len, CAST(length(cut_text) AS BIGINT) AS cut_len,
+           |  bytes_cut, n_spans_cut, cut_text
+           |FROM fin ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val w = 16
+      val consts = (0 until w).map(j =>
+        BigInt(RollingHash.B).modPow(BigInt(w - 1 - j), BigInt(RollingHash.M)).toLong)
+      val terms = consts.zipWithIndex.map { case (c, j) =>
+        s"cast(ascii(substring(text, i + $j, 1)) as bigint) * ${c}L"
+      }.mkString(" + ")
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n"),
+        expr(s"""CASE WHEN length(text) < $w THEN array()
+                 | ELSE transform(sequence(1, length(text) - ${w - 1}),
+                 |   i -> ($terms) % ${RollingHash.M}L) END""".stripMargin).as("hl"))
+      val fp = docs.select(col("doc_id"),
+          posexplode(col("hl")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("i"), col("h"))
+      val dups = fp.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("h"))
+      val st = fp.join(dups, Seq("h")).select(col("doc_id"), col("i"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val sid = st
+        .withColumn("prev", lag(col("i"), 1).over(wDoc))
+        .withColumn("brk",
+          when(col("prev").isNull || col("i") - col("prev") > w, 1L).otherwise(0L))
+        .withColumn("span_id", sum(col("brk")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sp = sid.groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("i")).as("s"), (max(col("i")) + (w - 1)).as("e"))
+      val cutsp = sp.filter(col("e") - col("s") + 1 >= MinCutSpan)
+      val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val seg = cutsp
+        .withColumn("seg_start", coalesce(lag(col("e"), 1).over(wSpan), lit(0L)) + 1)
+      val pieces = seg.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("piece",
+          expr("substring(text, cast(seg_start as int), cast(s - seg_start as int))"))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(s, piece))), x -> x.piece)"),
+            "").as("kept_head"),
+          max(col("e")).as("last_e"),
+          sum(col("e") - col("s") + 1).as("bytes_cut"),
+          count(lit(1)).as("n_spans_cut"))
+      docs.join(pieces, Seq("doc_id"), "left")
+        .withColumn("cut_text",
+          when(col("last_e").isNull, col("text"))
+            .otherwise(concat(col("kept_head"),
+              expr("substring(text, cast(last_e + 1 as int))"))))
+        .select(col("doc_id"),
+          col("n").as("orig_len"),
+          length(col("cut_text")).cast(LongType).as("cut_len"),
+          coalesce(col("bytes_cut"), lit(0L)).as("bytes_cut"),
+          coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+          col("cut_text"))
         .orderBy(col("doc_id"))
     },
 
@@ -1820,10 +2007,14 @@ object TextOps {
     // candidate definition (MhCandSql — the same CTE dd_minhash_lsh
     // scores). Per-pair rows, not a mean: an aggregate recall would hide
     // which similarity band the 4×4 banding starts missing in. The truth
-    // side's UNCAPPED shingle self-join is the eval's cost — quadratic in
-    // the hottest shingle's df (measured Σdf² ≈ 1.3M at sf0.1) — which is
-    // why production runs this on a sample, exactly like ss_recall's
-    // brute-force side; the operators it audits keep their df caps.
+    // side's exact shingle self-join is the eval's cost — quadratic in
+    // the hottest shingle's df — so since round 14 the truth runs on the
+    // TruthSampleTarget-bounded deterministic doc sample (the production
+    // form; see the constant's scaladoc): size-bounded at any scale, so
+    // the replica sweeps cover this row with no skip list, and corpora
+    // under the target (every fixture SF) sample everything — identical
+    // results to the former uncapped rows. The operators it audits keep
+    // their full scope and df caps.
     Q(
       "dd_lsh_recall",
       s"""WITH $MhCandSql,
@@ -1851,7 +2042,7 @@ object TextOps {
     // Jaccard truth (JaccTruthSql / jaccTruth: one truth definition for
     // both evals). Two estimators, one referee — a banding or threshold
     // change in either operator moves its recall row, never the truth.
-    // Same sample-scope caveat as dd_lsh_recall (uncapped truth join).
+    // Same sampled truth scope as dd_lsh_recall (size-bounded, sweepable).
     Q(
       "dd_simhash_recall",
       s"""WITH $ShVerdictSql,

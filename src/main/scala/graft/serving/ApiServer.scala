@@ -206,13 +206,20 @@ final class ApiServer(
     * integer-cosine nearest neighbors of a corpus vector from the SAME
     * memoized quantized index the ss_topk_* queries read
     * (VectorOps.topkFor: broadcast query row, global BoundedTopK — the
-    * collect is bounded at k rows by construction). Unknown vec_id serves
-    * an empty list, not an error: the query program is total. */
-  def vectorsTopk(vecId: Long, k: Int): String = {
-    val rows = graft.operators.VectorOps.topkFor(spark, dataDir, vecId, k).collect()
+    * collect is bounded at k rows by construction). `mode=graph` (round
+    * 14) serves the HNSW-style beam walk over the persisted k-NN graph
+    * instead (VectorOps.topkGraphFor — per-hop work is beam·degree corpus
+    * lookups, the structure a 100 TB ANN deployment actually serves
+    * from); any other mode value scans exact. Unknown vec_id serves an
+    * empty list, not an error: both query programs are total. */
+  def vectorsTopk(vecId: Long, k: Int, mode: String = "exact"): String = {
+    val df =
+      if (mode == "graph") graft.operators.VectorOps.topkGraphFor(spark, dataDir, vecId, k)
+      else graft.operators.VectorOps.topkFor(spark, dataDir, vecId, k)
+    val rows = df.collect()
     rows.map(r =>
       s"""{"vec_id":${r.getLong(0)},"cos":${jsonNum(r.getDouble(1))},"rnk":${r.getLong(2)}}""")
-      .mkString(s"""{"query":$vecId,"neighbors":[""", ",", "]}")
+      .mkString(s"""{"query":$vecId,"mode":"${jsonEscape(mode)}","neighbors":[""", ",", "]}")
   }
 
   /** /search — the BM25 retrieval tier over the memoized scored-postings
@@ -356,7 +363,8 @@ final class ApiServer(
               java.nio.file.Paths.get(dataDir, "embeddings.parquet")))
             respond(ex, 404, "no embeddings", "text/plain")
           else try respond(ex, 200, vectorsTopk(id,
-            p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5)))
+            p.get("k").flatMap(_.toIntOption).map(_.max(1).min(20)).getOrElse(5),
+            p.getOrElse("mode", "exact")))
           catch { case e: Exception => respond(ex, 500, "Server error", "text/plain") }
       }
     })

@@ -34,6 +34,8 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => VectorOps.buildPqIndex(s, d)),
     "vec_ivf_cells" ->
       ((s: SparkSession, d: String) => VectorOps.buildIvfCells(s, d)),
+    "vec_knn_graph" ->
+      ((s: SparkSession, d: String) => VectorOps.buildKnnGraph(s, d)),
     "text_minhash_split_index" ->
       ((s: SparkSession, d: String) => { TextOps.incrementalSplit(s, d); () }),
     "text_simhash_signatures" ->
@@ -53,12 +55,25 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => TextOps.buildClusterLabelsBase(s, d)),
     "text_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildClusterLabels(s, d)),
+    // the semantic pair graph splits base/incremental like the CC labels
+    // (round 14): vec_semantic_pairs_base is the weekly-compaction cost
+    // (full within-label join over the prior snapshot); the main row then
+    // times ONLY the probe-fed batch delta — the true per-batch cost.
+    "vec_semantic_pairs_base" ->
+      ((s: SparkSession, d: String) => VectorOps.buildSemanticPairsBase(s, d)),
     "vec_semantic_pairs" ->
       ((s: SparkSession, d: String) => VectorOps.buildSemanticPairs(s, d)),
     "ensemble_labels_base" ->
       ((s: SparkSession, d: String) => TextOps.buildEnsembleLabelsBase(s, d)),
     "ensemble_cluster_labels" ->
       ((s: SparkSession, d: String) => TextOps.buildEnsembleLabels(s, d)),
+    // classifier training splits base/warm-start like the CC labels and
+    // the semantic pairs (round 14): classifier_state_base is the
+    // from-zero 12-epoch train over the prior snapshot (weekly role); the
+    // main row then times ONLY the 4-epoch warm-start continuation over
+    // the full corpus — the true per-batch retrain cost.
+    "classifier_state_base" ->
+      ((s: SparkSession, d: String) => QualityOps.buildClassifierBase(s, d)),
     "classifier_state" ->
       ((s: SparkSession, d: String) => QualityOps.buildClassifierState(s, d)),
     "bucketed_tables" ->

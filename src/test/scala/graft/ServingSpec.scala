@@ -214,7 +214,7 @@ class ServingSpec extends AnyFunSuite {
     withServer(minAddrLen = 3) { port =>
       val (status, body) = get(port, "/api/v1/webapp/vectors/topk?vec_id=0&k=3")
       assert(status === 200)
-      assert(body.startsWith("""{"query":0,"neighbors":["""), body.take(60))
+      assert(body.startsWith("""{"query":0,"mode":"exact","neighbors":["""), body.take(60))
       val cos = """"cos":(-?[0-9.E-]+)""".r.findAllMatchIn(body).map(_.group(1).toDouble).toSeq
       assert(cos.length === 3, s"expected 3 neighbors in $body")
       assert(cos.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
@@ -234,6 +234,32 @@ class ServingSpec extends AnyFunSuite {
       assert(s2 === 200 && b2.endsWith(""""neighbors":[]}"""), b2)
       // malformed id: 400, like the address routes
       assert(get(port, "/api/v1/webapp/vectors/topk?vec_id=abc")._1 === 400)
+    }
+  }
+
+  test("vectors/topk?mode=graph serves the beam walk over the persisted " +
+    "k-NN graph and agrees with the oracle-pinned ss_graph_search program") {
+    withServer(minAddrLen = 3) { port =>
+      val (status, body) =
+        get(port, "/api/v1/webapp/vectors/topk?vec_id=3&k=5&mode=graph")
+      assert(status === 200)
+      assert(body.startsWith("""{"query":3,"mode":"graph","neighbors":["""),
+        body.take(60))
+      // query 3 sits in the registered fixed slice (vec_id < 16), so the
+      // route must reproduce ss_graph_search's rows for q_id = 3 exactly
+      // (same graph artifact, same GLOBAL seed rule, same beam program)
+      val expected = graft.core.QueryRegistry.byName("ss_graph_search").fn(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("q_id") === 3)
+        .orderBy(org.apache.spark.sql.functions.col("rnk"))
+        .collect().map(r => r.getLong(1))
+      val served = """"vec_id":(\d+)""".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+      assert(served === expected.toSeq,
+        s"graph route diverges from ss_graph_search: $served vs ${expected.toSeq}")
+      // unknown vector: total program, empty neighbor list
+      val (s2, b2) =
+        get(port, "/api/v1/webapp/vectors/topk?vec_id=99999999&k=3&mode=graph")
+      assert(s2 === 200 && b2.endsWith(""""neighbors":[]}"""), b2)
     }
   }
 
