@@ -590,7 +590,8 @@ object Pipelines {
   def nearDupGate(stream: DataFrame, indexDir: String, checkpointDir: String,
       out: DataFrame => Unit, intraBatch: Boolean = false,
       compactEvery: Int = CompactEvery,
-      shuffleProbe: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+      shuffleProbe: Boolean = false,
+      compactPhase: Int = 0, compactStride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -639,10 +640,25 @@ object Pipelines {
         val staged = spark.read.parquet(staging)
         out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
         sealRun(fs, sigBase, batchId, new Path(staging))
-        if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery)
+        if (compactEvery > 0 && compactDue(batchId, compactPhase, compactStride))
+          mergeSmallRuns(spark, fs, sigBase, compactEvery)
         newSig.unpersist(); docs.unpersist()
         ()
       }
+
+  /** COMPACTION STAGGERING (round 14): when several gates compose into one
+    * chain, their size-tier thresholds cross in the SAME batch (each gate
+    * seals one run per batch), so all compactions land on one batch and
+    * the composed batch_total p99 stacks every gate's compaction tail
+    * (soak r13: 26.2 s composed vs ≤ 8.7 s per gate). A per-gate phase
+    * token fixes it structurally: gate i compacts only on batches with
+    * `batchId % stride == phase`, so distinct phases GUARANTEE at most one
+    * gate compacts per batch. Deferral is ≤ stride−1 batches, so the run
+    * count stays ≤ compactEvery + stride (still bounded, never a
+    * whole-index rewrite). stride = 1 (the default) preserves the
+    * single-gate behavior exactly. */
+  private def compactDue(batchId: Long, phase: Int, stride: Int): Boolean =
+    stride <= 1 || java.lang.Math.floorMod(batchId, stride.toLong) == phase.toLong
 
   /** collapse duplicate `key` rows of one micro-batch to a DETERMINISTIC
     * winner — the max over the struct of the remaining columns (strings and
@@ -795,7 +811,8 @@ object Pipelines {
       out: DataFrame => Unit, threshold: Double = 0.95,
       intraBatch: Boolean = false,
       compactEvery: Int = CompactEvery,
-      shuffleProbe: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+      shuffleProbe: Boolean = false,
+      compactPhase: Int = 0, compactStride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -833,7 +850,8 @@ object Pipelines {
         val staged = spark.read.parquet(staging)
         out(vecs.join(staged.select(col("vec_id")), Seq("vec_id")))
         sealRun(fs, sigBase, batchId, new Path(staging))
-        if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery, "vec_id")
+        if (compactEvery > 0 && compactDue(batchId, compactPhase, compactStride))
+          mergeSmallRuns(spark, fs, sigBase, compactEvery, "vec_id")
         newIdx.unpersist(); vecs.unpersist()
         ()
       }
@@ -867,7 +885,8 @@ object Pipelines {
         * (wrong container, truncated pixels) — the image mirror of the
         * text pipeline's quarantine path. Default keeps the round-12
         * drop-silently contract. */
-      quarantine: Option[DataFrame => Unit] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      quarantine: Option[DataFrame => Unit] = None,
+      compactPhase: Int = 0, compactStride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -902,7 +921,8 @@ object Pipelines {
         val staged = spark.read.parquet(staging)
         out(imgs.join(staged.select(col("img_id")), Seq("img_id")))
         sealRun(fs, sigBase, batchId, new Path(staging))
-        if (compactEvery > 0) mergeSmallRuns(spark, fs, sigBase, compactEvery, "img_id")
+        if (compactEvery > 0 && compactDue(batchId, compactPhase, compactStride))
+          mergeSmallRuns(spark, fs, sigBase, compactEvery, "img_id")
         newIdx.unpersist(); imgs.unpersist()
         ()
       }

@@ -115,20 +115,26 @@ object CurationSoak {
     @volatile var quarantined = 0L
     @volatile var finalAdmitted = 0L
 
+    // STAGGERED COMPACTION (round 14): the three index-backed gates get
+    // distinct phase tokens mod 3, so at most ONE gate's size-tier merge
+    // can land on any batch BY CONSTRUCTION (r13's composed batch_total
+    // p99 was 26.2 s vs ≤ 8.7 s per gate because all thresholds crossed
+    // on the same batch). DSIR has no index to compact.
+    val CompactStride = 3
     val inText = MemoryStream[(Long, String, String)]
     val qText = Pipelines.nearDupGate(
       inText.toDF().toDF("doc_id", "text", "lang"),
       s"$base/textIdx", s"$base/ckptText",
       out => textOut.set(out.select(col("doc_id"), col("text"), col("lang"))
         .as[(Long, String, String)].collect()),
-      intraBatch = true).start()
+      intraBatch = true, compactPhase = 0, compactStride = CompactStride).start()
 
     val inEmbed = MemoryStream[(Long, Array[Float])]
     val qEmbed = Pipelines.embedDupGate(
       inEmbed.toDF().toDF("vec_id", "embedding"),
       s"$base/embedIdx", s"$base/ckptEmbed",
       out => embedOut.set(out.select(col("vec_id")).as[Long].collect().toSet),
-      intraBatch = true).start()
+      intraBatch = true, compactPhase = 1, compactStride = CompactStride).start()
 
     val inImg = MemoryStream[(Long, Array[Byte])]
     val qImg = Pipelines.imageDupGate(
@@ -136,7 +142,20 @@ object CurationSoak {
       s"$base/imgIdx", s"$base/ckptImg",
       out => imageOut.set(out.select(col("img_id")).as[Long].collect().toSet),
       intraBatch = true,
-      quarantine = Some(q => quarantined += q.count())).start()
+      quarantine = Some(q => quarantined += q.count()),
+      compactPhase = 2, compactStride = CompactStride).start()
+
+    // observed per-gate compaction: a batch seals exactly one new run, so
+    // the run-dir count GROWS by one unless a merge folded the small tier
+    // — countAfter <= countBefore means this gate compacted this batch
+    def runDirCount(idx: String): Int = {
+      val p = Paths.get(s"$base/$idx/sig")
+      if (!Files.exists(p)) return 0
+      val s = Files.list(p)
+      try s.filter(q => { val n = q.getFileName.toString
+        n.startsWith("run=") || n.startsWith("crun=") }).count().toInt
+      finally s.close()
+    }
 
     val inDsir = MemoryStream[(Long, String, String)]
     val qDsir = Pipelines.dsirGate(
@@ -180,7 +199,8 @@ object CurationSoak {
     })
     server.setDaemon(true)
 
-    final case class PhaseRow(batch: Int, compact: Boolean, text: Double,
+    final case class PhaseRow(batch: Int, compact: Boolean,
+      cText: Boolean, cEmbed: Boolean, cImage: Boolean, text: Double,
       embed: Double, image: Double, dsir: Double, nanoStart: Long, nanoEnd: Long)
     val rows = scala.collection.mutable.ArrayBuffer.empty[PhaseRow]
     var nIn = 0L; var nText = 0L; var nEmbed = 0L; var nImage = 0L
@@ -200,6 +220,8 @@ object CurationSoak {
             (id + pass * idSpan, text.replace(" ", s" p$pass "), lang)
           }
           nIn += g.length
+          val rt0 = runDirCount("textIdx"); val re0 = runDirCount("embedIdx")
+          val ri0 = runDirCount("imgIdx")
           val n0 = System.nanoTime()
           inText.addData(g.toIndexedSeq)
           qText.processAllAvailable()
@@ -229,8 +251,13 @@ object CurationSoak {
           qDsir.processAllAvailable()
           val t4 = System.nanoTime()
           done += 1
-          val isCompact = done % Pipelines.CompactEvery == 0
-          rows += PhaseRow(done, isCompact, (t1 - n0) / 1e9, (t2 - t1) / 1e9,
+          // a seal adds one run dir; a count that did NOT grow means the
+          // size-tier merge ran on this gate this batch
+          val cT = runDirCount("textIdx") <= rt0
+          val cE = runDirCount("embedIdx") <= re0
+          val cI = runDirCount("imgIdx") <= ri0
+          rows += PhaseRow(done, cT || cE || cI, cT, cE, cI,
+            (t1 - n0) / 1e9, (t2 - t1) / 1e9,
             (t3 - t2) / 1e9, (t4 - t3) / 1e9, n0, t4)
           if (done % 25 == 0) {
             val r = rows.last
@@ -253,12 +280,17 @@ object CurationSoak {
       val s = xs.sorted
       if (s.isEmpty) 0.0 else s(math.min(s.length - 1, (p * s.length).toInt))
     }
-    def phaseObj(get: PhaseRow => Double): String = {
+    // split each gate's samples on ITS OWN observed compaction batches
+    // (round 14): the tagged split is the receipt that a tail spike lands
+    // on that gate's merge, and — with the staggered phases — that no
+    // batch carries two gates' merges at once
+    def phaseObj(get: PhaseRow => Double, flag: PhaseRow => Boolean): String = {
       val all = rows.map(get).toSeq
-      val compact = rows.filter(_.compact).map(get).toSeq
-      val steady = rows.filterNot(_.compact).map(get).toSeq
+      val compact = rows.filter(flag).map(get).toSeq
+      val steady = rows.filterNot(flag).map(get).toSeq
       s"""{"p50":${fmt(pct(all, 0.5))},"p95":${fmt(pct(all, 0.95))},"p99":${fmt(pct(all, 0.99))},""" +
-        s""""steady_p99":${fmt(pct(steady, 0.99))},"compact_p99":${fmt(pct(compact, 0.99))}}"""
+        s""""steady_p99":${fmt(pct(steady, 0.99))},"compact_p99":${fmt(pct(compact, 0.99))},""" +
+        s""""n_compactions":${compact.length}}"""
     }
     val total = rows.map(r => r.text + r.embed + r.image + r.dsir).toSeq
     val q5 = math.max(1, rows.length / 5)
@@ -284,9 +316,17 @@ object CurationSoak {
       s"dataset card counted $card docs but the chain admitted $finalAdmitted")
     val out =
       s"""{"metric":"soak_curation","sf":"$sfDir","batches":${rows.length},"docs_per_batch":$per,""" +
-      s""""phases":{"text_gate":${phaseObj(_.text)},"embed_gate":${phaseObj(_.embed)},""" +
-      s""""image_gate":${phaseObj(_.image)},"dsir_gate":${phaseObj(_.dsir)}},""" +
+      s""""phases":{"text_gate":${phaseObj(_.text, _.cText)},"embed_gate":${phaseObj(_.embed, _.cEmbed)},""" +
+      s""""image_gate":${phaseObj(_.image, _.cImage)},"dsir_gate":${phaseObj(_.dsir, _.compact)}},""" +
       s""""batch_total":{"p50":${fmt(pct(total, 0.5))},"p95":${fmt(pct(total, 0.95))},"p99":${fmt(pct(total, 0.99))}},""" +
+      s""""compaction_stagger":{"stride":3,""" +
+      s""""n_multi_compact_batches":${rows.count(r => Seq(r.cText, r.cEmbed, r.cImage).count(identity) >= 2)},""" +
+      s""""max_single_gate_p99":${fmt(Seq(
+        pct(rows.map(_.text).toSeq, 0.99), pct(rows.map(_.embed).toSeq, 0.99),
+        pct(rows.map(_.image).toSeq, 0.99), pct(rows.map(_.dsir).toSeq, 0.99)).max)},""" +
+      s""""batch_total_p99_over_max_gate_p99":${fmt(pct(total, 0.99) / math.max(1e-9, Seq(
+        pct(rows.map(_.text).toSeq, 0.99), pct(rows.map(_.embed).toSeq, 0.99),
+        pct(rows.map(_.image).toSeq, 0.99), pct(rows.map(_.dsir).toSeq, 0.99)).max))}},""" +
       s""""drift":{"first_quintile_mean_s":${fmt(firstQ.sum / q5)},"last_quintile_mean_s":${fmt(lastQ.sum / q5)},""" +
       s""""ratio":${fmt((lastQ.sum / q5) / (firstQ.sum / q5))}},""" +
       s""""admit_funnel":{"in":$nIn,"after_text":$nText,"after_embed":$nEmbed,""" +
