@@ -211,8 +211,15 @@ object Bench {
     // silently (n + seconds of everything not listed).
     val byWeight = results.sortBy(-_._2)
     // stdout must stay comfortably inside the driver's trailing-2000-char
-    // parse window: ~220 fixed + ~460 cold_builds + this + ~80 other/spread
-    val budget = 900
+    // parse window — and that window also swallows whatever sbt prints
+    // AFTER the line ([success]/Total time ~100 chars), so the real
+    // budget is ~1600. r12-r14 post-mortem: per-artifact cold_builds
+    // (~600 chars at 20+ artifacts) plus a 900-char query head pushed
+    // the line past the window head — three rounds of `parsed: null`.
+    // The line now carries scalars + the query head ONLY (~250 fixed +
+    // budget below); per-artifact cold builds and both spread objects
+    // live exclusively in the full dump.
+    val budget = 700
     val head = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used = 0
     byWeight.foreach { case (k, v) =>
@@ -220,12 +227,7 @@ object Bench {
       if (used + cost <= budget) { head += (k -> v); used += cost }
     }
     val rest = byWeight.drop(head.size)
-    def medianOf(xs: Seq[Double]) = {
-      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
-    }
-    val spreadMedian = medianOf(spreads.map(_._2))
-    val spreadMedianM2 = medianOf(spreadsMed.map(_._2))
-    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","cpu_total":${fmt(cpuTotal, "%.2f")},"cpu_total_ref":${fmt(refCpuTotal, "%.2f")},"cpu_ratio":${fmt(cpuRatio, "%.3f")},"n_queries":${results.size},"cold_builds":${obj(coldBuilds, "%.2f")},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_retried":${retried.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"spread_median":${fmt(spreadMedian, "%.2f")},"spread_median_med_over_min":${fmt(spreadMedianM2, "%.2f")},"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, "%.4f")},"unit":"sec","cpu_total":${fmt(cpuTotal, "%.2f")},"cpu_total_ref":${fmt(refCpuTotal, "%.2f")},"cpu_ratio":${fmt(cpuRatio, "%.3f")},"n_queries":${results.size},"cold_builds_total":${fmt(coldTotal, "%.2f")},"n_retried":${retried.size},"queries":${obj(head.toSeq, "%.2f")},"other_queries":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum, "%.2f")}},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -201,10 +201,17 @@ object Schemas {
 
   val byName: Map[String, Collection] = all.map(c => c.name -> c).toMap
 
-  /** decoded log payload schema for one of the 21 event types
-    * (scan_events_txs.py:144 dispatch targets). */
+  /** decoded log payload schema for one of the 22 event types the
+    * reference dispatches to a real handler (scan_events_txs.py:50-110)
+    * — TOTAL over the dispatch targets, including the zero-payload
+    * ContractLiquidated (empty struct). An unregistered name is a caller
+    * bug and raises a typed error naming the registry, never a bare
+    * `NoSuchElementException` from a Map lookup. */
   def payloadOf(event: String): StructType =
-    graft.plans.LogSchemaRegistry.byName(event).structType
+    graft.plans.LogSchemaRegistry.byName.getOrElse(event,
+      throw new IllegalArgumentException(
+        s"no payload schema for event '$event': not a LogSchemaRegistry " +
+          "dispatch target (scan_events_txs.py:50-110)")).structType
 
   /** Sink-side schema gate: project `df` onto `c.schema` — declared column
     * order, casts where the runtime type differs, null literals are NOT

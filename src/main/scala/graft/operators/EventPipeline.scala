@@ -29,14 +29,19 @@ object EventPipeline {
   /** broadcast dispatch registry: (contract address, event name) → handler
     * (scan_events_txs.py:50-110 builds the same mapping from contract
     * metadata; J8). Deliberately partial — unregistered combinations take
-    * the warn/skip path (P2). */
+    * the warn/skip path (P2). The `""` row mirrors the reference's
+    * registered-but-ignored tier (scan_events_txs.py:88-95 routes
+    * VendorReceivedMarkup / BucketMovement / MoCToken-Transfer to the
+    * empty handler; the dispatch loop's `if event_class:` drops them
+    * SILENTLY): recognized, so never warned — but never dispatched. */
   private val Registry = Seq(
     ("0xc0", "ev0", "h_mint"),
     ("0xc0", "ev1", "h_redeem"),
     ("0xc1", "ev2", "h_transfer"),
     ("0xc2", "ev3", "h_approval"),
     ("0xc3", "ev4", "h_settlement"),
-    ("0xc1", "ev0", "h_notify"))
+    ("0xc1", "ev0", "h_notify"),
+    ("0xc2", "ev4", ""))
 
   private val RegistrySqlValues =
     Registry.map { case (a, e, h) => s"('$a','$e','$h')" }.mkString(", ")
@@ -74,18 +79,22 @@ object EventPipeline {
 
     // P2 + J8 + F25: explode the logs array, inner-join the broadcast
     // (address, event) registry = filter + dispatch in one hash lookup
-    // (scan_events_txs.py:139-157).
+    // (scan_events_txs.py:139-157); the `handler <> ''` guard is the
+    // reference's `if event_class:` — an ignored-tier row is recognized
+    // but never dispatched.
     Q(
       "p2_log_dispatch",
       s"""WITH $LogRowsCte,
          |registry(address, event_name, handler) AS (VALUES $RegistrySqlValues)
          |SELECT l.event_id, l.log_index, l.address, l.event_name, r.handler, l.amount
          |FROM logs l JOIN registry r USING (address, event_name)
+         |WHERE r.handler <> ''
          |ORDER BY l.event_id, l.log_index""".stripMargin) { (s, d) =>
       import s.implicits._
       val registry = Registry.toDF("address", "event_name", "handler")
       logRows(s, d)
         .join(broadcast(registry), Seq("address", "event_name"))
+        .filter(col("handler") =!= "")
         .select(col("event_id"), col("log_index"), col("address"),
           col("event_name"), col("handler"), col("amount"))
         .orderBy(col("event_id"), col("log_index"))
@@ -93,7 +102,10 @@ object EventPipeline {
 
     // P2 warn path: log entries with no registered handler (left_anti
     // against the registry), aggregated the way the reference logs them
-    // (scan_events_txs.py:150-156 warn+skip per unknown event).
+    // (scan_events_txs.py:150-156 warn+skip per unknown event). The
+    // ignored tier ("" handler) IS registered, so its logs are absent
+    // here too — recognized-and-dropped, exactly the reference's silent
+    // `if event_class:` skip.
     Q(
       "p2b_unmatched_logs",
       s"""WITH $LogRowsCte,
@@ -384,10 +396,13 @@ object EventPipeline {
     // mongo_manager.py:246's bsonType string; scan_raw_txs.py:46 stores
     // the receipt's log array serialized), so the derivation side must
     // from_json → explode → dispatch on topic0 → typed decode, exactly
-    // scan_events_txs.py:117-156. Here a 2-log receipt (an ERC-20
-    // Transfer + an InrateDailyPay) is serialized through to_json and
-    // re-parsed, so the oracle's hash compare proves the whole
-    // serialize→parse→dispatch→decode chain round-trips.
+    // scan_events_txs.py:117-156. Here a 3-log receipt (an ERC-20
+    // Transfer + an InrateDailyPay + a ZERO-PAYLOAD ContractLiquidated,
+    // the 22nd dispatch target — moc.py:125-232 reads only receipt
+    // fields and emits the 'STABLE'/'C0' constants) is serialized
+    // through to_json and re-parsed, so the oracle's hash compare proves
+    // the whole serialize→parse→dispatch→decode chain round-trips,
+    // empty-struct decode included.
     Q(
       "x1c_raw_log_pipeline",
       """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS hash, 0 AS log_index,
@@ -400,6 +415,10 @@ object EventPipeline {
         |SELECT event_id, md5(CAST(event_id AS VARCHAR)), 1, 'InrateDailyPay',
         |  CAST(event_id * 11 AS VARCHAR), CAST(event_id % 30 AS VARCHAR), '12345'
         |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, md5(CAST(event_id AS VARCHAR)), 2, 'ContractLiquidated',
+        |  'STABLE', 'C0', ''
+        |FROM events WHERE event_type = 'purchase' AND event_id % 7 = 0
         |ORDER BY event_id, log_index""".stripMargin) { (s, d) =>
       import graft.plans.{DecodeLogExpr, LogSchemaRegistry}
       def decodeLog(ev: String, topics: Column, data: Column): Column =
@@ -410,17 +429,24 @@ object EventPipeline {
       // ingest side: the receipt's log array rendered into the raw
       // document's JSON-string field
       val raw = T.events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("la", array(
+          struct(lit(0).as("log_index"),
+            array(t0("Transfer"), word(col("user_id")),
+              word(col("user_id") + 1)).as("topics"),
+            word(col("event_id") * 1000 + 1).as("data")),
+          struct(lit(1).as("log_index"),
+            array(t0("InrateDailyPay")).as("topics"),
+            concat(word(col("event_id") * 11), word(col("event_id") % 30),
+              word(lit(12345L))).as("data")),
+          // zero-payload log: topic0 only, empty data — present on every
+          // 7th receipt (liquidation is a rare event; the slice keeps the
+          // array literal one fixed shape for all rows)
+          struct(lit(2).as("log_index"),
+            array(t0("ContractLiquidated")).as("topics"),
+            lit("").as("data"))))
         .select(col("event_id"),
           md5(col("event_id").cast(StringType)).as("hash"),
-          to_json(array(
-            struct(lit(0).as("log_index"),
-              array(t0("Transfer"), word(col("user_id")),
-                word(col("user_id") + 1)).as("topics"),
-              word(col("event_id") * 1000 + 1).as("data")),
-            struct(lit(1).as("log_index"),
-              array(t0("InrateDailyPay")).as("topics"),
-              concat(word(col("event_id") * 11), word(col("event_id") % 30),
-                word(lit(12345L))).as("data")))).as("logs"))
+          to_json(expr("slice(la, 1, if(event_id % 7 = 0, 3, 2))")).as("logs"))
 
       // derivation side: parse the string, explode, dispatch by topic0
       val logSchema = ArrayType(StructType(Seq(
@@ -449,8 +475,20 @@ object EventPipeline {
           col("dec.amount").cast(StringType).as("f1"),
           col("dec.daysToSettlement").cast(StringType).as("f2"),
           col("dec.nReserveBucketC0").cast(StringType).as("f3"))
+      // the 22nd dispatch target: the decode yields an EMPTY struct (its
+      // non-nullness IS the topic0 dispatch proof); the emitted fields
+      // are the constants the reference handler writes (moc.py:158-160)
+      val liquidations = logs
+        .filter(element_at(col("topics"), 1) === t0("ContractLiquidated"))
+        .withColumn("dec",
+          decodeLog("ContractLiquidated", col("topics"), col("data")))
+        .filter(col("dec").isNotNull)
+        .select(col("event_id"), col("hash"), col("log_index"),
+          lit("ContractLiquidated").as("event"),
+          lit("STABLE").as("f1"), lit("C0").as("f2"), lit("").as("f3"))
 
-      transfers.unionAll(payouts).orderBy(col("event_id"), col("log_index"))
+      transfers.unionAll(payouts).unionAll(liquidations)
+        .orderBy(col("event_id"), col("log_index"))
     }
   )
 }

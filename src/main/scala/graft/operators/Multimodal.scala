@@ -286,8 +286,9 @@ object Multimodal {
     // graft.plans.Phash), the codegen'd `phash16` expression parses the
     // ACTUAL bytes back (offset/stride/row-order from the header, not
     // assumed) and emits the 63-bit DCT-sign perceptual hash, and pairs
-    // within hamming ≤ 3 are discovered by the SAME 4×16-bit pigeonhole
-    // banding as dd_simhash: ≤3 flipped bits cannot touch all 4 bands, so
+    // within hamming ≤ 3 are discovered by 4×16-bit pigeonhole banding
+    // (the same family dd_simhash re-banded onto in round 15, 4×15 over
+    // its 60 hash bits): ≤3 flipped bits cannot touch all 4 bands, so
     // the band-collision join is a COMPLETE candidate generator at that
     // threshold while never going all-pairs (inter-cluster hashes measure
     // hamming ≥ ~19, so the verify filter kills band noise). The fixture's

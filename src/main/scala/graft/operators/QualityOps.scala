@@ -425,7 +425,14 @@ object QualityOps {
           when(col("qmicro") >= lit(ClsLabelThr), 1L).otherwise(-1L).as("label"))
         .repartition(col("doc_id")).localCheckpoint(eager = true)
       feat.unpersist(blocking = false)
-      trainedMapFrom(fz, stats, lab, Map.empty, ClsEpochs, seedCandidate = false)
+      val w = trainedMapFrom(fz, stats, lab, Map.empty, ClsEpochs,
+        seedCandidate = false)
+      // the base-scope frames have NO readers after the one-time training
+      // (unlike ClsState's, which feed every later scoring pass) — release
+      // their checkpoint blocks instead of pinning executor storage for
+      // the session lifetime; the memoized result is the weight map alone.
+      Seq(fz, lab, stats).foreach(graft.core.Checkpoints.release)
+      w
     }
 
   /** cold-build hook for the base (weekly-compaction) training. */

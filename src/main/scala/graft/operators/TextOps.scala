@@ -42,7 +42,7 @@ private object Bm25Workload {
   *    cheaper hash);
   *  - MinHash signatures are computed as ONE wide aggregation (16 `min`
   *    columns in a single groupBy(doc_id) with map-side partial agg), not a
-  *    16× row explode; SimHash likewise as 48 signed sums in one pass.
+  *    16× row explode; SimHash likewise as 60 signed sums in one pass.
   */
 object TextOps {
 
@@ -85,16 +85,24 @@ object TextOps {
   private val MhP = 1000003L
   private val MhBands = 4
 
-  // ── SimHash parameters: 48-bit signature, near-dup iff hamming <= 3;
-  //    candidates from 4 pigeonhole 12-bit blocks: 3 differing bits across
-  //    4 blocks leave at least one block identical, so block-equality
-  //    candidates are a superset of all true pairs. 12-bit buckets (4096
-  //    values) keep per-bucket fan-out bounded even when signatures
-  //    cluster (measured at sf0.1: ~0.8M candidates vs 12.5M all-pairs). ──
-  private val ShBits = 48
-  private val ShThresh = 3
-  private val ShBlockOffsets = Seq(0, 12, 24, 36)
-  private val ShBlockWidths = Seq(12, 12, 12, 12)
+  // ── SimHash parameters (re-banded round 15): 60-bit signature — the
+  //    FULL width of the md5-derived sid60 token hash, every signature
+  //    bit backed by an independent hash bit — near-dup iff hamming <= 4;
+  //    candidates from 4 pigeonhole 15-bit blocks (32,768 buckets per
+  //    block, 8× the r14 12-bit space whose FIXED 4,096-bucket occupancy
+  //    grew linearly with the corpus and made candidate pairs ~N²/4096 —
+  //    the registry's one superlinear row at 8×/64×). Completeness: ≤3
+  //    differing bits across 4 disjoint blocks leave at least one block
+  //    identical (exact, the pigeonhole argument); hamming-4 pairs match
+  //    iff all four flips avoid one block (~91% for spread flips) — the
+  //    same candidates-are-probabilistic contract as dd_minhash_lsh's
+  //    banding, and dd_simhash_recall measures exactly this estimator.
+  //    Threshold 4/60 ≈ the r14 acceptance angle (3/48), so the verdict
+  //    set is comparable while precision improves with the extra bits. ──
+  private val ShBits = 60
+  private val ShThresh = 4
+  private val ShBlockOffsets = Seq(0, 15, 30, 45)
+  private val ShBlockWidths = Seq(15, 15, 15, 15)
 
   /** word 3-gram shingles of the space-split token list `l`; the
     * short-document (<3 tokens) branch is the caller's choice so the batch
@@ -163,7 +171,7 @@ object TextOps {
   }
 
   /** shared oracle CTE chain `tw/th/sb/sh2/blocks/scand/shv`: weighted
-    * token hashes → 48-bit simhash signatures → pigeonhole block keys →
+    * token hashes → 60-bit simhash signatures → pigeonhole block keys →
     * candidate pairs → hamming-thresholded VERDICT pairs. One definition
     * for dd_simhash and the dd_simhash_recall eval. */
   private lazy val ShVerdictSql: String = {
@@ -200,7 +208,7 @@ object TextOps {
   /** the simhash SIGN TABLE `(doc_id, simhash)` — the per-snapshot
     * artifact of the simhash dedup pipeline (the streaming gate persists
     * exactly this index), memoized per (session, dataset) as an eager
-    * localCheckpoint like the minhash signature tables: the 48-sum
+    * localCheckpoint like the minhash signature tables: the 60-sum
     * aggregation over the full token scan is the one-time index-build
     * step, and blocks + both verify sides of every consumer read the
     * artifact rather than re-signing the corpus. (Round 12: the round-11
@@ -214,7 +222,7 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
       val th = tw.select(col("doc_id"), col("w"), sid60(col("token")).as("h"))
-      // one wide aggregation: 48 signed bit-sums per doc
+      // one wide aggregation: 60 signed bit-sums per doc
       val bitSums = (0 until ShBits).map(j =>
         sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("w")).otherwise(-col("w")))
           .as(s"s$j"))
@@ -1177,14 +1185,15 @@ object TextOps {
         |  END)) // st.m_union AS est_intersect
         |FROM st, ex""".stripMargin) { (s, d) =>
       val el = T.documents(s, d).select(
-        // unbounded substring + BIGINT on BOTH engines, and the oracle uses
-        // TRY_CAST so a non-numeric suffix yields NULL there exactly as
-        // Spark's non-ANSI cast does here — both engines then exclude the
-        // doc from BOTH shards (NULL fails both in_a filters). Bounded
-        // numeric suffixes (the fixture universe) split identically; the
-        // failure MODE now also matches, instead of DuckDB raising where
-        // Spark nulls.
-        (expr("cast(substring(source, 4) as bigint)") % 2 === 0).as("in_a"),
+        // unbounded substring + BIGINT on BOTH engines, and TRY_CAST on
+        // BOTH engines: this session runs ANSI mode (a plain Spark cast
+        // would RAISE on a non-numeric suffix where DuckDB's TRY_CAST
+        // nulls), so the Spark side must use try_cast too — a
+        // non-numeric suffix yields NULL on both engines and the doc is
+        // excluded from BOTH shards (NULL fails both in_a filters).
+        // Bounded numeric suffixes (the fixture universe) split
+        // identically either way; try_cast pins the failure MODE to match.
+        (expr("try_cast(substring(source, 4) as bigint)") % 2 === 0).as("in_a"),
         conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
           .cast(LongType).as("h60"))
       val da = el.filter(col("in_a")).select(col("h60")).distinct()
@@ -2229,13 +2238,14 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
-    // SimHash near-dup: 48-bit signature from frequency-weighted token-hash
-    // bits (md5-derived 60-bit token ids); near-dup iff hamming <= 3.
-    // Plan shape: the 48 signed bit-sums are ONE wide aggregation per doc
-    // (single shuffle, map-side combine); candidates come from 4 pigeonhole
-    // 12-bit blocks (3 differing bits over 4 blocks leave one block
-    // identical), NOT an all-pairs join — each block-equality bucket bounds
-    // fan-out.
+    // SimHash near-dup: 60-bit signature from frequency-weighted token-hash
+    // bits (md5-derived 60-bit token ids, every signature bit an
+    // independent hash bit); near-dup iff hamming <= ShThresh. Plan shape:
+    // the 60 signed bit-sums are ONE wide aggregation per doc (single
+    // shuffle, map-side combine); candidates come from 4 pigeonhole
+    // 15-bit blocks (32,768 buckets each — see the ShBits comment for the
+    // round-15 re-banding and its completeness boundary), NOT an all-pairs
+    // join — each block-equality bucket bounds fan-out.
     Q(
       "dd_simhash",
       s"""WITH $ShVerdictSql

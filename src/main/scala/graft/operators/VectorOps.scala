@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -607,20 +608,24 @@ object VectorOps {
        |  CROSS JOIN wsel ws)""".stripMargin
 
   /** graph knobs, every one rendered into the oracle so the walk is the
-    * same program on both engines. Degree 8 (HNSW-M-scale adjacency; the
+    * same program on both engines. Degree 12 (HNSW-M-scale adjacency; the
     * ss_knn_graph DUMP still reports the top-3 rows, but the persisted
-    * artifact keeps 8 — out-degree is what a walk can follow, and 3 was
+    * artifact keeps 12 — out-degree is what a walk can follow, and 3 was
     * measured too sparse to navigate: mean recall@5 0.075 at degree 3 /
-    * directed / 4 seeds / beam 8 / 4 hops vs 0.45 with this
-    * configuration, above the IVF row's 0.375 as a graph walk should
-    * be). Edges walk SYMMETRIZED (gsym —
+    * directed / 4 seeds / beam 8 / 4 hops, 0.45 at degree 8 / beam 16 /
+    * global seeds — round 15 widened to degree 12 / beam 32 and added
+    * PER-QUERY entry points from the adaptive sign-LSH buckets (gmates:
+    * up to [[GraphSeeds]] bucket-mates by smallest id, beside the
+    * [[GraphSeeds]] global anchors), the standard navigability levers;
+    * recall is pinned by ss_graph_recall against the IVF (0.375) and
+    * adaptive-LSH rows. Edges walk SYMMETRIZED (gsym —
     * HNSW links are bidirectional; an in-edge from a true neighbor is as
-    * navigable as an out-edge). 8 fixed entry points, beam 16, 6 hops.
+    * navigable as an out-edge). 8+≤8 entry points, beam 32, 6 hops.
     * (Defined BEFORE the SQL vals below that render them — a forward
     * reference would silently bake 0 into the oracle strings.) */
-  private val GraphDegree = 8
+  private val GraphDegree = 12
   private val GraphSeeds = 8
-  private val GraphBeam = 16
+  private val GraphBeam = 32
   private val GraphHops = 6
 
   /** DuckDB-side mirror of [[knnGraph]] (composes after [[AdaptiveCodesSql]]):
@@ -648,9 +653,10 @@ object VectorOps {
        |         UNION SELECT n_id AS q_id, q_id AS n_id FROM gtop)""".stripMargin
 
   /** DuckDB-side mirror of [[graphSearch]] over the fixed query slice
-    * (vec_id < 16, the ss_topk_* convention) — unrolled hops gb0..gb4,
+    * (vec_id < 16, the ss_topk_* convention) — gb0 = global anchors ∪
+    * per-query bucket-mates (gmates), unrolled hops gb1..gb[[GraphHops]],
     * final `gsearch` = exact-rescored top-5 of the last beam. Composes
-    * after [[KnnGraphSqlCtes]]. */
+    * after [[KnnGraphSqlCtes]] (whose `mb` codes also feed gmates). */
   private val GraphSearchSqlCtes: String = {
     val hops = (1 to GraphHops).map { h =>
       s"""gc$h AS (SELECT DISTINCT q_id, n_id FROM (
@@ -672,8 +678,19 @@ object VectorOps {
     (Seq(
       s"""gseeds AS (SELECT vec_id AS n_id FROM embeddings
          |  WHERE vec_id >= 16 ORDER BY vec_id LIMIT $GraphSeeds),
-         |gb0 AS (SELECT q.vec_id AS q_id, s.n_id
-         |  FROM embeddings q CROSS JOIN gseeds s WHERE q.vec_id < 16)""".stripMargin)
+         |gmates AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_id) AS rn
+         |    FROM (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |          FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
+         |          WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id))
+         |  WHERE rn <= $GraphSeeds),
+         |gb0 AS (
+         |  SELECT q.vec_id AS q_id, s.n_id
+         |  FROM embeddings q CROSS JOIN gseeds s WHERE q.vec_id < 16
+         |  UNION
+         |  SELECT q_id, n_id FROM gmates)""".stripMargin)
       ++ hops ++ Seq(
       s"""gsearch AS (SELECT q_id, n_id, cos, rnk FROM (
          |  SELECT v.*, ROW_NUMBER() OVER (PARTITION BY v.q_id
@@ -710,17 +727,41 @@ object VectorOps {
       .dropDuplicates(Seq("src", "dst"))
     val emb = quantized(s, d, withBucket = false)
       .select(col("vec_id").as("n_id"), col("qarr"), col("nrm").as("nc"))
-    // entry points are GLOBAL: the GraphSeeds smallest ids outside the
+    // entry points are GLOBAL anchors + PER-QUERY sign-LSH bucket-mates
+    // (round 15). Anchors: the GraphSeeds smallest ids outside the
     // reserved query-workload slice (vec_id < 16, the ss_* fixture
-    // convention) — one fixed rule for the registered query, the recall
-    // eval, AND the serving route, so all three walk the identical
-    // program (ServingSpec pins route ≡ ss_graph_search). A query id
-    // colliding with a seed self-excludes via the q_id ≠ n_id filter.
+    // convention) guarantee a non-empty, total start for ANY query.
+    // Bucket-mates: up to GraphSeeds corpus vectors sharing an
+    // adaptive-sign-code (t, bucket) with the query, smallest-id-first —
+    // the entry points land in the query's own LSH neighborhood, so the
+    // walk starts hops closer to the true neighbors (the round-14 global
+    // seeds cost the walk most of its recall gap vs the lsha row). One
+    // fixed rule for the registered query, the recall eval, AND the
+    // serving route, so all three walk the identical program
+    // (ServingSpec pins route ≡ ss_graph_search). A query id colliding
+    // with a seed self-excludes via the q_id ≠ n_id filter; the mate
+    // join is broadcast on the |Q|-sized query-code side.
     val seeds = quantized(s, d, withBucket = false)
       .filter(col("vec_id") >= 16)
       .select(col("vec_id").as("n_id"))
       .orderBy(col("n_id")).limit(GraphSeeds)
+    val codes = adaptiveSignCodes(s, d)
+    val qCodes = broadcast(queries.select(col("q_id")))
+      .join(codes.select(col("vec_id").as("q_id"), col("t"), col("bucket")),
+        Seq("q_id"))
+    val mates = broadcast(qCodes)
+      .join(codes.select(col("vec_id").as("n_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+      .dropDuplicates(Seq("q_id", "n_id")) // 4 code tables → up to 4 rows/pair
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("n_id"))))
+      .filter(col("rn") <= GraphSeeds)
+      .select(col("q_id"), col("n_id"))
     var beam = queries.select(col("q_id")).crossJoin(seeds)
+      .unionByName(mates)
+      .dropDuplicates(Seq("q_id", "n_id"))
       .localCheckpoint(eager = true)
     var scored: DataFrame = null
     for (_ <- 1 to GraphHops) {
@@ -741,7 +782,8 @@ object VectorOps {
   }
 
   /** the registered-query form of [[graphSearch]]: the fixed vec_id < 16
-    * query slice, seeds = the [[GraphSeeds]] smallest non-query ids. */
+    * query slice; entry points = the [[GraphSeeds]] smallest non-query
+    * ids plus each query's sign-LSH bucket-mates (see graphSearch). */
   private def graphSearchFixed(s: SparkSession, d: String): DataFrame =
     graphSearch(s, d,
       quantized(s, d, withBucket = false).filter(col("vec_id") < 16)
@@ -750,7 +792,11 @@ object VectorOps {
 
   /** serving entry for `/vectors/topk?mode=graph`: beam-walk the
     * persisted k-NN graph for ONE query vector. Unknown vec_id serves an
-    * empty frame (total, like topkFor). */
+    * empty frame (total, like topkFor). `k` is clamped to [[GraphBeam]]
+    * — a walk cannot rank more rows than its final beam holds; the HTTP
+    * route's own cap (k ≤ 20 < GraphBeam) keeps the clamp unreachable
+    * from clients, so a served list is never silently shorter than the
+    * k asked for. */
   private[graft] def topkGraphFor(s: SparkSession, d: String,
       queryId: Long, k: Int): DataFrame =
     graphSearch(s, d,
@@ -2256,14 +2302,16 @@ object VectorOps {
       knnGraph(s, d).filter(col("rnk") <= 3).orderBy(col("q_id"), col("rnk"))
     },
 
-    // GRAPH SEARCH over the persisted k-NN graph (round 14) — the serving
-    // half of graph-based ANN that ss_knn_graph only BUILT: an HNSW-style
-    // layer-0 greedy beam walk (4 fixed entry points, beam 8, 4 hops,
-    // exact integer-cosine rescoring at every hop, top-5 of the final
-    // beam). The oracle unrolls the identical walk hop by hop; every knob
-    // is a shared literal. See graphSearch's scaladoc for why this is the
-    // 100 TB serving shape: per-hop work is beam·degree corpus LOOKUPS
-    // against the persisted neighbor lists, never a corpus scan per query.
+    // GRAPH SEARCH over the persisted k-NN graph (round 14; re-tuned
+    // round 15) — the serving half of graph-based ANN that ss_knn_graph
+    // only BUILT: an HNSW-style layer-0 greedy beam walk (GraphSeeds
+    // global anchors + up to GraphSeeds per-query sign-LSH bucket-mate
+    // entry points, beam GraphBeam, GraphHops hops, exact integer-cosine
+    // rescoring at every hop, top-5 of the final beam). The oracle
+    // unrolls the identical walk hop by hop; every knob is a shared
+    // literal. See graphSearch's scaladoc for why this is the 100 TB
+    // serving shape: per-hop work is beam·degree corpus LOOKUPS against
+    // the persisted neighbor lists, never a corpus scan per query.
     Q(
       "ss_graph_search",
       s"""$FlatCte,

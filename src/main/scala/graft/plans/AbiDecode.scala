@@ -45,10 +45,14 @@ case class EventAbi(name: String, fields: Seq[AbiField]) {
     StructType(fields.map(f => StructField(f.name, f.tpe.sparkType)))
 }
 
-/** topic0 → payload schema for every event the reference derives payload
-  * fields from (events/ *.py; the two zero-payload notifications,
-  * ContractLiquidated and BucketLiquidation's bucket-only shape, carry
-  * their payload in the registry too so the catalog is complete). */
+/** topic0 → payload schema for every event the reference DISPATCHES to a
+  * real handler (scan_events_txs.py:50-110 builds the map; 22 entries
+  * including the zero-payload ContractLiquidated and BucketLiquidation's
+  * bucket-only shape, so [[graft.core.Schemas.payloadOf]] is total over
+  * the dispatch targets). The reference additionally REGISTERS three
+  * dispatch rows routed to the empty handler — recognized, silently
+  * skipped, never decoded — carried here as [[ignoredDispatch]] so the
+  * unknown-event warn path has exact parity. */
 object LogSchemaRegistry {
   private def f(n: String, t: AbiType, idx: Boolean = false) = AbiField(n, t, idx)
 
@@ -130,6 +134,10 @@ object LogSchemaRegistry {
     EventAbi("SettlementCompleted", Seq(f("commissionsPayed", AbiUint))),
     // moc.py:16-98
     EventAbi("BucketLiquidation", Seq(f("bucket", AbiBytes32))),
+    // moc.py:125-232 — zero-payload notification: the handler reads ONLY
+    // receipt-level fields (tx hash, blockNumber, constants 'STABLE'/'C0')
+    // and fans out per-holder rows from user state, never a log field
+    EventAbi("ContractLiquidated", Seq()),
     // mocstate.py:21-37 (int code mapped through d_states downstream)
     EventAbi("StateTransition", Seq(f("newState", AbiUint))),
     // fastbtcbridge.py:25-30
@@ -143,6 +151,16 @@ object LogSchemaRegistry {
 
   val byName: Map[String, EventAbi] = events.map(e => e.name -> e).toMap
   val byTopic0: Map[String, EventAbi] = events.map(e => e.topic0 -> e).toMap
+
+  /** (contract role, event name) rows the reference REGISTERS but routes
+    * to the empty handler `""` (scan_events_txs.py:88-95; the dispatch
+    * loop's `if event_class:` skips them SILENTLY — no unknown-event
+    * warn, no decode, no index write). Warn-path parity: a log matching
+    * one of these must be recognized-and-dropped, not warned about. */
+  val ignoredDispatch: Set[(String, String)] = Set(
+    ("MoCVendors", "VendorReceivedMarkup"),
+    ("MoCBProxManager", "BucketMovement"),
+    ("MoCToken", "Transfer"))
 }
 
 /** row-level decode shared by interpreted eval and generated code */

@@ -591,7 +591,9 @@ object Pipelines {
       out: DataFrame => Unit, intraBatch: Boolean = false,
       compactEvery: Int = CompactEvery,
       shuffleProbe: Boolean = false,
-      compactPhase: Int = 0, compactStride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactPhase: Int = 0, compactStride: Int = 1,
+      compactAsync: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val compacting = new java.util.concurrent.atomic.AtomicReference[Thread](null)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -599,6 +601,8 @@ object Pipelines {
         val spark = batch.sparkSession
         val sigBase = new Path(s"$indexDir/sig")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // async-compaction cutover FIRST — before any plan lists run dirs
+        if (compactAsync) promoteStaged(fs, sigBase, compacting)
         val runs = completeRuns(fs, sigBase)
         // per-id dedup FIRST: an at-least-once source can deliver the same
         // doc_id twice in ONE micro-batch — without this the admit join
@@ -641,10 +645,12 @@ object Pipelines {
         out(docs.join(staged.select(col("doc_id")), Seq("doc_id")))
         sealRun(fs, sigBase, batchId, new Path(staging))
         if (compactEvery > 0 && compactDue(batchId, compactPhase, compactStride))
-          mergeSmallRuns(spark, fs, sigBase, compactEvery)
+          runCompaction(spark, fs, sigBase, compactEvery, "doc_id",
+            compactAsync, batchId, compacting)
         newSig.unpersist(); docs.unpersist()
         ()
       }
+  }
 
   /** COMPACTION STAGGERING (round 14): when several gates compose into one
     * chain, their size-tier thresholds cross in the SAME batch (each gate
@@ -746,6 +752,126 @@ object Pipelines {
     spark.read.parquet(runs.map(_.toString): _*)
   }
 
+  /** OFF-THE-ADMIT-PATH compaction (round 15): the MERGE runs on a daemon
+    * thread, the VISIBILITY CUTOVER runs on the batch thread — r14's
+    * composed soak still showed batch_total p99 = 2.04× the max
+    * single-gate p99 because ONE text merge (~12.5 s) ran inline even
+    * after phase staggering removed coincidence.
+    *
+    * Stage/promote protocol (the Generations discipline applied to runs):
+    * the background [[stageMerge]] writes the merged victims to an
+    * INVISIBLE `stage-crun=` dir (completeRuns only lists `run=`/`crun=`)
+    * and marks it promotable by writing a `_VICTIMS` manifest as its LAST
+    * act; [[promoteStaged]] — called by the batch thread at BATCH START,
+    * before any probe plan is built — renames the stage dir to its
+    * `crun=` and deletes exactly the manifest's victims. Deleting on the
+    * batch thread before plan construction is the point: a victim is
+    * never removed while a probe scan that listed it is running (the
+    * failure mode a merge-thread delete hits). The serving tier's
+    * concurrent reads keep the same (pre-existing, sync-path) exposure.
+    *
+    * One merge in flight per gate: a still-running thread defers the next
+    * trigger, so deferral is bounded by the merge wall and the run count
+    * stays ≤ compactEvery + stride + the few batches a merge overlaps.
+    * Crash/failure windows: a stage dir without its manifest is a dead
+    * merge's debris — swept by promoteStaged once no merge is in flight;
+    * a crash between rename and victim deletes leaves crun + victims both
+    * visible, which only duplicates id-keyed rows (verdict joins
+    * tolerate, the next merge's id-dedup heals — the sync path's own
+    * documented crash window). Nothing is ever deleted before the merged
+    * data is complete, so a half-merge is garbage, never loss. Sync
+    * (`async = false`, the default) keeps the deterministic run-count
+    * bound the stream specs pin. */
+  private def runCompaction(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: Path, k: Int,
+      idCol: String, async: Boolean, batchId: Long,
+      inFlight: java.util.concurrent.atomic.AtomicReference[Thread]): Unit =
+    if (!async) mergeSmallRuns(spark, fs, base, k, idCol)
+    else {
+      val prev = inFlight.get()
+      // one merge in flight AND no stage awaiting promote: a dead thread
+      // whose manifest landed after this batch's promote pass would
+      // otherwise let a second merge start, double-merging the same
+      // victims (wasted work; the id-dedup would still heal the rows)
+      if ((prev == null || !prev.isAlive) && stageDirs(fs, base).isEmpty) {
+        val t = new Thread(
+          () =>
+            try stageMerge(spark, fs, base, k, idCol, batchId)
+            catch {
+              case e: Exception => System.err.println(
+                s"[gate] async compaction of $base failed " +
+                  s"(retries at next trigger): ${e.getMessage}")
+            },
+          s"gate-compact-${base.toUri.getPath.replace('/', '-')}")
+        t.setDaemon(true)
+        inFlight.set(t)
+        t.start()
+      }
+    }
+
+  private def stageDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path): Seq[Path] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("stage-")).toIndexedSeq
+
+  /** background half of async compaction: merge the k smallest complete
+    * runs into an invisible `stage-b<batchId>` dir (UNIQUE per trigger —
+    * the final `crun=` id is assigned at PROMOTE time on the serialized
+    * batch thread, so two merges racing a promote can never collide on a
+    * name and nest one dir inside the other, which is what a Hadoop
+    * local rename onto an existing directory does); the `_VICTIMS`
+    * manifest (victim dir names, one per line) written LAST marks the
+    * stage promotable. */
+  private def stageMerge(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: Path, k: Int,
+      idCol: String, batchId: Long): Unit = {
+    val runs = completeRuns(fs, base)
+    if (runs.size <= k) return
+    val victims = runs
+      .map(p => p -> fs.getContentSummary(p).getLength)
+      .sortBy(_._2).take(k).map(_._1)
+    val stage = new Path(base, f"stage-b$batchId%012d")
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.read.parquet(victims.map(_.toString): _*)
+      .dropDuplicates(idCol)
+      .coalesce(n)
+      .write.mode("overwrite").parquet(stage.toString)
+    val out = fs.create(new Path(stage, "_VICTIMS"), true)
+    try out.write(victims.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** batch-thread half of async compaction, called BEFORE any probe plan
+    * is built: promote every manifest-complete stage dir — assign it the
+    * next free `crun=` id (this thread is the only renamer, so the id is
+    * unique by construction), rename, then delete exactly the manifest's
+    * victims — and sweep manifest-less debris once its merge thread is
+    * provably dead. */
+  private def promoteStaged(fs: org.apache.hadoop.fs.FileSystem, base: Path,
+      inFlight: java.util.concurrent.atomic.AtomicReference[Thread]): Unit =
+    stageDirs(fs, base).foreach { stage =>
+      val manifest = new Path(stage, "_VICTIMS")
+      if (fs.exists(manifest) && fs.exists(new Path(stage, "_SUCCESS"))) {
+        val in = fs.open(manifest)
+        val victims =
+          try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+          finally in.close()
+        val nextId = completeRuns(fs, base)
+          .filter(_.getName.startsWith("crun=")) match {
+          case s if s.isEmpty => 0L
+          case s => s.map(runNo).max + 1
+        }
+        fs.delete(manifest, false) // a promoted crun carries no manifest
+        fs.rename(stage, new Path(base, f"crun=$nextId%012d"))
+        victims.filter(_.nonEmpty)
+          .foreach(v => fs.delete(new Path(base, v), true))
+      } else {
+        val t = inFlight.get()
+        if (t == null || !t.isAlive) fs.delete(stage, true)
+      }
+    }
+
   /** size-tiered merge: when more than `k` complete runs exist, merge the
     * `k` smallest into the next `crun=` (`idCol`-dedup'd — index rows are a
     * function of the id, so this is exact and also heals duplicates left
@@ -812,7 +938,9 @@ object Pipelines {
       intraBatch: Boolean = false,
       compactEvery: Int = CompactEvery,
       shuffleProbe: Boolean = false,
-      compactPhase: Int = 0, compactStride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactPhase: Int = 0, compactStride: Int = 1,
+      compactAsync: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val compacting = new java.util.concurrent.atomic.AtomicReference[Thread](null)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -820,6 +948,7 @@ object Pipelines {
         val spark = batch.sparkSession
         val sigBase = new Path(s"$indexDir/sig")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (compactAsync) promoteStaged(fs, sigBase, compacting)
         val runs = completeRuns(fs, sigBase)
         // per-id dedup FIRST — embeddingIndex has no per-id aggregation, so
         // a vec_id delivered twice in one micro-batch would otherwise
@@ -851,10 +980,12 @@ object Pipelines {
         out(vecs.join(staged.select(col("vec_id")), Seq("vec_id")))
         sealRun(fs, sigBase, batchId, new Path(staging))
         if (compactEvery > 0 && compactDue(batchId, compactPhase, compactStride))
-          mergeSmallRuns(spark, fs, sigBase, compactEvery, "vec_id")
+          runCompaction(spark, fs, sigBase, compactEvery, "vec_id",
+            compactAsync, batchId, compacting)
         newIdx.unpersist(); vecs.unpersist()
         ()
       }
+  }
 
   /** Streaming IMAGE dedup admit gate — the multimodal third of the
     * dedup-gate family (text: [[nearDupGate]], vectors: [[embedDupGate]]),
@@ -886,7 +1017,9 @@ object Pipelines {
         * text pipeline's quarantine path. Default keeps the round-12
         * drop-silently contract. */
       quarantine: Option[DataFrame => Unit] = None,
-      compactPhase: Int = 0, compactStride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactPhase: Int = 0, compactStride: Int = 1,
+      compactAsync: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val compacting = new java.util.concurrent.atomic.AtomicReference[Thread](null)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -894,6 +1027,7 @@ object Pipelines {
         val spark = batch.sparkSession
         val sigBase = new Path(s"$indexDir/sig")
         val fs = sigBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (compactAsync) promoteStaged(fs, sigBase, compacting)
         val runs = completeRuns(fs, sigBase)
         val imgs = dedupDeterministic(batch.toDF(), "img_id").persist()
         val newIdx = ImageDup.imageIndex(imgs).persist()
@@ -922,10 +1056,12 @@ object Pipelines {
         out(imgs.join(staged.select(col("img_id")), Seq("img_id")))
         sealRun(fs, sigBase, batchId, new Path(staging))
         if (compactEvery > 0 && compactDue(batchId, compactPhase, compactStride))
-          mergeSmallRuns(spark, fs, sigBase, compactEvery, "img_id")
+          runCompaction(spark, fs, sigBase, compactEvery, "img_id",
+            compactAsync, batchId, compacting)
         newIdx.unpersist(); imgs.unpersist()
         ()
       }
+  }
 
   /** Streaming decontamination gate — the eval-overlap filter applied AT
     * INGEST: drop micro-batch documents sharing any 4-word shingle with a

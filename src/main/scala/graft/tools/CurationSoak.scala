@@ -120,6 +120,11 @@ object CurationSoak {
     // can land on any batch BY CONSTRUCTION (r13's composed batch_total
     // p99 was 26.2 s vs ≤ 8.7 s per gate because all thresholds crossed
     // on the same batch). DSIR has no index to compact.
+    // ASYNC COMPACTION (round 15): merges additionally run OFF the admit
+    // path (Pipelines.runCompaction's daemon thread) — staggering removed
+    // coincidence, but r14's batch_total p99 was still 2.04× the max
+    // single-gate p99 because one ~12.5 s text merge ran inline; with the
+    // merge off-path the admit batch pays only the trigger check.
     val CompactStride = 3
     val inText = MemoryStream[(Long, String, String)]
     val qText = Pipelines.nearDupGate(
@@ -127,14 +132,16 @@ object CurationSoak {
       s"$base/textIdx", s"$base/ckptText",
       out => textOut.set(out.select(col("doc_id"), col("text"), col("lang"))
         .as[(Long, String, String)].collect()),
-      intraBatch = true, compactPhase = 0, compactStride = CompactStride).start()
+      intraBatch = true, compactPhase = 0, compactStride = CompactStride,
+      compactAsync = true).start()
 
     val inEmbed = MemoryStream[(Long, Array[Float])]
     val qEmbed = Pipelines.embedDupGate(
       inEmbed.toDF().toDF("vec_id", "embedding"),
       s"$base/embedIdx", s"$base/ckptEmbed",
       out => embedOut.set(out.select(col("vec_id")).as[Long].collect().toSet),
-      intraBatch = true, compactPhase = 1, compactStride = CompactStride).start()
+      intraBatch = true, compactPhase = 1, compactStride = CompactStride,
+      compactAsync = true).start()
 
     val inImg = MemoryStream[(Long, Array[Byte])]
     val qImg = Pipelines.imageDupGate(
@@ -143,7 +150,8 @@ object CurationSoak {
       out => imageOut.set(out.select(col("img_id")).as[Long].collect().toSet),
       intraBatch = true,
       quarantine = Some(q => quarantined += q.count()),
-      compactPhase = 2, compactStride = CompactStride).start()
+      compactPhase = 2, compactStride = CompactStride,
+      compactAsync = true).start()
 
     // observed per-gate compaction: a batch seals exactly one new run, so
     // the run-dir count GROWS by one unless a merge folded the small tier

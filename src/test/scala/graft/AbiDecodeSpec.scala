@@ -86,6 +86,25 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("zero-payload ContractLiquidated: topic0 dispatch on an empty struct") {
+    // the 22nd dispatch target (moc.py:125-232): signature has NO fields,
+    // so topic0 = keccak("ContractLiquidated()") and the decode's only
+    // job is the dispatch verdict — non-null empty struct on a matching
+    // topic0, null on anything else
+    val spec = LogSchemaRegistry.byName("ContractLiquidated")
+    assert(spec.signature === "ContractLiquidated()")
+    assert(spec.structType.isEmpty)
+    val t0 = "0x" + spec.topic0
+    val rows = Seq(
+      (Seq(t0), ""),                 // match: empty data
+      (Seq("0x" + "00" * 32), ""))   // wrong topic0
+      .toDF("topics", "data")
+      .select(decodeLog("ContractLiquidated", col("topics"), col("data")).as("d"))
+      .collect()
+    assert(!rows(0).isNullAt(0), "matching topic0 must decode (empty struct)")
+    assert(rows(1).isNullAt(0), "wrong topic0 must null")
+  }
+
   test("uint256 beyond 38 decimal digits nulls the field, not the row") {
     val t0 = "0x" + LogSchemaRegistry.byName("Transfer").topic0
     val row = Seq((Seq(t0, pad("aa" * 20), pad("bb" * 20)), "f" * 64))

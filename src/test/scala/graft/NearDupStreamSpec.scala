@@ -301,4 +301,71 @@ class NearDupStreamSpec extends AnyFunSuite {
     val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(filesC <= sp * 3, s"file count $filesC not bounded by compaction")
   }
+
+  test("ASYNC compaction merges off the admit path without changing verdicts") {
+    // round 15: compactAsync=true runs mergeSmallRuns on a daemon thread
+    // (one in flight per gate) so the admit batch never pays the merge
+    // wall. The contract under test: (1) admit verdicts are identical to
+    // the uncompacted run — a mid-merge index (crun visible, victims not
+    // yet deleted) only duplicates id-keyed rows, which the verdict joins
+    // tolerate; (2) at least one background merge COMPLETES (crun sealed,
+    // victims deleted), so the run count genuinely drops; (3) the
+    // surviving runs hold exactly the admitted id set (no loss, no
+    // resurrection).
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ndasync").toString
+    val admittedDir = s"$base/admitted"
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupGate(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ckpt",
+      out => out.write.mode("append").parquet(admittedDir),
+      compactEvery = 2, compactAsync = true).start()
+    val texts = Seq(
+      "alpha rivers carve deep canyons through ancient sandstone plateaus",
+      "market prices fluctuated wildly after the surprise earnings report",
+      "the violin section carried the melody through the final movement",
+      "volcanic ash clouds grounded flights across the northern hemisphere",
+      "quantum error correction requires thousands of physical qubits",
+      "the recipe calls for saffron threads soaked in warm goat milk",
+      "migratory birds navigate using the earth magnetic field lines")
+    def runDirs(): Int = {
+      val d = new java.io.File(s"$base/index/sig")
+      d.listFiles().count(f => f.isDirectory &&
+        (f.getName.startsWith("run=") || f.getName.startsWith("crun=")) &&
+        new java.io.File(f, "_SUCCESS").exists())
+    }
+    try {
+      texts.zipWithIndex.foreach { case (t, i) =>
+        in.addData(
+          (100L + i, t),
+          (200L + i, "the quick brown fox jumps over the lazy dog near the river bank"))
+        q.processAllAvailable()
+      }
+      // merges stage in the background and PROMOTE at the next batch
+      // start, so drive flush batches (near-dup fox copies — they all
+      // drop, leaving the admit set fixed) until a promotion lands; each
+      // flush batch also seals one more run, so the count dropping WELL
+      // below the sealed total proves completed merges, not luck
+      var flush = 0
+      while (runDirs() > 4 && flush < 20) {
+        Thread.sleep(300)
+        in.addData((300L + flush,
+          "the quick brown fox jumps over the lazy dog near the river bank"))
+        q.processAllAvailable()
+        flush += 1
+      }
+      assert(runDirs() <= 6,
+        s"background merges must complete and promote (still ${runDirs()} " +
+          s"runs after ${7 + flush} sealed batches)")
+    } finally q.stop()
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(admitted === (Seq(200L) ++ (0 until 7).map(100L + _)).sorted,
+      "async compaction must not change admit verdicts")
+    val indexIds = Pipelines.readNearDupIndex(spark, s"$base/index")
+      .select(col("doc_id")).distinct().as[Long].collect().sorted.toSeq
+    assert(indexIds === admitted,
+      "merged index must hold exactly the admitted id set")
+  }
 }

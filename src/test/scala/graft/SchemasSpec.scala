@@ -9,9 +9,10 @@ import graft.plans.LogSchemaRegistry
 import graft.streaming.{CollectionSink, ParquetDocumentSink}
 
 /** The document-store catalog must mirror the reference exactly: all 16
-  * collections, natural keys = the reference's unique indexes, 21 event
-  * payload schemas, and the conform() sink gate aligning (or loudly
-  * rejecting) derivation output.
+  * collections, natural keys = the reference's unique indexes, 22 event
+  * payload schemas (every real dispatch target incl. the zero-payload
+  * ContractLiquidated) + the 3-row ignored-dispatch tier, and the
+  * conform() sink gate aligning (or loudly rejecting) derivation output.
   */
 class SchemasSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -50,11 +51,37 @@ class SchemasSpec extends AnyFunSuite {
     assert(s("timestamp").dataType === TimestampType)
   }
 
-  test("all 21 event payload schemas resolve through the catalog") {
-    assert(LogSchemaRegistry.events.size === 21)
+  test("all 22 event payload schemas resolve through the catalog (payloadOf total)") {
+    assert(LogSchemaRegistry.events.size === 22)
     LogSchemaRegistry.events.foreach { e =>
       assert(Schemas.payloadOf(e.name) === e.structType)
     }
+    // the reference's full dispatch-target list (scan_events_txs.py:50-110,
+    // real handlers only) — payloadOf must be TOTAL over it, including the
+    // zero-payload ContractLiquidated (moc.py:125-232)
+    val dispatchTargets = Seq(
+      "BucketLiquidation", "ContractLiquidated", "SettlementStarted",
+      "RedeemRequestAlter", "RedeemRequestProcessed",
+      "SettlementRedeemStableToken", "SettlementDeleveraging",
+      "SettlementCompleted", "RiskProMint", "RiskProRedeem", "RiskProxMint",
+      "RiskProxRedeem", "StableTokenMint", "StableTokenRedeem",
+      "FreeStableTokenRedeem", "Transfer", "StateTransition",
+      "InrateDailyPay", "RiskProHoldersInterestPay", "Approval",
+      "NewBitcoinTransfer", "BitcoinTransferStatusUpdated")
+    dispatchTargets.foreach(n => Schemas.payloadOf(n)) // no throw = total
+    assert(Schemas.payloadOf("ContractLiquidated").isEmpty) // zero-payload
+    // unknown names raise a TYPED error naming the registry, not a bare
+    // Map NoSuchElementException
+    val err = intercept[IllegalArgumentException] {
+      Schemas.payloadOf("NotAnEvent")
+    }
+    assert(err.getMessage.contains("LogSchemaRegistry"))
+    // the registered-but-ignored tier ("" handlers) is metadata, not a
+    // payload target: recognized for warn suppression, never decoded
+    assert(LogSchemaRegistry.ignoredDispatch === Set(
+      ("MoCVendors", "VendorReceivedMarkup"),
+      ("MoCBProxManager", "BucketMovement"),
+      ("MoCToken", "Transfer")))
     // spot-shape: the exchange-op payloads carry the ×6 commission block
     val mint = Schemas.payloadOf("RiskProMint").fieldNames
     for (n <- Seq("commission", "reservePrice", "mocCommissionValue",
