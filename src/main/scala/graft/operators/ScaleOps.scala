@@ -79,12 +79,24 @@ object ScaleOps {
   }
 
   /** One PageRank sweep: contrib keyed by dst (the iteration's only
-    * shuffle), then the damped update against the full node set. */
+    * shuffle), then the damped update against the full node set.
+    *
+    * Join shape (round 15, guide §2.4/§3.1): the edge table is persisted
+    * ALREADY hash-partitioned by src (the caller repartitions once), so
+    * the transfer join needs no exchange on the |E|-sized side — only the
+    * |V|-sized ranks frame moves, and the SHUFFLE_HASH hints keep both
+    * joins off the sort-merge path (an SMJ would re-SORT the persisted
+    * edge partitions every sweep; a hash build of the small ranks/contrib
+    * side does not). Before the re-cut each sweep sort-merge-joined the
+    * edges — two sorts plus an |E| exchange per iteration at 100 TB.
+    * Strategy-only change: the summed integer transfers are identical
+    * under any join order (exact Long arithmetic, no overflow at the
+    * 10^12 scale × degree bound), so the fixpoint is bit-identical. */
   private def prStep(nodes: DataFrame, edges: DataFrame, ranks: DataFrame, base: Long): DataFrame = {
-    val contrib = edges.join(ranks, edges("src") === ranks("id"))
+    val contrib = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
       .groupBy(col("dst").as("id"))
       .agg(sum(expr("(r * w) div wout")).as("c"))
-    nodes.join(contrib, Seq("id"), "left")
+    nodes.join(contrib.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"),
         (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
   }
@@ -212,7 +224,10 @@ object ScaleOps {
   def queries: Seq[Q] = Seq(
 
     Q("gr_pagerank", pagerankOracle) { (s, d) =>
-      val edges = prEdges(s, d).persist()
+      // persist the edge table hash-partitioned by src: all 6 sweeps join
+      // on src, so the partitioning is paid once here instead of being
+      // re-established (or sorted around) inside every iteration
+      val edges = prEdges(s, d).repartition(col("src")).persist()
       val nodes = edges.select(col("src").as("id")).distinct().persist()
       val n = nodes.count()
       val base = (15L * PrScale) / (100L * n)
@@ -554,12 +569,23 @@ object ScaleOps {
         |SELECT n AS partkey, count(*) AS n_tri FROM (
         |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri UNION ALL SELECT c AS n FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val co = T.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = co.as("a").join(co.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      // co-purchase pairs via ONE orderkey aggregation + in-row pair
+      // expansion (the dd_ngram_jaccard pattern; round 15, guide §2.3/§2.4):
+      // collect_set dedups (orderkey, partkey) in the same shuffle that
+      // groups the order, and the ≤C(7,2) pairs per order are expanded
+      // inside the row. The previous self-join re-shuffled the distinct
+      // table twice on orderkey and streamed the 2·|pairs| join output
+      // into the (u, v) aggregation — two corpus exchanges and a join for
+      // what one grouped pass computes. Identical e0: each order
+      // contributes each unordered part pair exactly once either way.
+      val e0 = T.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, x -> filter(transform(ps, y -> struct(x AS u, y AS v)), p -> p.u < p.v)))"))
+          .as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2).drop("w")
       val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))

@@ -36,6 +36,11 @@ object ColdBuilds {
       ((s: SparkSession, d: String) => VectorOps.buildIvfCells(s, d)),
     "vec_knn_graph" ->
       ((s: SparkSession, d: String) => VectorOps.buildKnnGraph(s, d)),
+    // the walk's serving index (round 15): symmetrized adjacency with the
+    // neighbor payloads attached — built FROM vec_knn_graph, so it sits
+    // right after it in dependency order
+    "vec_graph_adjacency" ->
+      ((s: SparkSession, d: String) => VectorOps.buildGraphAdjacency(s, d)),
     "text_minhash_split_index" ->
       ((s: SparkSession, d: String) => { TextOps.incrementalSplit(s, d); () }),
     "text_simhash_signatures" ->

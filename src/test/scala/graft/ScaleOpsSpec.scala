@@ -34,6 +34,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("gr_triangles edge build: the grouped in-row pair expansion equals " +
+    "the orderkey self-join it replaced (round-15 re-cut)") {
+    // the round-15 optimization swapped gr_triangles' e0 construction from
+    // a distinct + self-join (two extra corpus exchanges) to one
+    // collect_set aggregation + in-row expansion; this pins set equality
+    // of the support-filtered edge sets the two formulations produce
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val co = li.distinct()
+    val oldE0 = co.as("a").join(co.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).drop("w")
+    val newE0 = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> filter(transform(ps, y -> struct(x AS u, y AS v)), p -> p.u < p.v)))"))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).drop("w")
+    assert(newE0.count() === oldE0.count())
+    assert(newE0.join(oldE0, Seq("u", "v"), "left_anti").count() === 0L)
+    assert(oldE0.join(newE0, Seq("u", "v"), "left_anti").count() === 0L)
+  }
+
   test("lo_zorder: files cover the corpus and each file spans ≤ a quarter of both dims") {
     val ev = graft.core.Tables.events(spark, sf)
     val total = ev.count()
