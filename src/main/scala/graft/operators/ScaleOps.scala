@@ -92,8 +92,15 @@ object ScaleOps {
     * Strategy-only change: the summed integer transfers are identical
     * under any join order (exact Long arithmetic, no overflow at the
     * 10^12 scale × degree bound), so the fixpoint is bit-identical. */
-  private def prStep(nodes: DataFrame, edges: DataFrame, ranks: DataFrame, base: Long): DataFrame = {
-    val contrib = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
+  private def prStep(nodes: DataFrame, edges: DataFrame, ranks: DataFrame,
+      base: Long, broadcastRanks: Boolean): DataFrame = {
+    // the |V|-sized ranks frame is broadcast while it provably fits (the
+    // caller knows n — the size-capped conditional-hint pattern mergeLabels
+    // uses) and falls back to a shuffled hash build past the cap, so the
+    // sweep never sort-merge-joins the persisted |E| side either way
+    val rside =
+      if (broadcastRanks) ranks.hint("broadcast") else ranks.hint("shuffle_hash")
+    val contrib = edges.join(rside, edges("src") === ranks("id"))
       .groupBy(col("dst").as("id"))
       .agg(sum(expr("(r * w) div wout")).as("c"))
     nodes.join(contrib.hint("shuffle_hash"), Seq("id"), "left")
@@ -238,8 +245,11 @@ object ScaleOps {
       // while the checkpointed form keeps each sweep a small warm plan.
       // Don't "optimize" the checkpoints away without re-measuring.
       var ranks = nodes.select(col("id"), lit(PrScale / n).as("r")).localCheckpoint()
+      // 4M-node broadcast cap: ~64 MB of (id, rank) pairs — the same
+      // ceiling mergeLabels uses for its conditional broadcast
       for (_ <- 1 to PrIters)
-        ranks = prStep(nodes, edges, ranks, base).localCheckpoint()
+        ranks = prStep(nodes, edges, ranks, base,
+          broadcastRanks = n <= 4000000L).localCheckpoint()
       val out = ranks
         .select(col("id").as("node_id"),
           when(col("id") % 2 === 0, "cust").otherwise("supp").as("kind"),
